@@ -1,0 +1,296 @@
+"""Constraint-schema spec — the engine's analogue of the TFMD ``Schema`` proto.
+
+Field-level parity with the reference's schema consumption
+(``tensorflow_data_validation/anomalies/schema.cc:81-115,1012-1195``), expressed
+as plain dataclasses with JSON round-tripping. No protobuf dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Optional
+
+
+class FeatureType(str, Enum):
+    INT = "INT"
+    FLOAT = "FLOAT"
+    BYTES = "BYTES"  # covers string + binary, as in the reference
+    STRUCT = "STRUCT"
+
+
+@dataclass
+class Presence:
+    """Cf. reference presence constraints (``anomalies/feature_util.cc:618-663``)."""
+
+    min_count: int = 0
+    min_fraction: float = 0.0
+
+
+@dataclass
+class ValueCount:
+    """Per-row valency bounds (``anomalies/feature_util.cc:136-215``)."""
+
+    min: Optional[int] = None
+    max: Optional[int] = None
+
+
+@dataclass
+class FixedShape:
+    """Declared dense shape; any missing/variable valency violates it."""
+
+    dim: list[int] = field(default_factory=list)
+
+    @property
+    def size(self) -> int:
+        n = 1
+        for d in self.dim:
+            n *= d
+        return n
+
+
+@dataclass
+class IntDomain:
+    min: Optional[int] = None
+    max: Optional[int] = None
+    is_categorical: bool = False
+
+
+@dataclass
+class FloatDomain:
+    min: Optional[float] = None
+    max: Optional[float] = None
+    disallow_nan: bool = False
+    disallow_inf: bool = False
+    is_categorical: bool = False
+
+
+@dataclass
+class StringDomain:
+    name: str = ""
+    value: list[str] = field(default_factory=list)
+    # Fraction of value mass that must fall inside the domain.
+    min_domain_mass: float = 1.0
+
+
+@dataclass
+class BoolDomain:
+    name: str = ""
+    true_value: str = ""
+    false_value: str = ""
+
+
+@dataclass
+class ImageDomain:
+    """Cf. ``anomalies/image_domain_util.cc:43-108``."""
+
+    minimum_supported_image_fraction: Optional[float] = None
+    max_image_byte_size: Optional[int] = None
+
+
+@dataclass
+class NaturalLanguageDomain:
+    coverage_min: Optional[float] = None
+
+
+@dataclass
+class TimeDomain:
+    string_format: Optional[str] = None
+    integer_format: Optional[str] = None  # e.g. "UNIX_SECONDS"
+
+
+@dataclass
+class UniqueConstraints:
+    """Bounds on distinct-value count (``anomalies/feature_util.cc:665-698``)."""
+
+    min: Optional[int] = None
+    max: Optional[int] = None
+
+
+@dataclass
+class ComparatorThreshold:
+    infinity_norm_threshold: Optional[float] = None
+    jensen_shannon_divergence_threshold: Optional[float] = None
+    normalized_abs_difference_threshold: Optional[float] = None
+
+
+@dataclass
+class DriftComparator(ComparatorThreshold):
+    pass
+
+
+@dataclass
+class SkewComparator(ComparatorThreshold):
+    pass
+
+
+@dataclass
+class DistributionConstraints:
+    min_domain_mass: float = 1.0
+
+
+@dataclass
+class FeatureSpec:
+    """One feature's constraints; mirrors the reference's ``Feature`` message."""
+
+    name: str
+    type: Optional[FeatureType] = None
+    presence: Optional[Presence] = None
+    value_count: Optional[ValueCount] = None
+    shape: Optional[FixedShape] = None
+    int_domain: Optional[IntDomain] = None
+    float_domain: Optional[FloatDomain] = None
+    string_domain: Optional[StringDomain] = None
+    bool_domain: Optional[BoolDomain] = None
+    image_domain: Optional[ImageDomain] = None
+    natural_language_domain: Optional[NaturalLanguageDomain] = None
+    time_domain: Optional[TimeDomain] = None
+    domain: Optional[str] = None  # name of a shared StringDomain
+    unique_constraints: Optional[UniqueConstraints] = None
+    distribution_constraints: Optional[DistributionConstraints] = None
+    drift_comparator: Optional[DriftComparator] = None
+    skew_comparator: Optional[SkewComparator] = None
+    in_environment: list[str] = field(default_factory=list)
+    not_in_environment: list[str] = field(default_factory=list)
+    # When True, INT/FLOAT feature gets string-stats (top-k/uniques) treatment.
+    is_categorical: bool = False
+    deprecated: bool = False
+
+    def is_required(self) -> bool:
+        p = self.presence
+        return bool(p and (p.min_count > 0 or p.min_fraction > 0))
+
+
+@dataclass
+class NumExamplesVersionComparator:
+    min_fraction_threshold: Optional[float] = None
+    max_fraction_threshold: Optional[float] = None
+
+
+@dataclass
+class DatasetConstraints:
+    """Cf. ``anomalies/dataset_constraints_util.cc:47-156``."""
+
+    min_examples_count: Optional[int] = None
+    max_examples_count: Optional[int] = None
+    num_examples_drift_comparator: Optional[NumExamplesVersionComparator] = None
+    num_examples_version_comparator: Optional[NumExamplesVersionComparator] = None
+
+
+@dataclass
+class Schema:
+    feature: list[FeatureSpec] = field(default_factory=list)
+    string_domain: list[StringDomain] = field(default_factory=list)
+    dataset_constraints: Optional[DatasetConstraints] = None
+    default_environment: list[str] = field(default_factory=list)
+
+    # ---- accessors -------------------------------------------------------
+    def get_feature(self, name: str) -> Optional[FeatureSpec]:
+        for f in self.feature:
+            if f.name == name:
+                return f
+        return None
+
+    def feature_names(self) -> list[str]:
+        return [f.name for f in self.feature]
+
+    def resolve_string_domain(self, spec: FeatureSpec) -> Optional[StringDomain]:
+        if spec.string_domain is not None:
+            return spec.string_domain
+        if spec.domain:
+            for d in self.string_domain:
+                if d.name == spec.domain:
+                    return d
+        return None
+
+    def feature_in_environment(self, spec: FeatureSpec, environment: Optional[str]) -> bool:
+        """Environment filtering (``anomalies/schema.cc:697-727``)."""
+        if environment is None:
+            return not spec.in_environment or bool(
+                set(self.default_environment) & set(spec.in_environment)
+            ) if self.default_environment else True
+        if spec.not_in_environment and environment in spec.not_in_environment:
+            return False
+        if spec.in_environment:
+            return environment in spec.in_environment
+        return True
+
+    # ---- JSON round trip -------------------------------------------------
+    def to_json(self, indent: int | None = 2) -> str:
+        return json.dumps(_asdict_drop_none(self), indent=indent)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Schema":
+        return schema_from_dict(json.loads(text))
+
+    def copy(self) -> "Schema":
+        return schema_from_dict(_asdict_drop_none(self))
+
+
+def _asdict_drop_none(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        out = {}
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            if v is None or v == [] :
+                continue
+            out[f.name] = _asdict_drop_none(v)
+        return out
+    if isinstance(obj, Enum):
+        return obj.value
+    if isinstance(obj, list):
+        return [_asdict_drop_none(v) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _asdict_drop_none(v) for k, v in obj.items()}
+    return obj
+
+
+def _from_dict(cls, d):
+    if d is None:
+        return None
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        t = _NESTED.get((cls, f.name))
+        if t is not None:
+            if isinstance(v, list):
+                v = [_from_dict(t, x) for x in v]
+            else:
+                v = _from_dict(t, v)
+        elif (cls, f.name) in _ENUMS:
+            v = _ENUMS[(cls, f.name)](v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    (FeatureSpec, "presence"): Presence,
+    (FeatureSpec, "value_count"): ValueCount,
+    (FeatureSpec, "shape"): FixedShape,
+    (FeatureSpec, "int_domain"): IntDomain,
+    (FeatureSpec, "float_domain"): FloatDomain,
+    (FeatureSpec, "string_domain"): StringDomain,
+    (FeatureSpec, "bool_domain"): BoolDomain,
+    (FeatureSpec, "image_domain"): ImageDomain,
+    (FeatureSpec, "natural_language_domain"): NaturalLanguageDomain,
+    (FeatureSpec, "time_domain"): TimeDomain,
+    (FeatureSpec, "unique_constraints"): UniqueConstraints,
+    (FeatureSpec, "distribution_constraints"): DistributionConstraints,
+    (FeatureSpec, "drift_comparator"): DriftComparator,
+    (FeatureSpec, "skew_comparator"): SkewComparator,
+    (Schema, "feature"): FeatureSpec,
+    (Schema, "string_domain"): StringDomain,
+    (Schema, "dataset_constraints"): DatasetConstraints,
+    (DatasetConstraints, "num_examples_drift_comparator"): NumExamplesVersionComparator,
+    (DatasetConstraints, "num_examples_version_comparator"): NumExamplesVersionComparator,
+}
+
+_ENUMS = {(FeatureSpec, "type"): FeatureType}
+
+
+def schema_from_dict(d: dict) -> Schema:
+    return _from_dict(Schema, d)

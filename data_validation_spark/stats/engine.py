@@ -1,0 +1,334 @@
+"""The statistics engine — TFDV's ``GenerateStatistics`` re-architected for Spark.
+
+Execution shape (cf. SURVEY.md §3.1 "Spark shape"):
+
+1. **Wide pass** — one ``df.groupBy(slice_key).agg(*exprs)`` computing every
+   built-in-expressible statistic for every column in a single scan: counts,
+   presence, valency, min/max/mean/stddev (NaN-excluded), zero/NaN/±inf
+   counts, approximate quantile grids, string/bytes lengths. Entirely JVM-side
+   (whole-stage codegen, partial+final hash agg — the reference's combiner
+   fusion and hot-key fanout are what Spark's partial aggregation already does).
+
+2. **Long pass** — a stacked ``(slice, feature, value)`` projection feeding one
+   groupBy shuffle for exact top-k / unique counts (the reference's
+   ``top_k_uniques_stats_generator``) and numeric stats of array elements.
+
+3. **Assembly** — driver-side transform of the tiny aggregate output into the
+   ``DatasetStatsList`` artifact (histogram math in ``quantiles.py``).
+
+With ``options.use_sketches=True`` the long pass is replaced by a single
+Arrow-vectorized sketch pass (t-digest + count-min + HLL), mergeable
+accumulators combined tree-wise — see ``sketches/runner.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_validation_spark.stats import exprs as E
+from data_validation_spark.stats.options import StatsOptions
+from data_validation_spark.stats.quantiles import (
+    equi_width_histogram,
+    median_from_boundaries,
+    quantiles_histogram,
+)
+from data_validation_spark.stats.result import (
+    BytesStats,
+    CommonStats,
+    DatasetStats,
+    DatasetStatsList,
+    FeatureStats,
+    NumericStats,
+    RankBucket,
+    StringStats,
+)
+
+_QUANTILE_CUTS = 100  # fine grid size; 10× the default 10 histogram buckets
+
+
+def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) -> DatasetStatsList:
+    """Compute the full statistics artifact for ``df``."""
+    options = options or StatsOptions()
+
+    if options.feature_allowlist:
+        keep = list(options.feature_allowlist)
+        extra = [c for c in (options.weight_column, options.slice_column) if c and c not in keep]
+        df = df.select(*(keep + extra))
+    if options.sample_rate is not None and options.sample_rate < 1.0:
+        df = df.sample(fraction=options.sample_rate, seed=42)
+
+    slice_col = (
+        F.col(options.slice_column).cast("string")
+        if options.slice_column
+        else F.lit(options.default_slice_key)
+    )
+    stat_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in (options.weight_column, options.slice_column)
+    ]
+    plans = E.classify_columns(
+        df.select(*stat_cols).schema, options.categorical_features
+    )
+    for p in plans:
+        if p.categorical:
+            p.categorical = _want_topk(p, options)
+
+    # ---- wide pass --------------------------------------------------------
+    agg_exprs = E.build_agg_exprs(
+        plans,
+        options.weight_column,
+        _QUANTILE_CUTS,
+        options.quantiles_accuracy,
+        options.num_values_histogram_buckets,
+    )
+    wide_rows = (
+        df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
+    )
+
+    if not wide_rows:
+        # Placeholder-for-empty-input parity (stats_impl.py:141-158).
+        return DatasetStatsList([DatasetStats(options.default_slice_key, 0, features={})])
+
+    # ---- long pass (exact top-k / uniques + array-element numerics) -------
+    if options.use_sketches:
+        from data_validation_spark.stats.sketches.runner import run_sketch_pass
+
+        topk_data, uniq_data, arr_data = run_sketch_pass(df, plans, slice_col, options)
+    else:
+        topk_data, uniq_data, arr_data = _run_long_pass(df, plans, slice_col, options)
+
+    # ---- assembly ----------------------------------------------------------
+    slices = []
+    for row in wide_rows:
+        slices.append(_assemble_slice(row, plans, options, topk_data, uniq_data, arr_data))
+    slices.sort(key=lambda s: s.slice_key)
+    return DatasetStatsList(slices)
+
+
+def _want_topk(p: E.ColumnPlan, options: StatsOptions) -> bool:
+    return p.stats_type == E.STRING or p.name in options.categorical_features
+
+
+def _run_long_pass(df, plans, slice_col, options: StatsOptions):
+    """Exact top-k/uniques + array-element numeric stats: one stacked frame,
+    one (slice, feature, value) shuffle, reused for counts → top-k → uniques."""
+    long_df = E.long_format(df, plans, slice_col, options.weight_column)
+    topk_data: dict = {}
+    uniq_data: dict = {}
+    arr_data: dict = {}
+    if long_df is None:
+        return topk_data, uniq_data, arr_data
+
+    any_topk = any(p.categorical for p in plans)
+    any_arr = any(p.numeric and p.nest_depth > 0 for p in plans)
+
+    if any_topk:
+        counts = (
+            long_df.where(F.col("str_value").isNotNull())
+            .groupBy("slice_key", "feature", "str_value")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("weight").alias("wcnt"))
+            .persist()
+        )
+        k = max(options.num_top_values, options.num_rank_histogram_buckets)
+        w = Window.partitionBy("slice_key", "feature").orderBy(
+            F.desc("cnt"), F.desc("str_value")  # tie-break parity: larger value wins
+        )
+        top_rows = (
+            counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .collect()
+        )
+        uniq_rows = (
+            counts.groupBy("slice_key", "feature").agg(F.count(F.lit(1)).alias("unique")).collect()
+        )
+        counts.unpersist()
+        for r in top_rows:
+            topk_data.setdefault((r["slice_key"], r["feature"]), []).append(
+                (r["rank"], r["str_value"], r["cnt"], r["wcnt"])
+            )
+        for r in uniq_rows:
+            uniq_data[(r["slice_key"], r["feature"])] = r["unique"]
+
+    if any_arr:
+        qs = [i / _QUANTILE_CUTS for i in range(_QUANTILE_CUTS + 1)]
+        nv = F.col("num_value")
+        finite = F.when(~nv.isin(float("inf"), float("-inf")), nv)
+        arr_rows = (
+            long_df.where(nv.isNotNull())
+            .groupBy("slice_key", "feature")
+            .agg(
+                F.min(nv).alias("min"),
+                F.max(nv).alias("max"),
+                F.avg(finite).alias("mean"),
+                F.stddev_pop(finite).alias("std"),
+                F.sum(F.when(nv == 0.0, 1).otherwise(0)).alias("zeros"),
+                F.sum(F.when(nv == float("inf"), 1).otherwise(0)).alias("posinf"),
+                F.sum(F.when(nv == float("-inf"), 1).otherwise(0)).alias("neginf"),
+                F.min(finite).alias("finmin"),
+                F.max(finite).alias("finmax"),
+                F.count(finite).alias("fincnt"),
+                F.percentile_approx(finite, qs, options.quantiles_accuracy).alias("quants"),
+            )
+            .collect()
+        )
+        for r in arr_rows:
+            arr_data[(r["slice_key"], r["feature"])] = r.asDict()
+
+    return topk_data, uniq_data, arr_data
+
+
+def _assemble_slice(row, plans, options: StatsOptions, topk_data, uniq_data, arr_data):
+    rd = row.asDict()
+    slice_key = rd["slice_key"]
+    num_examples = rd["num_examples"]
+    ds = DatasetStats(
+        slice_key=slice_key,
+        num_examples=num_examples,
+        weighted_num_examples=rd.get("weighted_num_examples"),
+    )
+    for p in plans:
+        ds.features[p.name] = _assemble_feature(
+            p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data
+        )
+    return ds
+
+
+def _g(rd, p, stat, default=None):
+    v = rd.get(f"{p.alias}__{stat}")
+    return default if v is None else v
+
+
+def _assemble_feature(p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data):
+    fs = FeatureStats(name=p.name, type=p.stats_type)
+    if p.source_type and p.source_type not in ("LONG", "DOUBLE", "STRING", "BINARY"):
+        fs.custom["source_type"] = p.source_type
+
+    nonmissing = int(_g(rd, p, "nonmissing", 0))
+    common = CommonStats(
+        num_non_missing=nonmissing,
+        num_missing=num_examples - nonmissing,
+    )
+    fs.common = common
+    if options.weight_column:
+        common.weighted_num_non_missing = _g(rd, p, "w_nonmissing", 0.0) or 0.0
+        total_w = rd.get("weighted_num_examples") or 0.0
+        common.weighted_num_missing = total_w - common.weighted_num_non_missing
+
+    if p.stats_type in (E.STRUCT, E.UNKNOWN):
+        return fs
+
+    if p.nest_depth == 0:
+        if nonmissing > 0:
+            common.min_num_values = 1
+            common.max_num_values = 1
+            common.avg_num_values = 1.0
+            common.tot_num_values = nonmissing
+    else:
+        common.min_num_values = int(_g(rd, p, "minvals", 0) or 0)
+        common.max_num_values = int(_g(rd, p, "maxvals", 0) or 0)
+        common.tot_num_values = int(_g(rd, p, "totvals", 0) or 0)
+        common.avg_num_values = common.tot_num_values / nonmissing if nonmissing else 0.0
+        vh = _g(rd, p, "valshist")
+        if vh is not None:
+            common.num_values_histogram = quantiles_histogram(
+                vh, nonmissing, options.num_values_histogram_buckets
+            )
+
+    key = (slice_key, p.name)
+
+    if p.numeric:
+        if p.nest_depth == 0:
+            num = NumericStats(
+                mean=_g(rd, p, "mean", 0.0) or 0.0,
+                std_dev=_g(rd, p, "std", 0.0) or 0.0,
+                min=_nn(_g(rd, p, "min")),
+                max=_nn(_g(rd, p, "max")),
+                num_zeros=int(_g(rd, p, "zeros", 0) or 0),
+                num_nan=int(_g(rd, p, "nan", 0) or 0),
+                num_pos_inf=int(_g(rd, p, "posinf", 0) or 0),
+                num_neg_inf=int(_g(rd, p, "neginf", 0) or 0),
+            )
+            num.finite_min = _g(rd, p, "finmin", num.min if math.isfinite(num.min) else None)
+            num.finite_max = _g(rd, p, "finmax", num.max if math.isfinite(num.max) else None)
+            quants = _g(rd, p, "quants")
+            finite_count = nonmissing - num.num_nan - num.num_pos_inf - num.num_neg_inf
+            if options.weight_column:
+                w_cnt = _g(rd, p, "w_cnt", 0.0) or 0.0
+                w_sum = _g(rd, p, "w_sum", 0.0) or 0.0
+                w_sumsq = _g(rd, p, "w_sumsq", 0.0) or 0.0
+                if w_cnt > 0:
+                    num.weighted_mean = w_sum / w_cnt
+                    var = max(w_sumsq / w_cnt - num.weighted_mean**2, 0.0)
+                    num.weighted_std_dev = math.sqrt(var)
+        else:
+            a = arr_data.get(key)
+            if a is None:
+                return fs
+            num = NumericStats(
+                mean=a["mean"] or 0.0,
+                std_dev=a["std"] or 0.0,
+                min=_nn(a["min"]),
+                max=_nn(a["max"]),
+                num_zeros=int(a["zeros"] or 0),
+                num_pos_inf=int(a["posinf"] or 0),
+                num_neg_inf=int(a["neginf"] or 0),
+            )
+            num.finite_min = a["finmin"]
+            num.finite_max = a["finmax"]
+            # NaNs never reach the long frame (stripped in long_format);
+            # count = tot - finite - infs.
+            num.num_nan = max(
+                common.tot_num_values - int(a["fincnt"]) - num.num_pos_inf - num.num_neg_inf, 0
+            )
+            quants = a["quants"]
+            finite_count = int(a["fincnt"])
+        if quants is not None:
+            num.median = median_from_boundaries(quants)
+            qh = quantiles_histogram(
+                quants, finite_count, options.num_quantiles_histogram_buckets, num.num_nan
+            )
+            eh = equi_width_histogram(
+                quants,
+                finite_count,
+                options.num_histogram_buckets,
+                num.num_nan,
+                num.num_pos_inf,
+                num.num_neg_inf,
+            )
+            num.histograms = [h for h in (eh, qh) if h is not None]
+        fs.numeric = num
+        if not p.categorical:
+            return fs
+
+    if p.categorical or p.stats_type == E.STRING:
+        st = StringStats(avg_length=_g(rd, p, "avglen", 0.0) or 0.0)
+        st.unique = int(uniq_data.get(key, 0))
+        entries = sorted(topk_data.get(key, []))
+        weighted = bool(options.weight_column)
+        st.top_values = [
+            (v, float(wc if weighted else c)) for (_, v, c, wc) in entries[: options.num_top_values]
+        ]
+        st.rank_histogram = [
+            RankBucket(r, r, v, float(wc if weighted else c))
+            for (r, v, c, wc) in entries[: options.num_rank_histogram_buckets]
+        ]
+        fs.string = st
+        return fs
+
+    if p.stats_type == E.BYTES:
+        fs.bytes = BytesStats(
+            unique=int(_g(rd, p, "unique", 0) or 0),
+            avg_num_bytes=_g(rd, p, "avglen", 0.0) or 0.0,
+            min_num_bytes=float(_g(rd, p, "minbytes", 0) or 0),
+            max_num_bytes=float(_g(rd, p, "maxbytes", 0) or 0),
+        )
+    return fs
+
+
+def _nn(v, default=0.0):
+    return default if v is None else float(v)

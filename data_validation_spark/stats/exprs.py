@@ -1,0 +1,267 @@
+"""Per-column Catalyst aggregate-expression builders for the single fused
+statistics pass.
+
+This is the Spark-native replacement for the reference's fused combiner
+(``tensorflow_data_validation/statistics/stats_impl.py:276-303`` fuses all
+per-feature combiners into one Beam CombinePerKey): here every
+built-in-expressible statistic for every column becomes one aggregate
+expression in a single ``df.groupBy(slice).agg(*exprs)`` — one scan, one
+partial+final hash aggregation, fully whole-stage-codegen'd, no Python in the
+hot path.
+
+NaN/Inf semantics follow the reference
+(``basic_stats_generator.py:336-476``): NaN is excluded from every numeric
+statistic but counted in ``num_nan``; ±inf participate in min/max but finite
+extrema are tracked separately; quantiles are computed over finite values only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Statistics-type lattice, cf. reference stats_util.py:80-120 (Arrow types
+# collapse to INT / FLOAT / STRING / STRUCT; BYTES only ever asserted).
+INT = "INT"
+FLOAT = "FLOAT"
+STRING = "STRING"
+BYTES = "BYTES"
+STRUCT = "STRUCT"
+UNKNOWN = "UNKNOWN"
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+@dataclass
+class ColumnPlan:
+    """How one DataFrame column participates in the stats pass."""
+
+    name: str  # possibly dotted path for struct fields
+    alias: str  # unique safe alias prefix (c{i})
+    stats_type: str  # INT/FLOAT/STRING/BYTES/STRUCT/UNKNOWN
+    spark_type: T.DataType
+    nest_depth: int = 0  # 0 = scalar, 1 = array<prim>, 2 = array<array<prim>>
+    is_float: bool = False  # element type can hold NaN
+    categorical: bool = False  # include in top-k/uniques long job
+    numeric: bool = False  # gets numeric stats
+    source_type: str = ""  # original Spark type name (e.g. TIMESTAMP)
+    exprs: list = field(default_factory=list)
+
+
+def classify_columns(schema: T.StructType, categorical_features: set[str],
+                     prefix: str = "") -> list[ColumnPlan]:
+    """Map DataFrame schema → per-column plans. Structs flatten to dotted paths."""
+    plans: list[ColumnPlan] = []
+    for f_ in schema.fields:
+        name = prefix + f_.name
+        plans.extend(_classify_one(name, f_.dataType, categorical_features))
+    for i, p in enumerate(plans):
+        p.alias = f"c{i}"
+    return plans
+
+
+def _classify_one(name: str, dt: T.DataType, cats: set[str]) -> list[ColumnPlan]:
+    depth = 0
+    while isinstance(dt, T.ArrayType):
+        depth += 1
+        dt = dt.elementType
+    if isinstance(dt, T.StructType):
+        # One STRUCT plan for presence of the struct itself + children.
+        out = [ColumnPlan(name, "", STRUCT, dt, nest_depth=depth)]
+        if depth == 0:
+            out.extend(classify_columns(dt, cats, prefix=name + "."))
+        return out
+    if isinstance(dt, T.BooleanType):
+        st, numeric, isf = INT, True, False
+    elif isinstance(dt, _INTEGRAL):
+        st, numeric, isf = INT, True, False
+    elif isinstance(dt, _FRACTIONAL):
+        st, numeric, isf = FLOAT, True, True
+    elif isinstance(dt, (T.TimestampType, T.DateType, T.TimestampNTZType)):
+        st, numeric, isf = INT, True, False
+    elif isinstance(dt, T.StringType):
+        st, numeric, isf = STRING, False, False
+    elif isinstance(dt, T.BinaryType):
+        st, numeric, isf = BYTES, False, False
+    elif isinstance(dt, T.NullType):
+        st, numeric, isf = UNKNOWN, False, False
+    else:
+        st, numeric, isf = UNKNOWN, False, False
+    p = ColumnPlan(name, "", st, dt, nest_depth=depth, is_float=isf, numeric=numeric)
+    p.source_type = type(dt).__name__.replace("Type", "").upper()
+    p.categorical = st == STRING or name in cats
+    return [p]
+
+
+def _value_col(p: ColumnPlan):
+    """Column expression yielding the scalar value (numeric cast applied)."""
+    c = F.col(p.name)
+    dt = p.spark_type
+    if isinstance(dt, T.BooleanType):
+        return c.cast("long")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return c.cast("double").cast("long")  # epoch seconds
+    if isinstance(dt, T.DateType):
+        return F.unix_date(c).cast("long")
+    if isinstance(dt, T.DecimalType):
+        return c.cast("double")
+    return c
+
+
+def build_agg_exprs(
+    plans: list[ColumnPlan],
+    weight_column: Optional[str],
+    num_quantile_cuts: int,
+    quantiles_accuracy: int,
+    count_values_hist_buckets: int,
+) -> list:
+    """All aggregate expressions for the single wide pass.
+
+    Returns aliased expressions; `assemble.py` decodes by alias convention
+    ``{plan.alias}__{stat}``.
+    """
+    exprs = [F.count(F.lit(1)).alias("num_examples")]
+    if weight_column:
+        exprs.append(F.sum(F.col(weight_column).cast("double")).alias("weighted_num_examples"))
+
+    qs = [i / num_quantile_cuts for i in range(num_quantile_cuts + 1)]
+
+    for p in plans:
+        a = p.alias
+        if p.stats_type in (STRUCT, UNKNOWN):
+            exprs.append(F.count(F.col(p.name)).alias(f"{a}__nonmissing"))
+            continue
+
+        if p.nest_depth == 0:
+            v = _value_col(p)
+            exprs.append(F.count(v).alias(f"{a}__nonmissing"))
+            present = v  # non-null scalar ⇒ 1 value per present row
+        else:
+            arr = F.col(p.name)
+            flat = arr
+            for _ in range(p.nest_depth - 1):
+                flat = F.flatten(flat)
+            sz = F.size(flat)  # innermost value count (arrow_util parity)
+            exprs += [
+                F.count(arr).alias(f"{a}__nonmissing"),
+                F.min(sz).alias(f"{a}__minvals"),
+                F.max(sz).alias(f"{a}__maxvals"),
+                F.sum(sz).alias(f"{a}__totvals"),
+                F.percentile_approx(
+                    sz.cast("double"),
+                    [i / count_values_hist_buckets for i in range(count_values_hist_buckets + 1)],
+                    quantiles_accuracy,
+                ).alias(f"{a}__valshist"),
+            ]
+            if weight_column:
+                w = F.col(weight_column).cast("double")
+                exprs.append(
+                    F.sum(F.when(arr.isNotNull(), w)).alias(f"{a}__w_nonmissing")
+                )
+            # Numeric stats of array elements handled in the long (exploded) job.
+            continue
+
+        if weight_column:
+            w = F.col(weight_column).cast("double")
+            exprs.append(F.sum(F.when(present.isNotNull(), w)).alias(f"{a}__w_nonmissing"))
+
+        if p.numeric:
+            x = v.cast("double")
+            xn = F.when(~F.isnan(x), x) if p.is_float else x  # NaN-excluded
+            xf = F.when(~F.isnan(x) & ~x.isin(float("inf"), float("-inf")), x) if p.is_float else x
+            exprs += [
+                F.min(xn).alias(f"{a}__min"),
+                F.max(xn).alias(f"{a}__max"),
+                F.avg(xf).alias(f"{a}__mean"),
+                F.stddev_pop(xf).alias(f"{a}__std"),
+                F.sum(F.when(xn == 0.0, 1).otherwise(0)).alias(f"{a}__zeros"),
+                F.percentile_approx(xf, qs, quantiles_accuracy).alias(f"{a}__quants"),
+            ]
+            if p.is_float:
+                exprs += [
+                    F.sum(F.when(F.isnan(x), 1).otherwise(0)).alias(f"{a}__nan"),
+                    F.sum(F.when(x == float("inf"), 1).otherwise(0)).alias(f"{a}__posinf"),
+                    F.sum(F.when(x == float("-inf"), 1).otherwise(0)).alias(f"{a}__neginf"),
+                    F.min(xf).alias(f"{a}__finmin"),
+                    F.max(xf).alias(f"{a}__finmax"),
+                ]
+            if weight_column:
+                w = F.col(weight_column).cast("double")
+                wx = F.when(xf.isNotNull(), w)
+                exprs += [
+                    F.sum(wx).alias(f"{a}__w_cnt"),
+                    F.sum(w * xf).alias(f"{a}__w_sum"),
+                    F.sum(w * xf * xf).alias(f"{a}__w_sumsq"),
+                ]
+        elif p.stats_type == STRING:
+            exprs.append(F.avg(F.length(F.col(p.name))).alias(f"{a}__avglen"))
+        elif p.stats_type == BYTES:
+            blen = F.octet_length(F.col(p.name))
+            exprs += [
+                F.avg(blen).alias(f"{a}__avglen"),
+                F.min(blen).alias(f"{a}__minbytes"),
+                F.max(blen).alias(f"{a}__maxbytes"),
+                # Exact distinct on 64-bit content hash (collision-negligible);
+                # the reference estimates bytes uniques with a KMV sketch anyway.
+                # xxhash64(NULL) is non-null, so gate on presence explicitly.
+                F.countDistinct(
+                    F.when(F.col(p.name).isNotNull(), F.xxhash64(F.col(p.name)))
+                ).alias(f"{a}__unique"),
+            ]
+    return exprs
+
+
+def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[str]):
+    """Build the long-format frame ``(slice_key, feature, str_value, num_value,
+    weight)`` feeding top-k/uniques and array-element numeric stats.
+
+    One unionByName of per-column projections → Catalyst prunes the scan to the
+    needed columns per branch; downstream is a single groupBy shuffle keyed by
+    (slice, feature, value) — the analogue of the reference's explode +
+    CombinePerKey (``top_k_uniques_stats_generator.py:106-336``).
+    """
+    from functools import reduce
+
+    parts = []
+    w = (F.col(weight_column).cast("double") if weight_column else F.lit(1.0)).alias("weight")
+    for p in plans:
+        if p.stats_type in (STRUCT, UNKNOWN, BYTES):
+            continue
+        needs_topk = p.categorical
+        needs_numeric = p.numeric and p.nest_depth > 0
+        if not (needs_topk or needs_numeric):
+            continue
+        base = F.col(p.name)
+        if p.nest_depth > 0:
+            flat = base
+            for _ in range(p.nest_depth - 1):
+                flat = F.flatten(flat)
+            val = F.explode(flat).alias("v")
+            proj = df.select(slice_col.alias("slice_key"), val, w)
+        else:
+            proj = df.select(slice_col.alias("slice_key"), _value_col(p).alias("v"), w).where(
+                F.col("v").isNotNull()
+            )
+        sv = F.col("v").cast("string") if needs_topk else F.lit(None).cast("string")
+        if needs_numeric:
+            nv = F.col("v").cast("double")
+            if p.is_float:
+                nv = F.when(~F.isnan(F.col("v").cast("double")), F.col("v").cast("double"))
+        else:
+            nv = F.lit(None).cast("double")
+        parts.append(
+            proj.select(
+                "slice_key",
+                F.lit(p.name).alias("feature"),
+                sv.alias("str_value"),
+                nv.alias("num_value"),
+                "weight",
+            )
+        )
+    if not parts:
+        return None
+    return reduce(lambda x, y: x.unionByName(y), parts)

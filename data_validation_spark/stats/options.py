@@ -1,0 +1,52 @@
+"""Statistics-run options — analogue of the reference's ``StatsOptions``
+(``tensorflow_data_validation/statistics/stats_options.py:56-63`` defaults).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class StatsOptions:
+    # Output-size knobs (reference defaults: top 20 values, 1000-bucket rank
+    # histogram, 10 buckets for standard/quantiles histograms).
+    num_top_values: int = 20
+    num_rank_histogram_buckets: int = 1000
+    num_histogram_buckets: int = 10
+    num_quantiles_histogram_buckets: int = 10
+    num_values_histogram_buckets: int = 10
+
+    # Approximation knobs (reference: eps=0.01 quantiles; MG 1024; KMV 16384).
+    quantiles_accuracy: int = 1000  # 1/eps for percentile_approx
+    tdigest_compression: int = 200
+    topk_sketch_size: int = 1024
+    hll_precision: int = 14  # 2^14 = 16384 registers
+
+    # Strategy: exact top-k/uniques (shuffle groupBy) vs sketches (one pass).
+    use_sketches: bool = False
+
+    # Which columns get string-stats (top-k/uniques) even though numeric.
+    categorical_features: set[str] = field(default_factory=set)
+
+    # Column allowlist (None = all); pushed down via df.select → Catalyst prune.
+    feature_allowlist: Optional[list[str]] = None
+
+    # Example-weight column: weighted variants of count/mean/std/topk.
+    weight_column: Optional[str] = None
+
+    # Slicing: group stats by this column's value; None = single default slice.
+    slice_column: Optional[str] = None
+    default_slice_key: str = "All Examples"
+
+    # Semantic-domain stats (image format sniffing, NL heuristics, time).
+    enable_semantic_domain_stats: bool = False
+    semantic_domain_sample_rate: Optional[float] = None
+
+    # Dataset-level sampling before any stats.
+    sample_rate: Optional[float] = None
+
+    # Cardinality guard: skip exact top-k for columns whose approx distinct
+    # count exceeds this (rank histogram would be meaningless + shuffle-heavy).
+    max_topk_cardinality: int = 1_000_000

@@ -1,0 +1,171 @@
+"""Basic-stats engine golden tests — modeled on the reference's per-generator
+golden strategy (tdv/utils/test_util.py:276-389) with hand-computable inputs.
+"""
+
+import math
+
+import pytest
+
+from data_validation_spark.stats.engine import compute_statistics
+from data_validation_spark.stats.options import StatsOptions
+
+NAN = float("nan")
+INF = float("inf")
+
+
+@pytest.fixture(scope="module")
+def simple_stats(spark):
+    rows = [
+        (1, 1.0, "a", [1.0, 2.0], None),
+        (2, 2.0, "b", [3.0], 1.5),
+        (3, NAN, "a", None, 2.5),
+        (4, INF, "a", [0.0, -1.0, 5.0], 3.5),
+        (None, -INF, None, [], 4.5),
+        (0, 0.0, "c", [NAN, 1.0], 5.5),
+    ]
+    df = spark.createDataFrame(rows, "i long, f double, s string, arr array<double>, w double")
+    return compute_statistics(df, StatsOptions())
+
+
+def test_num_examples(simple_stats):
+    ds = simple_stats.default_slice()
+    assert ds.num_examples == 6
+    assert ds.slice_key == "All Examples"
+
+
+def test_int_stats(simple_stats):
+    fs = simple_stats.default_slice().feature("i")
+    assert fs.type == "INT"
+    assert fs.common.num_non_missing == 5
+    assert fs.common.num_missing == 1
+    assert fs.common.tot_num_values == 5
+    n = fs.numeric
+    assert n.min == 0 and n.max == 4
+    assert n.mean == pytest.approx(2.0)
+    assert n.num_zeros == 1
+    assert n.num_nan == 0
+    assert n.std_dev == pytest.approx(math.sqrt(2.0))
+
+
+def test_float_nan_inf_semantics(simple_stats):
+    n = simple_stats.default_slice().feature("f").numeric
+    # NaN excluded everywhere but num_nan; infs in min/max only.
+    assert n.num_nan == 1
+    assert n.num_pos_inf == 1
+    assert n.num_neg_inf == 1
+    assert n.min == -INF and n.max == INF
+    assert n.finite_min == 0.0 and n.finite_max == 2.0
+    assert n.mean == pytest.approx(1.0)  # over {1.0, 2.0, 0.0}
+    assert n.num_zeros == 1
+
+
+def test_string_stats(simple_stats):
+    fs = simple_stats.default_slice().feature("s")
+    st = fs.string
+    assert fs.common.num_missing == 1
+    assert st.unique == 3
+    assert st.top_values[0] == ("a", 3.0)
+    # tie between b and c (count 1): larger value first (reference tie-break)
+    assert st.top_values[1][0] == "c"
+    assert st.top_values[2][0] == "b"
+    assert st.avg_length == pytest.approx(1.0)
+    assert [b.label for b in st.rank_histogram] == ["a", "c", "b"]
+    assert [b.low_rank for b in st.rank_histogram] == [1, 2, 3]
+
+
+def test_array_valency_and_elements(simple_stats):
+    fs = simple_stats.default_slice().feature("arr")
+    c = fs.common
+    assert c.num_non_missing == 5 and c.num_missing == 1
+    assert c.min_num_values == 0 and c.max_num_values == 3
+    assert c.tot_num_values == 8
+    assert c.avg_num_values == pytest.approx(8 / 5)
+    n = fs.numeric
+    assert n.min == -1.0 and n.max == 5.0
+    assert n.num_zeros == 1
+    assert n.num_nan == 1  # the NaN inside [NaN, 1.0]
+    # mean over finite non-NaN: (1+2+3+0-1+5+1)/7
+    assert n.mean == pytest.approx(11 / 7)
+
+
+def test_histograms(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    stats = compute_statistics(df, StatsOptions())
+    n = stats.default_slice().feature("x").numeric
+    assert n.median == pytest.approx(50.0, abs=1.0)
+    std = n.histogram("STANDARD")
+    qh = n.histogram("QUANTILES")
+    assert std is not None and qh is not None
+    assert len(std.buckets) == 10
+    assert std.total_count() == pytest.approx(100.0, rel=1e-6)
+    assert std.buckets[0].low_value == 1.0
+    assert std.buckets[-1].high_value == 100.0
+    # uniform data → ~10 per equi-width bucket
+    for b in std.buckets:
+        assert b.sample_count == pytest.approx(10.0, abs=2.5)
+    assert len(qh.buckets) == 10
+    assert qh.total_count() == pytest.approx(100.0, rel=1e-6)
+
+
+def test_weighted_stats(spark):
+    rows = [(1.0, 2.0), (2.0, 1.0), (None, 3.0)]
+    df = spark.createDataFrame(rows, "x double, w double")
+    stats = compute_statistics(df, StatsOptions(weight_column="w"))
+    ds = stats.default_slice()
+    assert ds.weighted_num_examples == pytest.approx(6.0)
+    fs = ds.feature("x")
+    assert fs.common.weighted_num_non_missing == pytest.approx(3.0)
+    assert fs.common.weighted_num_missing == pytest.approx(3.0)
+    assert fs.numeric.weighted_mean == pytest.approx((2.0 + 2.0) / 3.0)
+    assert "w" not in ds.features
+
+
+def test_slicing(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    stats = compute_statistics(df, StatsOptions(slice_column="k"))
+    assert sorted(s.slice_key for s in stats.slices) == ["a", "b"]
+    a = stats.get_slice("a")
+    assert a.num_examples == 2
+    assert a.feature("x").numeric.mean == pytest.approx(1.5)
+    assert stats.get_slice("b").feature("x").numeric.mean == pytest.approx(10.0)
+
+
+def test_bytes_stats(spark):
+    rows = [(bytearray(b"abc"),), (bytearray(b"defgh"),), (None,)]
+    df = spark.createDataFrame(rows, "b binary")
+    fs = compute_statistics(df).default_slice().feature("b")
+    assert fs.type == "BYTES"
+    assert fs.bytes.min_num_bytes == 3 and fs.bytes.max_num_bytes == 5
+    assert fs.bytes.avg_num_bytes == pytest.approx(4.0)
+    assert fs.bytes.unique == 2
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "x double, s string")
+    stats = compute_statistics(df)
+    ds = stats.default_slice()
+    assert ds.num_examples == 0
+
+
+def test_categorical_int(spark):
+    rows = [(1,), (1,), (2,), (None,)]
+    df = spark.createDataFrame(rows, "v long")
+    stats = compute_statistics(df, StatsOptions(categorical_features={"v"}))
+    fs = stats.default_slice().feature("v")
+    assert fs.string is not None
+    assert fs.string.top_values[0] == ("1", 2.0)
+    assert fs.string.unique == 2
+    assert fs.numeric is not None  # numeric stats still computed
+
+
+def test_json_roundtrip(simple_stats):
+    from data_validation_spark.stats.result import DatasetStatsList
+
+    text = simple_stats.to_json()
+    back = DatasetStatsList.from_json(text)
+    f1 = simple_stats.default_slice().feature("f").numeric
+    f2 = back.default_slice().feature("f").numeric
+    assert f2.min == -INF and f2.max == INF
+    assert f1.mean == f2.mean
+    assert back.default_slice().feature("s").string.top_values[0] == ("a", 3.0)
