@@ -1,0 +1,173 @@
+"""Schema inference & update from a statistics artifact.
+
+Behavioral port of the reference's inference path
+(``anomalies/feature_statistics_validator.cc:47-99``, ``schema.cc:374-433``,
+``feature_util.cc:513-541``): presence bounds from observed missingness,
+value counts from observed valency, string domains for low-cardinality
+categorical features (enum threshold default 400), bool-domain detection for
+{0,1} ints, semantic domains from custom stats.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from data_validation_spark.schema import (
+    BoolDomain,
+    FeatureSpec,
+    FeatureType,
+    ImageDomain,
+    IntDomain,
+    Presence,
+    Schema,
+    StringDomain,
+    ValueCount,
+)
+from data_validation_spark.stats.result import DatasetStatsList, FeatureStats
+from data_validation_spark.validate.rules import validate_statistics
+
+ENUM_THRESHOLD = 400  # reference default for inferred string domains
+
+_STATS_TO_SCHEMA_TYPE = {
+    "INT": FeatureType.INT,
+    "FLOAT": FeatureType.FLOAT,
+    "STRING": FeatureType.BYTES,
+    "BYTES": FeatureType.BYTES,
+    "STRUCT": FeatureType.STRUCT,
+}
+
+
+def infer_schema(
+    statistics: DatasetStatsList,
+    infer_feature_shape: bool = False,
+    max_string_domain_size: int = ENUM_THRESHOLD,
+) -> Schema:
+    ds = statistics.default_slice()
+    schema = Schema()
+    if ds is None:
+        return schema
+    for name, fs in sorted(ds.features.items()):
+        schema.feature.append(
+            _infer_feature(fs, ds.num_examples, infer_feature_shape, max_string_domain_size)
+        )
+    return schema
+
+
+def _infer_feature(
+    fs: FeatureStats, num_examples: int, infer_shape: bool, max_domain: int
+) -> FeatureSpec:
+    spec = FeatureSpec(name=fs.name)
+    spec.type = _STATS_TO_SCHEMA_TYPE.get(fs.type, FeatureType.BYTES)
+    c = fs.common
+    if c.num_missing == 0 and num_examples > 0:
+        spec.presence = Presence(min_count=1, min_fraction=1.0)
+    elif c.num_non_missing > 0:
+        spec.presence = Presence(min_count=1)
+    if c.num_non_missing > 0:
+        if c.min_num_values == c.max_num_values and infer_shape and c.num_missing == 0:
+            from data_validation_spark.schema import FixedShape
+
+            spec.shape = FixedShape(dim=[c.min_num_values])
+        else:
+            spec.value_count = ValueCount(min=max(c.min_num_values, 1), max=c.max_num_values)
+    # Bool domain for {0,1} ints (bool_domain_util semantics).
+    if fs.type == "INT" and fs.numeric is not None and fs.string is None:
+        n = fs.numeric
+        if n.min >= 0 and n.max <= 1 and fs.custom.get("source_type") == "BOOLEAN":
+            spec.bool_domain = BoolDomain()
+    # String domain for low-cardinality string features.
+    if fs.type == "STRING" and fs.string is not None:
+        u = fs.string.unique
+        if 0 < u <= max_domain and fs.string.rank_histogram:
+            values = sorted(b.label for b in fs.string.rank_histogram)
+            spec.string_domain = StringDomain(value=values)
+    # Semantic domains from custom stats (custom_domain_util parity).
+    if "image_format_histogram" in fs.custom:
+        hist = fs.custom["image_format_histogram"]
+        total = sum(hist.values())
+        unknown = hist.get("UNKNOWN", 0)
+        if total >= 100 and (total - unknown) / total >= 0.8:
+            spec.image_domain = ImageDomain()
+    return spec
+
+
+def update_schema(schema: Schema, statistics: DatasetStatsList) -> Schema:
+    """Return a copy of ``schema`` relaxed so ``statistics`` validates cleanly —
+    the reference's fix-proposal semantics (each anomaly implies a schema edit).
+    """
+    new = schema.copy()
+    ds = statistics.default_slice()
+    if ds is None:
+        return new
+    anomalies = validate_statistics(statistics, new)
+    inferred = infer_schema(statistics)
+    for a in anomalies.anomalies:
+        spec = new.get_feature(a.feature) if a.feature else None
+        t = a.type.value
+        if t == "SCHEMA_NEW_COLUMN":
+            inf = inferred.get_feature(a.feature)
+            if inf is not None and new.get_feature(a.feature) is None:
+                new.feature.append(inf)
+            continue
+        if spec is None:
+            continue
+        fs = ds.feature(a.feature)
+        if t in ("FEATURE_TYPE_LOW_NUMBER_PRESENT", "FEATURE_TYPE_LOW_FRACTION_PRESENT",
+                 "FEATURE_TYPE_NOT_PRESENT", "SCHEMA_MISSING_COLUMN"):
+            if spec.presence is not None and fs is not None:
+                frac = fs.common.fraction_present
+                spec.presence = Presence(
+                    min_count=min(spec.presence.min_count, fs.common.num_non_missing),
+                    min_fraction=min(spec.presence.min_fraction, frac),
+                )
+            elif spec.presence is not None:
+                spec.presence = Presence(min_count=0, min_fraction=0.0)
+        elif t == "UNEXPECTED_DATA_TYPE" and fs is not None:
+            spec.type = _STATS_TO_SCHEMA_TYPE.get(fs.type, spec.type)
+        elif t == "FEATURE_TYPE_LOW_NUMBER_VALUES" and fs is not None:
+            spec.value_count.min = fs.common.min_num_values
+        elif t == "FEATURE_TYPE_HIGH_NUMBER_VALUES" and fs is not None:
+            spec.value_count.max = fs.common.max_num_values
+        elif t == "INVALID_FEATURE_SHAPE" and fs is not None:
+            spec.shape = None
+            spec.value_count = ValueCount(
+                min=fs.common.min_num_values, max=fs.common.max_num_values
+            )
+        elif t in ("INT_TYPE_SMALL_INT", "INT_TYPE_BIG_INT") and fs is not None:
+            d = spec.int_domain or IntDomain()
+            if fs.numeric:
+                if d.min is not None:
+                    d.min = min(d.min, int(fs.numeric.min))
+                if d.max is not None:
+                    d.max = max(d.max, int(fs.numeric.max))
+            spec.int_domain = d
+        elif t in ("FLOAT_TYPE_SMALL_FLOAT", "FLOAT_TYPE_BIG_FLOAT") and fs is not None:
+            d = spec.float_domain
+            if fs.numeric and d is not None:
+                if d.min is not None:
+                    d.min = min(d.min, fs.numeric.min)
+                if d.max is not None:
+                    d.max = max(d.max, fs.numeric.max)
+        elif t == "FLOAT_TYPE_HAS_NAN" and spec.float_domain is not None:
+            spec.float_domain.disallow_nan = False
+        elif t == "FLOAT_TYPE_HAS_INF" and spec.float_domain is not None:
+            spec.float_domain.disallow_inf = False
+        elif t == "ENUM_TYPE_UNEXPECTED_STRING_VALUES" and fs is not None:
+            dom = new.resolve_string_domain(spec)
+            if dom is not None and fs.string is not None:
+                observed = [b.label for b in fs.string.rank_histogram]
+                existing = set(dom.value)
+                dom.value.extend([v for v in observed if v not in existing])
+        elif t in ("FEATURE_TYPE_LOW_UNIQUE", "FEATURE_TYPE_HIGH_UNIQUE") and fs is not None:
+            if spec.unique_constraints is not None and fs.string is not None:
+                u = fs.string.unique
+                if spec.unique_constraints.min is not None:
+                    spec.unique_constraints.min = min(spec.unique_constraints.min, u)
+                if spec.unique_constraints.max is not None:
+                    spec.unique_constraints.max = max(spec.unique_constraints.max, u)
+        elif t in ("BOOL_TYPE_SMALL_INT", "BOOL_TYPE_BIG_INT", "BOOL_TYPE_UNEXPECTED_STRING",
+                   "BOOL_TYPE_UNEXPECTED_FLOAT"):
+            spec.bool_domain = None
+            if fs is not None and fs.numeric is not None:
+                spec.int_domain = None
+    return new

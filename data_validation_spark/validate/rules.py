@@ -1,0 +1,738 @@
+"""Constraint evaluation: (statistics artifact, Schema) → Anomalies.
+
+Driver-side behavioral port of the reference's C++ validation layer
+(``tensorflow_data_validation/anomalies/schema.cc:1012-1195``,
+``feature_util.cc``, per-domain ``*_domain_util.cc``,
+``dataset_constraints_util.cc``) — the stats artifact is tiny, so this phase
+needs no cluster. Reason codes carry TFDV parity (see anomalies.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from data_validation_spark.anomalies import (
+    Anomalies,
+    Anomaly,
+    AnomalyType,
+    DriftSkewMeasurement,
+    Severity,
+)
+from data_validation_spark.schema import (
+    FeatureSpec,
+    FeatureType,
+    Schema,
+)
+from data_validation_spark.stats.result import (
+    DatasetStats,
+    DatasetStatsList,
+    FeatureStats,
+)
+from data_validation_spark.validate import drift as drift_metrics
+
+# stats type → acceptable schema types (schema.cc type-check semantics:
+# INT stats satisfy FLOAT schema; STRING stats satisfy BYTES schema).
+_TYPE_OK = {
+    "INT": {FeatureType.INT, FeatureType.FLOAT},
+    "FLOAT": {FeatureType.FLOAT},
+    "STRING": {FeatureType.BYTES},
+    "BYTES": {FeatureType.BYTES},
+    "STRUCT": {FeatureType.STRUCT},
+}
+
+
+def validate_statistics(
+    statistics: DatasetStatsList,
+    schema: Schema,
+    environment: Optional[str] = None,
+    previous_statistics: Optional[DatasetStatsList] = None,
+    serving_statistics: Optional[DatasetStatsList] = None,
+    previous_version_statistics: Optional[DatasetStatsList] = None,
+) -> Anomalies:
+    """Validate the default slice of ``statistics`` against ``schema``."""
+    ds = statistics.default_slice()
+    out = Anomalies()
+    if ds is None or ds.num_examples == 0:
+        out.anomalies.append(
+            Anomaly(
+                feature="",
+                type=AnomalyType.DATA_MISSING,
+                short_description="Data is missing",
+                description="The dataset contains no examples.",
+            )
+        )
+        return out
+
+    prev = previous_statistics.default_slice() if previous_statistics else None
+    serving = serving_statistics.default_slice() if serving_statistics else None
+    prev_version = (
+        previous_version_statistics.default_slice() if previous_version_statistics else None
+    )
+
+    _check_dataset_constraints(ds, schema, prev, prev_version, out)
+
+    schema_names = set(schema.feature_names())
+    for name, fs in sorted(ds.features.items()):
+        if name not in schema_names:
+            out.anomalies.append(
+                Anomaly(
+                    feature=name,
+                    type=AnomalyType.SCHEMA_NEW_COLUMN,
+                    severity=Severity.ERROR,
+                    short_description="New column",
+                    description=f"New column {name} found in data but not in the schema.",
+                    slice_key=ds.slice_key,
+                )
+            )
+
+    for spec in schema.feature:
+        if spec.deprecated or not schema.feature_in_environment(spec, environment):
+            continue
+        fs = ds.feature(spec.name)
+        if fs is None:
+            if spec.is_required():
+                out.anomalies.append(
+                    _anom(
+                        spec.name,
+                        AnomalyType.SCHEMA_MISSING_COLUMN,
+                        "Column dropped",
+                        f"Column {spec.name} is not present in the data.",
+                        ds.slice_key,
+                    )
+                )
+            continue
+        validate_feature(fs, spec, schema, ds, out)
+        _check_comparators(fs, spec, prev, serving, ds, out)
+    return out
+
+
+def _anom(feature, type_, short, desc, slice_key, measurement=None, threshold=None,
+          severity=Severity.ERROR):
+    return Anomaly(
+        feature=feature,
+        type=type_,
+        severity=severity,
+        short_description=short,
+        description=desc,
+        slice_key=slice_key,
+        measurement=measurement,
+        threshold=threshold,
+    )
+
+
+def validate_feature(
+    fs: FeatureStats, spec: FeatureSpec, schema: Schema, ds: DatasetStats, out: Anomalies
+) -> None:
+    sk = ds.slice_key
+    c = fs.common
+
+    # ---- presence (feature_util.cc:618-663) -------------------------------
+    if c.num_non_missing == 0:
+        if spec.is_required():
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.FEATURE_TYPE_NOT_PRESENT,
+                    "Column dropped",
+                    f"The feature {spec.name} was present in fewer examples than expected: "
+                    "it is never present.",
+                    sk,
+                )
+            )
+        return  # no further checks possible without values
+    if spec.presence:
+        if spec.presence.min_count > 0 and c.num_non_missing < spec.presence.min_count:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.FEATURE_TYPE_LOW_NUMBER_PRESENT,
+                    "Column dropped",
+                    f"The feature was present in {c.num_non_missing} examples, "
+                    f"expected at least {spec.presence.min_count}.",
+                    sk,
+                    measurement=float(c.num_non_missing),
+                    threshold=float(spec.presence.min_count),
+                )
+            )
+        if spec.presence.min_fraction > 0:
+            frac = c.fraction_present
+            mf = spec.presence.min_fraction
+            # min_fraction == 1 tolerates float noise down to 0.9999
+            # (reference epsilon special case).
+            violated = frac < (0.9999 if mf == 1.0 else mf)
+            if violated:
+                desc = (
+                    "The feature was expected in all examples."
+                    if mf == 1.0
+                    else f"The feature was present in fraction {frac:.6g} of examples, "
+                    f"expected at least {mf}."
+                )
+                out.anomalies.append(
+                    _anom(
+                        spec.name,
+                        AnomalyType.FEATURE_TYPE_LOW_FRACTION_PRESENT,
+                        "Column dropped",
+                        desc,
+                        sk,
+                        measurement=frac,
+                        threshold=mf,
+                    )
+                )
+
+    # ---- type check (schema.cc:1026-1049) ----------------------------------
+    if spec.type is not None and fs.type in _TYPE_OK:
+        if spec.type not in _TYPE_OK[fs.type]:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.UNEXPECTED_DATA_TYPE,
+                    "Unexpected data type",
+                    f"Expected data of type {spec.type.value} but got {fs.type}.",
+                    sk,
+                )
+            )
+
+    # ---- value counts (feature_util.cc:136-215) ----------------------------
+    if spec.value_count:
+        if spec.value_count.min is not None and c.min_num_values < spec.value_count.min:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.FEATURE_TYPE_LOW_NUMBER_VALUES,
+                    "Low number of values",
+                    f"Some examples have fewer values ({c.min_num_values}) than "
+                    f"expected minimum ({spec.value_count.min}).",
+                    sk,
+                    measurement=float(c.min_num_values),
+                    threshold=float(spec.value_count.min),
+                )
+            )
+        if spec.value_count.max is not None and c.max_num_values > spec.value_count.max:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.FEATURE_TYPE_HIGH_NUMBER_VALUES,
+                    "High number of values",
+                    f"Some examples have more values ({c.max_num_values}) than "
+                    f"expected maximum ({spec.value_count.max}).",
+                    sk,
+                    measurement=float(c.max_num_values),
+                    threshold=float(spec.value_count.max),
+                )
+            )
+
+    # ---- fixed shape (feature_util.cc:558-616) ------------------------------
+    if spec.shape is not None:
+        size = spec.shape.size
+        if c.num_missing > 0 or c.min_num_values != size or c.max_num_values != size:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.INVALID_FEATURE_SHAPE,
+                    "Invalid feature shape",
+                    "The feature has missing values or variable valency, which is "
+                    f"incompatible with declared shape of size {size}.",
+                    sk,
+                )
+            )
+
+    # ---- domains ------------------------------------------------------------
+    _check_int_domain(fs, spec, sk, out)
+    _check_float_domain(fs, spec, sk, out)
+    _check_string_domain(fs, spec, schema, sk, out)
+    _check_bool_domain(fs, spec, sk, out)
+    _check_image_domain(fs, spec, sk, out)
+    _check_nl_domain(fs, spec, sk, out)
+
+    # ---- unique constraints (feature_util.cc:665-698) ------------------------
+    if spec.unique_constraints:
+        uc = spec.unique_constraints
+        if fs.string is None:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.FEATURE_TYPE_NO_UNIQUE,
+                    "No unique values",
+                    "UniqueConstraints specified for a feature without string "
+                    "statistics (unique-count is only computed for categorical features).",
+                    sk,
+                )
+            )
+        else:
+            u = fs.string.unique
+            if uc.min is not None and u < uc.min:
+                out.anomalies.append(
+                    _anom(
+                        spec.name,
+                        AnomalyType.FEATURE_TYPE_LOW_UNIQUE,
+                        "Low number of unique values",
+                        f"Expected at least {uc.min} unique values but found only {u}.",
+                        sk,
+                        measurement=float(u),
+                        threshold=float(uc.min),
+                    )
+                )
+            if uc.max is not None and u > uc.max:
+                out.anomalies.append(
+                    _anom(
+                        spec.name,
+                        AnomalyType.FEATURE_TYPE_HIGH_UNIQUE,
+                        "High number of unique values",
+                        f"Expected at most {uc.max} unique values but found {u}.",
+                        sk,
+                        measurement=float(u),
+                        threshold=float(uc.max),
+                    )
+                )
+
+
+def _observed_range(fs: FeatureStats):
+    n = fs.numeric
+    if n is None:
+        return None, None
+    lo = n.min
+    hi = n.max
+    return lo, hi
+
+
+def _check_int_domain(fs, spec, sk, out):
+    if spec.int_domain is None:
+        return
+    d = spec.int_domain
+    lo, hi = _observed_range(fs)
+    if lo is None:
+        return
+    if d.min is not None and lo < d.min:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.INT_TYPE_SMALL_INT,
+                "Out-of-range values",
+                f"Unexpectedly small value: {_fmt_num(lo)} < {d.min}.",
+                sk,
+                measurement=lo,
+                threshold=float(d.min),
+            )
+        )
+    if d.max is not None and hi > d.max:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.INT_TYPE_BIG_INT,
+                "Out-of-range values",
+                f"Unexpectedly large value: {_fmt_num(hi)} > {d.max}.",
+                sk,
+                measurement=hi,
+                threshold=float(d.max),
+            )
+        )
+
+
+def _check_float_domain(fs, spec, sk, out):
+    if spec.float_domain is None:
+        return
+    d = spec.float_domain
+    n = fs.numeric
+    if n is None:
+        return
+    if d.min is not None and n.min < d.min:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.FLOAT_TYPE_SMALL_FLOAT,
+                "Out-of-range values",
+                f"Unexpectedly small value: {_fmt_num(n.min)} < {d.min}.",
+                sk,
+                measurement=n.min,
+                threshold=d.min,
+            )
+        )
+    if d.max is not None and n.max > d.max:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.FLOAT_TYPE_BIG_FLOAT,
+                "Out-of-range values",
+                f"Unexpectedly large value: {_fmt_num(n.max)} > {d.max}.",
+                sk,
+                measurement=n.max,
+                threshold=d.max,
+            )
+        )
+    if d.disallow_nan and n.num_nan > 0:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.FLOAT_TYPE_HAS_NAN,
+                "Invalid values",
+                f"Float feature has {n.num_nan} NaN values.",
+                sk,
+                measurement=float(n.num_nan),
+            )
+        )
+    if d.disallow_inf and (n.num_pos_inf + n.num_neg_inf) > 0:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.FLOAT_TYPE_HAS_INF,
+                "Invalid values",
+                f"Float feature has {n.num_pos_inf + n.num_neg_inf} inf values.",
+                sk,
+                measurement=float(n.num_pos_inf + n.num_neg_inf),
+            )
+        )
+
+
+def _check_string_domain(fs, spec, schema, sk, out):
+    domain = schema.resolve_string_domain(spec)
+    if domain is None:
+        return
+    st = fs.string
+    if st is None or not st.rank_histogram:
+        return
+    counts = st.value_counts()
+    total = sum(counts.values())
+    if total == 0:
+        return
+    off = {k: v for k, v in counts.items() if k not in set(domain.value)}
+    off_mass = sum(off.values()) / total
+    min_mass = domain.min_domain_mass
+    if spec.distribution_constraints is not None:
+        min_mass = min(min_mass, spec.distribution_constraints.min_domain_mass)
+    if off_mass > (1.0 - min_mass) + 1e-12:
+        examples = sorted(off, key=lambda k: -off[k])[:5]
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.ENUM_TYPE_UNEXPECTED_STRING_VALUES,
+                "Unexpected string values",
+                f"Examples contain values missing from the domain: {', '.join(examples)}. "
+                f"Off-domain fraction {off_mass:.6g} > allowed {1.0 - min_mass:.6g}.",
+                sk,
+                measurement=off_mass,
+                threshold=1.0 - min_mass,
+            )
+        )
+    if st.invalid_utf8_count > 0:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.ENUM_TYPE_INVALID_UTF8,
+                "Invalid UTF8 strings",
+                f"Feature contains {st.invalid_utf8_count} strings that are not valid UTF-8.",
+                sk,
+                measurement=float(st.invalid_utf8_count),
+            )
+        )
+
+
+def _check_bool_domain(fs, spec, sk, out):
+    if spec.bool_domain is None:
+        return
+    d = spec.bool_domain
+    if fs.type == "INT" and fs.numeric is not None:
+        if fs.numeric.min < 0:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.BOOL_TYPE_SMALL_INT,
+                    "Non-boolean values",
+                    f"Boolean-int feature has value {_fmt_num(fs.numeric.min)} < 0.",
+                    sk,
+                    measurement=fs.numeric.min,
+                )
+            )
+        if fs.numeric.max > 1:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.BOOL_TYPE_BIG_INT,
+                    "Non-boolean values",
+                    f"Boolean-int feature has value {_fmt_num(fs.numeric.max)} > 1.",
+                    sk,
+                    measurement=fs.numeric.max,
+                )
+            )
+    elif fs.type == "FLOAT":
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.BOOL_TYPE_UNEXPECTED_FLOAT,
+                "Unexpected float",
+                "Boolean feature has float values.",
+                sk,
+            )
+        )
+    elif fs.type == "STRING" and fs.string is not None:
+        allowed = {d.true_value, d.false_value} - {""}
+        bad = [b.label for b in fs.string.rank_histogram if b.label not in allowed]
+        if bad:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.BOOL_TYPE_UNEXPECTED_STRING,
+                    "Unexpected string values",
+                    f"Boolean feature has non-boolean values: {', '.join(bad[:5])}.",
+                    sk,
+                )
+            )
+
+
+def _check_image_domain(fs, spec, sk, out):
+    """Port of ``anomalies/image_domain_util.cc:43-108``."""
+    if spec.image_domain is None:
+        return
+    d = spec.image_domain
+    if d.minimum_supported_image_fraction is not None:
+        hist = fs.custom.get("image_format_histogram")
+        if hist:
+            total = sum(hist.values())
+            unknown = hist.get("UNKNOWN", 0)
+            supported = (total - unknown) / total if total else 0.0
+            if supported < d.minimum_supported_image_fraction:
+                out.anomalies.append(
+                    _anom(
+                        spec.name,
+                        AnomalyType.LOW_SUPPORTED_IMAGE_FRACTION,
+                        "Low supported image fraction",
+                        f"Fraction of values containing a supported image format "
+                        f"({supported:.6g}) is below the threshold "
+                        f"({d.minimum_supported_image_fraction}).",
+                        sk,
+                        measurement=supported,
+                        threshold=d.minimum_supported_image_fraction,
+                    )
+                )
+    if d.max_image_byte_size is not None and fs.bytes is not None:
+        if fs.bytes.max_num_bytes > d.max_image_byte_size:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.MAX_IMAGE_BYTE_SIZE_EXCEEDED,
+                    "Num bytes exceeds max",
+                    f"The largest image has {int(fs.bytes.max_num_bytes)} bytes, above "
+                    f"max_image_byte_size {d.max_image_byte_size}.",
+                    sk,
+                    measurement=fs.bytes.max_num_bytes,
+                    threshold=float(d.max_image_byte_size),
+                )
+            )
+
+
+def _check_nl_domain(fs, spec, sk, out):
+    if spec.natural_language_domain is None:
+        return
+    d = spec.natural_language_domain
+    if d.coverage_min is not None:
+        cov = fs.custom.get("nl_coverage")
+        if cov is not None and cov < d.coverage_min:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.FEATURE_COVERAGE_TOO_LOW,
+                    "Low feature coverage",
+                    f"Natural-language coverage {cov:.6g} below {d.coverage_min}.",
+                    sk,
+                    measurement=cov,
+                    threshold=d.coverage_min,
+                )
+            )
+
+
+def _check_comparators(fs, spec, prev, serving, ds, out):
+    """Drift (vs previous span) / skew (vs serving) comparators
+    (``feature_util.cc:288-492``)."""
+    for comparator, other, which, missing_type in (
+        (spec.drift_comparator, prev, "drift", AnomalyType.COMPARATOR_CONTROL_DATA_MISSING),
+        (spec.skew_comparator, serving, "skew", AnomalyType.COMPARATOR_CONTROL_DATA_MISSING),
+    ):
+        if comparator is None:
+            continue
+        if other is None or other.feature(spec.name) is None:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    missing_type,
+                    f"{which} control data missing",
+                    f"The {which} comparator requires control statistics "
+                    "but none were provided for this feature.",
+                    ds.slice_key,
+                    severity=Severity.ERROR,
+                )
+            )
+            continue
+        ofs = other.feature(spec.name)
+        if comparator.infinity_norm_threshold is not None:
+            val = _linf(fs, ofs)
+            if val is not None:
+                out.drift_skew_info.append(
+                    DriftSkewMeasurement(
+                        spec.name, "L_INFTY", val, comparator.infinity_norm_threshold
+                    )
+                )
+                if val > comparator.infinity_norm_threshold:
+                    out.anomalies.append(
+                        _anom(
+                            spec.name,
+                            AnomalyType.COMPARATOR_L_INFTY_HIGH,
+                            "High Linfty distance between current and previous"
+                            if which == "drift"
+                            else "High Linfty distance between training and serving",
+                            f"The Linfty distance is {val:.6g}, above the threshold "
+                            f"{comparator.infinity_norm_threshold}.",
+                            ds.slice_key,
+                            measurement=val,
+                            threshold=comparator.infinity_norm_threshold,
+                        )
+                    )
+        if comparator.jensen_shannon_divergence_threshold is not None:
+            val = _jsd(fs, ofs)
+            if val is not None:
+                out.drift_skew_info.append(
+                    DriftSkewMeasurement(
+                        spec.name,
+                        "JENSEN_SHANNON_DIVERGENCE",
+                        val,
+                        comparator.jensen_shannon_divergence_threshold,
+                    )
+                )
+                if val > comparator.jensen_shannon_divergence_threshold:
+                    out.anomalies.append(
+                        _anom(
+                            spec.name,
+                            AnomalyType.COMPARATOR_JENSEN_SHANNON_DIVERGENCE_HIGH,
+                            "High approximate Jensen-Shannon divergence",
+                            f"The approximate Jensen-Shannon divergence is {val:.6g}, "
+                            f"above the threshold "
+                            f"{comparator.jensen_shannon_divergence_threshold}.",
+                            ds.slice_key,
+                            measurement=val,
+                            threshold=comparator.jensen_shannon_divergence_threshold,
+                        )
+                    )
+        if comparator.normalized_abs_difference_threshold is not None:
+            val = _nad(fs, ofs)
+            if val is not None:
+                out.drift_skew_info.append(
+                    DriftSkewMeasurement(
+                        spec.name,
+                        "NORMALIZED_ABSOLUTE_DIFFERENCE",
+                        val,
+                        comparator.normalized_abs_difference_threshold,
+                    )
+                )
+                if val > comparator.normalized_abs_difference_threshold:
+                    out.anomalies.append(
+                        _anom(
+                            spec.name,
+                            AnomalyType.COMPARATOR_NORMALIZED_ABSOLUTE_DIFFERENCE_HIGH,
+                            "High normalized absolute difference",
+                            f"The normalized absolute difference is {val:.6g}, above the "
+                            f"threshold {comparator.normalized_abs_difference_threshold}.",
+                            ds.slice_key,
+                            measurement=val,
+                            threshold=comparator.normalized_abs_difference_threshold,
+                        )
+                    )
+
+
+def _linf(fs, ofs) -> Optional[float]:
+    if fs.string is None or ofs.string is None:
+        return None
+    _, val = drift_metrics.linfty_distance(fs.string.value_counts(), ofs.string.value_counts())
+    return val
+
+
+def _jsd(fs, ofs) -> Optional[float]:
+    if fs.string is not None and ofs.string is not None:
+        return drift_metrics.jensen_shannon_divergence_counts(
+            fs.string.value_counts(), ofs.string.value_counts()
+        )
+    if fs.numeric is not None and ofs.numeric is not None:
+        return drift_metrics.jensen_shannon_divergence_histograms(
+            fs.numeric.histogram("STANDARD"), ofs.numeric.histogram("STANDARD")
+        )
+    return None
+
+
+def _nad(fs, ofs) -> Optional[float]:
+    if fs.string is None or ofs.string is None:
+        return None
+    _, val = drift_metrics.normalized_absolute_difference(
+        fs.string.value_counts(), ofs.string.value_counts()
+    )
+    return val
+
+
+def _check_dataset_constraints(ds, schema, prev, prev_version, out):
+    """Port of ``dataset_constraints_util.cc:47-156``."""
+    dc = schema.dataset_constraints
+    if dc is None:
+        return
+    n = ds.num_examples
+    if dc.min_examples_count is not None and n < dc.min_examples_count:
+        out.anomalies.append(
+            _anom(
+                "",
+                AnomalyType.DATASET_LOW_NUM_EXAMPLES,
+                "Low num examples in dataset",
+                f"The dataset has {n} examples, below the minimum "
+                f"{dc.min_examples_count}.",
+                ds.slice_key,
+                measurement=float(n),
+                threshold=float(dc.min_examples_count),
+            )
+        )
+    if dc.max_examples_count is not None and n > dc.max_examples_count:
+        out.anomalies.append(
+            _anom(
+                "",
+                AnomalyType.DATASET_HIGH_NUM_EXAMPLES,
+                "High num examples in dataset",
+                f"The dataset has {n} examples, above the maximum "
+                f"{dc.max_examples_count}.",
+                ds.slice_key,
+                measurement=float(n),
+                threshold=float(dc.max_examples_count),
+            )
+        )
+    for comp, other in (
+        (dc.num_examples_drift_comparator, prev),
+        (dc.num_examples_version_comparator, prev_version),
+    ):
+        if comp is None or other is None or other.num_examples == 0:
+            continue
+        ratio = n / other.num_examples
+        if comp.min_fraction_threshold is not None and ratio < comp.min_fraction_threshold:
+            out.anomalies.append(
+                _anom(
+                    "",
+                    AnomalyType.COMPARATOR_LOW_NUM_EXAMPLES,
+                    "Low num examples ratio",
+                    f"The ratio of num examples to the control dataset is {ratio:.6g}, "
+                    f"below the threshold {comp.min_fraction_threshold}.",
+                    ds.slice_key,
+                    measurement=ratio,
+                    threshold=comp.min_fraction_threshold,
+                )
+            )
+        if comp.max_fraction_threshold is not None and ratio > comp.max_fraction_threshold:
+            out.anomalies.append(
+                _anom(
+                    "",
+                    AnomalyType.COMPARATOR_HIGH_NUM_EXAMPLES,
+                    "High num examples ratio",
+                    f"The ratio of num examples to the control dataset is {ratio:.6g}, "
+                    f"above the threshold {comp.max_fraction_threshold}.",
+                    ds.slice_key,
+                    measurement=ratio,
+                    threshold=comp.max_fraction_threshold,
+                )
+            )
+
+
+def _fmt_num(v: float) -> str:
+    if math.isfinite(v) and v == math.floor(v):
+        return str(int(v))
+    return f"{v:.6g}"

@@ -1,0 +1,446 @@
+"""Validation-engine tests — fixtures modeled on the reference's
+validation_api_test.py / schema_test.cc cases, one per anomaly reason family.
+These operate on hand-built stats artifacts (no Spark needed)."""
+
+import pytest
+
+from data_validation_spark.anomalies import AnomalyType as AT
+from data_validation_spark.schema import (
+    BoolDomain,
+    DatasetConstraints,
+    DriftComparator,
+    FeatureSpec,
+    FeatureType,
+    FloatDomain,
+    ImageDomain,
+    IntDomain,
+    NumExamplesVersionComparator,
+    Presence,
+    Schema,
+    SkewComparator,
+    StringDomain,
+    UniqueConstraints,
+    ValueCount,
+)
+from data_validation_spark.stats.result import (
+    BytesStats,
+    CommonStats,
+    DatasetStats,
+    DatasetStatsList,
+    FeatureStats,
+    Histogram,
+    HistogramBucket,
+    NumericStats,
+    RankBucket,
+    StringStats,
+)
+from data_validation_spark.validate.infer import infer_schema, update_schema
+from data_validation_spark.validate.rules import validate_statistics
+
+
+def make_feature(
+    name,
+    type_="INT",
+    non_missing=10,
+    missing=0,
+    min_vals=1,
+    max_vals=1,
+    numeric=None,
+    string=None,
+    bytes_=None,
+    custom=None,
+):
+    fs = FeatureStats(name=name, type=type_)
+    fs.common = CommonStats(
+        num_non_missing=non_missing,
+        num_missing=missing,
+        min_num_values=min_vals,
+        max_num_values=max_vals,
+        tot_num_values=non_missing * max_vals,
+        avg_num_values=float(max_vals),
+    )
+    fs.numeric = numeric
+    fs.string = string
+    fs.bytes = bytes_
+    fs.custom = custom or {}
+    return fs
+
+
+def make_stats(features, num_examples=10):
+    ds = DatasetStats(num_examples=num_examples)
+    for f in features:
+        ds.features[f.name] = f
+    return DatasetStatsList([ds])
+
+
+def types(result, feature=None):
+    return {
+        a.type for a in result.anomalies if feature is None or a.feature == feature
+    }
+
+
+def test_clean_pass():
+    stats = make_stats([make_feature("a", numeric=NumericStats(min=1, max=5, mean=3))])
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="a",
+                type=FeatureType.INT,
+                presence=Presence(min_count=1, min_fraction=1.0),
+                int_domain=IntDomain(min=0, max=10),
+            )
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    assert result.passed
+    assert result.anomalies == []
+
+
+def test_data_missing():
+    result = validate_statistics(DatasetStatsList([DatasetStats(num_examples=0)]), Schema())
+    assert AT.DATA_MISSING in types(result)
+    assert not result.passed
+
+
+def test_new_column():
+    stats = make_stats([make_feature("a"), make_feature("b")])
+    schema = Schema(feature=[FeatureSpec(name="a")])
+    assert types(validate_statistics(stats, schema), "b") == {AT.SCHEMA_NEW_COLUMN}
+
+
+def test_missing_column():
+    stats = make_stats([make_feature("a")])
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="a"),
+            FeatureSpec(name="gone", presence=Presence(min_count=1)),
+            FeatureSpec(name="optional_gone"),  # not required → no anomaly
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    assert types(result, "gone") == {AT.SCHEMA_MISSING_COLUMN}
+    assert types(result, "optional_gone") == set()
+
+
+def test_presence_min_count_and_fraction():
+    stats = make_stats([make_feature("a", non_missing=4, missing=6)])
+    schema = Schema(
+        feature=[FeatureSpec(name="a", presence=Presence(min_count=5, min_fraction=0.5))]
+    )
+    got = types(validate_statistics(stats, schema), "a")
+    assert AT.FEATURE_TYPE_LOW_NUMBER_PRESENT in got
+    assert AT.FEATURE_TYPE_LOW_FRACTION_PRESENT in got
+
+
+def test_presence_epsilon_at_one():
+    # fraction 0.99995 with min_fraction=1.0 → tolerated (reference epsilon).
+    stats = make_stats(
+        [make_feature("a", non_missing=99995, missing=5)], num_examples=100000
+    )
+    schema = Schema(feature=[FeatureSpec(name="a", presence=Presence(min_fraction=1.0))])
+    assert validate_statistics(stats, schema).passed
+
+
+def test_feature_never_present():
+    stats = make_stats([make_feature("a", non_missing=0, missing=10, min_vals=0, max_vals=0)])
+    schema = Schema(feature=[FeatureSpec(name="a", presence=Presence(min_count=1))])
+    assert types(validate_statistics(stats, schema), "a") == {AT.FEATURE_TYPE_NOT_PRESENT}
+
+
+def test_type_mismatch():
+    stats = make_stats([make_feature("a", type_="STRING", string=StringStats(unique=3))])
+    schema = Schema(feature=[FeatureSpec(name="a", type=FeatureType.INT)])
+    assert AT.UNEXPECTED_DATA_TYPE in types(validate_statistics(stats, schema), "a")
+
+
+def test_int_stats_ok_for_float_schema():
+    stats = make_stats([make_feature("a", type_="INT", numeric=NumericStats(min=1, max=2))])
+    schema = Schema(feature=[FeatureSpec(name="a", type=FeatureType.FLOAT)])
+    assert validate_statistics(stats, schema).passed
+
+
+def test_value_counts():
+    stats = make_stats([make_feature("a", min_vals=0, max_vals=7)])
+    schema = Schema(feature=[FeatureSpec(name="a", value_count=ValueCount(min=1, max=3))])
+    got = types(validate_statistics(stats, schema), "a")
+    assert got == {AT.FEATURE_TYPE_LOW_NUMBER_VALUES, AT.FEATURE_TYPE_HIGH_NUMBER_VALUES}
+
+
+def test_fixed_shape():
+    from data_validation_spark.schema import FixedShape
+
+    stats = make_stats([make_feature("a", missing=2, min_vals=1, max_vals=1)])
+    schema = Schema(feature=[FeatureSpec(name="a", shape=FixedShape(dim=[1]))])
+    assert AT.INVALID_FEATURE_SHAPE in types(validate_statistics(stats, schema), "a")
+
+
+def test_int_domain():
+    stats = make_stats([make_feature("a", numeric=NumericStats(min=-5, max=100))])
+    schema = Schema(feature=[FeatureSpec(name="a", int_domain=IntDomain(min=0, max=50))])
+    got = types(validate_statistics(stats, schema), "a")
+    assert got == {AT.INT_TYPE_SMALL_INT, AT.INT_TYPE_BIG_INT}
+
+
+def test_float_domain_nan_inf():
+    stats = make_stats(
+        [
+            make_feature(
+                "a",
+                type_="FLOAT",
+                numeric=NumericStats(
+                    min=0.0, max=float("inf"), num_nan=2, num_pos_inf=1
+                ),
+            )
+        ]
+    )
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="a",
+                float_domain=FloatDomain(max=10.0, disallow_nan=True, disallow_inf=True),
+            )
+        ]
+    )
+    got = types(validate_statistics(stats, schema), "a")
+    assert got == {AT.FLOAT_TYPE_BIG_FLOAT, AT.FLOAT_TYPE_HAS_NAN, AT.FLOAT_TYPE_HAS_INF}
+
+
+def _string_feature(name, counts, invalid_utf8=0):
+    rh = [RankBucket(i + 1, i + 1, k, v) for i, (k, v) in enumerate(counts.items())]
+    return make_feature(
+        name,
+        type_="STRING",
+        string=StringStats(
+            unique=len(counts),
+            top_values=list(counts.items()),
+            rank_histogram=rh,
+            invalid_utf8_count=invalid_utf8,
+        ),
+    )
+
+
+def test_string_domain_off_values():
+    stats = make_stats([_string_feature("fmt", {"png": 6.0, "jpeg": 3.0, "tiff": 1.0})])
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="fmt",
+                string_domain=StringDomain(value=["png", "jpeg"], min_domain_mass=0.95),
+            )
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    assert types(result, "fmt") == {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES}
+    a = result.anomalies[0]
+    assert a.measurement == pytest.approx(0.1)
+    # within tolerance → passes
+    schema.feature[0].string_domain.min_domain_mass = 0.9
+    assert validate_statistics(stats, schema).passed
+
+
+def test_string_domain_shared():
+    stats = make_stats([_string_feature("fmt", {"png": 1.0, "bad": 9.0})])
+    schema = Schema(
+        feature=[FeatureSpec(name="fmt", domain="formats")],
+        string_domain=[StringDomain(name="formats", value=["png"])],
+    )
+    assert AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES in types(validate_statistics(stats, schema))
+
+
+def test_invalid_utf8():
+    stats = make_stats([_string_feature("s", {"a": 5.0}, invalid_utf8=3)])
+    schema = Schema(feature=[FeatureSpec(name="s", string_domain=StringDomain(value=["a"]))])
+    assert AT.ENUM_TYPE_INVALID_UTF8 in types(validate_statistics(stats, schema), "s")
+
+
+def test_bool_domain():
+    stats = make_stats([make_feature("b", numeric=NumericStats(min=0, max=3))])
+    schema = Schema(feature=[FeatureSpec(name="b", bool_domain=BoolDomain())])
+    assert AT.BOOL_TYPE_BIG_INT in types(validate_statistics(stats, schema), "b")
+
+
+def test_unique_constraints():
+    stats = make_stats([_string_feature("s", {"a": 1.0, "b": 1.0})])
+    schema = Schema(
+        feature=[FeatureSpec(name="s", unique_constraints=UniqueConstraints(min=5, max=None))]
+    )
+    assert AT.FEATURE_TYPE_LOW_UNIQUE in types(validate_statistics(stats, schema), "s")
+    schema.feature[0].unique_constraints = UniqueConstraints(min=1, max=1)
+    assert AT.FEATURE_TYPE_HIGH_UNIQUE in types(validate_statistics(stats, schema), "s")
+    # no string stats → NO_UNIQUE
+    stats2 = make_stats([make_feature("s", numeric=NumericStats())])
+    schema.feature[0].unique_constraints = UniqueConstraints(min=1)
+    assert AT.FEATURE_TYPE_NO_UNIQUE in types(validate_statistics(stats2, schema), "s")
+
+
+def test_image_domain():
+    fs = make_feature(
+        "img",
+        type_="BYTES",
+        bytes_=BytesStats(max_num_bytes=5000.0),
+        custom={"image_format_histogram": {"jpeg": 50, "png": 20, "UNKNOWN": 30}},
+    )
+    stats = make_stats([fs])
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="img",
+                image_domain=ImageDomain(
+                    minimum_supported_image_fraction=0.8, max_image_byte_size=4000
+                ),
+            )
+        ]
+    )
+    got = types(validate_statistics(stats, schema), "img")
+    assert got == {AT.LOW_SUPPORTED_IMAGE_FRACTION, AT.MAX_IMAGE_BYTE_SIZE_EXCEEDED}
+
+
+def test_dataset_constraints():
+    stats = make_stats([make_feature("a")], num_examples=10)
+    schema = Schema(
+        feature=[FeatureSpec(name="a")],
+        dataset_constraints=DatasetConstraints(min_examples_count=100),
+    )
+    assert AT.DATASET_LOW_NUM_EXAMPLES in types(validate_statistics(stats, schema))
+    schema.dataset_constraints = DatasetConstraints(max_examples_count=5)
+    assert AT.DATASET_HIGH_NUM_EXAMPLES in types(validate_statistics(stats, schema))
+
+
+def test_num_examples_drift():
+    stats = make_stats([make_feature("a")], num_examples=10)
+    prev = make_stats([make_feature("a")], num_examples=100)
+    schema = Schema(
+        feature=[FeatureSpec(name="a")],
+        dataset_constraints=DatasetConstraints(
+            num_examples_drift_comparator=NumExamplesVersionComparator(
+                min_fraction_threshold=0.5, max_fraction_threshold=2.0
+            )
+        ),
+    )
+    result = validate_statistics(stats, schema, previous_statistics=prev)
+    assert AT.COMPARATOR_LOW_NUM_EXAMPLES in types(result)
+
+
+def test_drift_linfty():
+    cur = make_stats([_string_feature("fmt", {"png": 5.0, "jpeg": 5.0})])
+    prev = make_stats([_string_feature("fmt", {"png": 9.0, "jpeg": 1.0})])
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="fmt", drift_comparator=DriftComparator(infinity_norm_threshold=0.1))
+        ]
+    )
+    result = validate_statistics(cur, schema, previous_statistics=prev)
+    assert AT.COMPARATOR_L_INFTY_HIGH in types(result, "fmt")
+    m = result.drift_skew_info[0]
+    assert m.metric == "L_INFTY"
+    assert m.value == pytest.approx(0.4)
+    # below threshold → measurement only, no anomaly
+    schema.feature[0].drift_comparator.infinity_norm_threshold = 0.5
+    result2 = validate_statistics(cur, schema, previous_statistics=prev)
+    assert AT.COMPARATOR_L_INFTY_HIGH not in types(result2, "fmt")
+    assert result2.drift_skew_info[0].value == pytest.approx(0.4)
+
+
+def test_drift_control_missing():
+    cur = make_stats([_string_feature("fmt", {"png": 5.0})])
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="fmt", drift_comparator=DriftComparator(infinity_norm_threshold=0.1))
+        ]
+    )
+    result = validate_statistics(cur, schema)
+    assert AT.COMPARATOR_CONTROL_DATA_MISSING in types(result, "fmt")
+
+
+def test_skew_jsd_numeric():
+    def hist(buckets):
+        return Histogram("STANDARD", [HistogramBucket(*b) for b in buckets])
+
+    cur = make_stats(
+        [make_feature("x", type_="FLOAT", numeric=NumericStats(histograms=[hist([(0, 1, 10)])]))]
+    )
+    serv = make_stats(
+        [make_feature("x", type_="FLOAT", numeric=NumericStats(histograms=[hist([(5, 6, 10)])]))]
+    )
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="x", skew_comparator=SkewComparator(jensen_shannon_divergence_threshold=0.5)
+            )
+        ]
+    )
+    result = validate_statistics(cur, schema, serving_statistics=serv)
+    assert AT.COMPARATOR_JENSEN_SHANNON_DIVERGENCE_HIGH in types(result, "x")
+    assert result.drift_skew_info[0].value == pytest.approx(1.0)
+
+
+def test_environments():
+    stats = make_stats([make_feature("a")])
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="a"),
+            FeatureSpec(
+                name="label", presence=Presence(min_count=1), not_in_environment=["SERVING"]
+            ),
+        ]
+    )
+    # TRAINING: label required but missing → anomaly
+    assert not validate_statistics(stats, schema, environment="TRAINING").passed
+    # SERVING: label excluded → clean (the 'a' feature is fine)
+    r = validate_statistics(stats, schema, environment="SERVING")
+    assert types(r, "label") == set()
+
+
+# ---------------------------------------------------------------- inference
+def test_infer_schema_roundtrip():
+    stats = make_stats(
+        [
+            make_feature("i", numeric=NumericStats(min=1, max=5)),
+            _string_feature("s", {"a": 6.0, "b": 4.0}),
+        ]
+    )
+    schema = infer_schema(stats)
+    assert schema.get_feature("i").type == FeatureType.INT
+    assert schema.get_feature("s").type == FeatureType.BYTES
+    assert schema.get_feature("s").string_domain.value == ["a", "b"]
+    assert schema.get_feature("i").presence.min_fraction == 1.0
+    # inferred schema must validate its own stats cleanly
+    assert validate_statistics(stats, schema).passed
+
+
+def test_infer_large_domain_skipped():
+    counts = {f"v{i}": 1.0 for i in range(500)}
+    stats = make_stats([_string_feature("s", counts)])
+    schema = infer_schema(stats)
+    assert schema.get_feature("s").string_domain is None
+
+
+def test_update_schema_fixes_anomalies():
+    stats = make_stats(
+        [
+            make_feature("a", non_missing=5, missing=5, numeric=NumericStats(min=-5, max=100)),
+            _string_feature("fmt", {"png": 5.0, "tiff": 5.0}),
+            make_feature("new_col"),
+        ]
+    )
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="a",
+                type=FeatureType.INT,
+                presence=Presence(min_count=1, min_fraction=1.0),
+                int_domain=IntDomain(min=0, max=50),
+            ),
+            FeatureSpec(
+                name="fmt",
+                type=FeatureType.BYTES,
+                string_domain=StringDomain(value=["png"]),
+            ),
+        ]
+    )
+    assert not validate_statistics(stats, schema).passed
+    fixed = update_schema(schema, stats)
+    result = validate_statistics(stats, fixed)
+    assert result.passed, result.to_json()
+    assert fixed.get_feature("new_col") is not None
+    assert "tiff" in fixed.resolve_string_domain(fixed.get_feature("fmt")).value
