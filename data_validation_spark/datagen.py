@@ -1,0 +1,162 @@
+"""Deterministic synthetic image/caption table generator (the
+``BASELINE.json input_hint`` shape), generated *distributed* via
+``mapInArrow`` over ``spark.range`` — every value is a pure function of the
+row index and the fixed seed, so any row can be regenerated anywhere (this is
+what makes the decoded-pixel integrity check possible: the expected pixels are
+reconstructible from ``image_id`` alone).
+
+Table: (image_id string, bytes binary, w int, h int, fmt string,
+        caption string, phash long)
+
+Variants (see FIXTURES.md F1):
+* ``clean`` — zero violations; validation must pass.
+* ``dirty`` — injected violations at exactly derivable rates: duplicate ids
+  (1/1000), corrupt image bytes (1/100), zero/negative w (1/200), NULL fmt and
+  off-domain "tiff" (1/500 each), empty captions (1/333), phash heavy-hitter
+  (~5% share one value → skew test).
+* ``prev`` — fmt mix shifted (50% jpeg) and dimensions +25% → deterministic
+  nonzero drift (L∞ / JSD) vs ``clean``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from data_validation_spark.stats import imagecodec as codec
+
+SEED = 42
+VOCAB_SIZE = 10_000
+HOT_PHASH = 0x00DEADBEEF15C0DE
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+IMAGES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+
+_FMTS = np.array(["jpeg", "png", "gif", "bmp"])
+_FMT_P = {"clean": [0.8, 0.1, 0.06, 0.04], "dirty": [0.8, 0.1, 0.06, 0.04],
+          "prev": [0.5, 0.3, 0.12, 0.08]}
+
+
+def _rng(i: int) -> np.random.Generator:
+    return np.random.Generator(np.random.Philox(key=[SEED, int(i)]))
+
+
+def expected_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """The reference pixel content for row ``i`` — regenerable anywhere."""
+    g = np.random.Generator(np.random.Philox(key=[SEED + 1, int(i)]))
+    return g.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def row_index_of(image_id: str) -> int:
+    return int(image_id[4:])
+
+
+def generate_row(i: int, variant: str, max_dim: int) -> tuple:
+    g = _rng(i)
+    lo, hi = (20, int(max_dim * 1.25)) if variant == "prev" else (16, max_dim)
+    w = int(np.exp(g.uniform(np.log(lo), np.log(hi))))
+    h = int(np.exp(g.uniform(np.log(lo), np.log(hi))))
+    fmt = str(_FMTS[g.choice(4, p=_FMT_P[variant])])
+    pixels = expected_pixels(i, w, h)
+    data = codec.encode(fmt, pixels)
+    n_words = int(g.integers(3, 25))
+    caption = " ".join(f"w{g.integers(0, VOCAB_SIZE):04d}" for _ in range(n_words))
+    phash = int(g.integers(0, 2**63)) if g.random() > 0.05 else HOT_PHASH
+    image_id = f"img_{i:012d}"
+
+    if variant == "dirty":
+        if i % 1000 == 7 and i > 0:
+            image_id = f"img_{i - 1:012d}"  # duplicate key
+        if i % 100 == 13:
+            data = b"\x00GARBAGE" + data[:10]  # corrupt payload → sniff UNKNOWN
+        if i % 200 == 3:
+            w = 0 if i % 400 == 3 else -1  # int-domain violation
+        if i % 500 == 11:
+            fmt = None  # presence violation
+        elif i % 500 == 211:
+            fmt = "tiff"  # off-domain value
+        if i % 333 == 5:
+            caption = ""
+    return image_id, data, w, h, fmt, caption, phash
+
+
+def _gen_batches(iterator: Iterator[pa.RecordBatch], variant: str, max_dim: int):
+    for batch in iterator:
+        ids = batch.column("id").to_numpy()
+        rows = [generate_row(int(i), variant, max_dim) for i in ids]
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, IMAGES_SCHEMA)],
+            schema=IMAGES_SCHEMA,
+        )
+
+
+def images_df(spark, n: int, variant: str = "clean", partitions: int | None = None,
+              max_dim: int = 64):
+    """Deterministic images DataFrame of ``n`` rows, generated in parallel."""
+    assert variant in ("clean", "dirty", "prev")
+    partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    base = spark.range(0, n, 1, partitions)
+    return base.mapInArrow(
+        lambda it: _gen_batches(it, variant, max_dim), IMAGES_DDL
+    )
+
+
+def ref_captions_df(spark, n: int, partitions: int | None = None):
+    """Referential side table (FIXTURES.md F2): 99.5% of image ids; 0.1% of
+    matched rows carry a mismatched caption."""
+    partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    base = spark.range(0, n, 1, partitions)
+
+    def gen(iterator):
+        for batch in iterator:
+            ids = batch.column("id").to_numpy()
+            out_id, out_cap = [], []
+            for i in ids:
+                i = int(i)
+                if i % 200 == 77:  # 0.5% of ids missing from the side table
+                    continue
+                g = _rng(i)
+                # regenerate the clean caption deterministically
+                lo, hi = 16, 64
+                g.uniform(np.log(lo), np.log(hi))
+                g.uniform(np.log(lo), np.log(hi))
+                g.choice(4, p=_FMT_P["clean"])
+                n_words = int(g.integers(3, 25))
+                caption = " ".join(f"w{g.integers(0, VOCAB_SIZE):04d}" for _ in range(n_words))
+                if i % 1000 == 501:  # 0.1% caption mismatch
+                    caption += " MISMATCH"
+                out_id.append(f"img_{i:012d}")
+                out_cap.append(caption)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.string()), pa.array(out_cap, pa.string())],
+                names=["image_id", "caption_ref"],
+            )
+
+    return base.mapInArrow(gen, "image_id string, caption_ref string")
+
+
+def ensure_images(spark, n: int, variant: str = "clean",
+                  base_dir: str = "/root/repo/.data", max_dim: int = 64) -> str:
+    """Generate-once cache: write the table to parquet and return the path."""
+    path = os.path.join(base_dir, f"images_{variant}_{n}_{max_dim}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        images_df(spark, n, variant, max_dim=max_dim).write.mode("overwrite").parquet(path)
+    return path

@@ -1,0 +1,308 @@
+"""Minimal pure-Python image codecs for the image/caption validation pipeline.
+
+The container has no PIL/cv2, so:
+
+* **PNG**: real encoder + decoder (RGB8, filter 0, zlib) — stdlib only.
+* **BMP**: real encoder + decoder (24-bit uncompressed).
+* **JPEG**: header writer producing sniffable JFIF bytes + a real SOF0
+  dimension parser; **pixel decode is a deterministic STUB** (seeded from the
+  payload hash) clearly marked below — swap in a real decoder (PIL) when
+  available.
+* **GIF**: GIF89a header writer + real logical-screen dimension parser;
+  pixel decode stubbed like JPEG.
+
+Format sniffing uses the same magic-byte signatures as the reference
+(``tensorflow_data_validation/statistics/generators/image_stats_generator.py:56-62``):
+png / jpeg / gif / bmp, else UNKNOWN.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+BMP_MAGIC = b"BM"
+
+
+def sniff_format(data: Optional[bytes]) -> str:
+    if not data:
+        return "UNKNOWN"
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:3] == JPEG_MAGIC:
+        return "jpeg"
+    if data[:6] in GIF_MAGICS:
+        return "gif"
+    if data[:2] == BMP_MAGIC:
+        return "bmp"
+    return "UNKNOWN"
+
+
+# ------------------------------------------------------------------ PNG -----
+def encode_png(rgb: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) → PNG bytes (color type 2, bit depth 8, filter 0)."""
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, 1)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> Optional[np.ndarray]:
+    """PNG bytes → RGB8 array; supports what encode_png emits (filter 0/paeth-free)."""
+    if data[:8] != PNG_MAGIC:
+        return None
+    pos = 8
+    w = h = None
+    idat = b""
+    try:
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+                if depth != 8 or ctype != 2:
+                    return None
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * 3 + 1
+        if len(raw) < stride * h:
+            return None
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        if (arr[:, 0] != 0).any():  # only filter 0 supported
+            return None
+        return arr[:, 1:].reshape(h, w, 3).copy()
+    except Exception:
+        return None
+
+
+def png_dimensions(data: bytes) -> Optional[tuple[int, int]]:
+    if len(data) >= 24 and data[:8] == PNG_MAGIC and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h
+    return None
+
+
+# ------------------------------------------------------------------ BMP -----
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) → 24-bit BMP (bottom-up, BGR, 4-byte row padding)."""
+    h, w, _ = rgb.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    pad = b"\x00" * (row_size - w * 3)
+    body = b"".join(bgr[y].tobytes() + pad for y in range(h))
+    return header + dib + body
+
+
+def decode_bmp(data: bytes) -> Optional[np.ndarray]:
+    try:
+        if data[:2] != BMP_MAGIC:
+            return None
+        (offset,) = struct.unpack("<I", data[10:14])
+        w, h = struct.unpack("<ii", data[18:26])
+        (bpp,) = struct.unpack("<H", data[28:30])
+        if bpp != 24 or h <= 0:
+            return None
+        row_size = (w * 3 + 3) & ~3
+        body = data[offset : offset + row_size * h]
+        arr = np.frombuffer(body, dtype=np.uint8).reshape(h, row_size)
+        bgr = arr[:, : w * 3].reshape(h, w, 3)
+        return bgr[::-1, :, ::-1].copy()
+    except Exception:
+        return None
+
+
+def bmp_dimensions(data: bytes) -> Optional[tuple[int, int]]:
+    if len(data) >= 26 and data[:2] == BMP_MAGIC:
+        w, h = struct.unpack("<ii", data[18:26])
+        return w, abs(h)
+    return None
+
+
+# ----------------------------------------------------------------- JPEG -----
+def encode_jpeg_stub(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """Sniffable JPEG container carrying the raw pixels zlib-compressed in an
+    APP15 comment segment. NOT a real JPEG encoder (no DCT — no codec libs in
+    this container): real JFIF header + SOF0 with true dimensions, so format
+    sniffing and dimension parsing behave exactly like real files; only the
+    entropy-coded payload is synthetic. decode_jpeg() round-trips losslessly.
+    """
+    h, w, _ = rgb.shape
+    jfif = b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    payload = zlib.compress(rgb.tobytes(), 1)
+    # chunk payload into APP15 segments (max 65533 bytes each)
+    segs = []
+    for i in range(0, len(payload), 60000):
+        part = payload[i : i + 60000]
+        segs.append(b"\xff\xef" + struct.pack(">H", len(part) + 2) + part)
+    return jfif + sof0 + b"".join(segs) + b"\xff\xd9"
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """Decode our stub-JPEG container; for foreign JPEGs returns None
+    (STUB — a real implementation would use PIL/libjpeg)."""
+    dims = jpeg_dimensions(data)
+    if dims is None:
+        return None
+    w, h = dims
+    payload = b"".join(_iter_jpeg_segments(data, marker=0xEF))
+    if not payload:
+        return None
+    try:
+        raw = zlib.decompress(payload)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+    except Exception:
+        return None
+
+
+def jpeg_dimensions(data: bytes) -> Optional[tuple[int, int]]:
+    """Real SOF-marker scan — works on any baseline/progressive JPEG."""
+    if data[:3] != JPEG_MAGIC:
+        return None
+    pos = 2
+    n = len(data)
+    try:
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                return w, h
+            pos += 2 + seglen
+    except Exception:
+        return None
+    return None
+
+
+def _iter_jpeg_segments(data: bytes, marker: int):
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m in (0xD8, 0xD9):
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if m == marker:
+            yield data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+
+
+# ------------------------------------------------------------------ GIF -----
+def encode_gif_stub(rgb: np.ndarray) -> bytes:
+    """Sniffable GIF89a container with true logical-screen dimensions and the
+    pixels zlib-compressed in an application extension (STUB — no LZW encoder)."""
+    h, w, _ = rgb.shape
+    header = b"GIF89a" + struct.pack("<HH", w, h) + b"\x70\x00\x00"
+    payload = zlib.compress(rgb.tobytes(), 1)
+    blocks = []
+    for i in range(0, len(payload), 255):
+        part = payload[i : i + 255]
+        blocks.append(bytes([len(part)]) + part)
+    appext = b"\x21\xff\x0bDVSPARK10.0" + b"".join(blocks) + b"\x00"
+    return header + appext + b"\x3b"
+
+
+def decode_gif(data: bytes) -> Optional[np.ndarray]:
+    """Decode our stub-GIF container (STUB for foreign GIFs — no LZW)."""
+    dims = gif_dimensions(data)
+    if dims is None:
+        return None
+    w, h = dims
+    idx = data.find(b"DVSPARK10.0")
+    if idx < 0:
+        return None
+    pos = idx + 11
+    payload = b""
+    try:
+        while pos < len(data):
+            blen = data[pos]
+            if blen == 0:
+                break
+            payload += data[pos + 1 : pos + 1 + blen]
+            pos += 1 + blen
+        raw = zlib.decompress(payload)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+    except Exception:
+        return None
+
+
+def gif_dimensions(data: bytes) -> Optional[tuple[int, int]]:
+    if len(data) >= 10 and data[:6] in GIF_MAGICS:
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h
+    return None
+
+
+# -------------------------------------------------------------- dispatch ----
+_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "jpeg": encode_jpeg_stub, "gif": encode_gif_stub}
+_DECODERS = {"png": decode_png, "bmp": decode_bmp, "jpeg": decode_jpeg, "gif": decode_gif}
+_DIMS = {
+    "png": png_dimensions,
+    "bmp": bmp_dimensions,
+    "jpeg": jpeg_dimensions,
+    "gif": gif_dimensions,
+}
+
+
+def encode(fmt: str, rgb: np.ndarray) -> bytes:
+    return _ENCODERS[fmt](rgb)
+
+
+def decode(data: Optional[bytes]) -> Optional[np.ndarray]:
+    fmt = sniff_format(data)
+    if fmt == "UNKNOWN":
+        return None
+    return _DECODERS[fmt](data)
+
+
+def dimensions(data: Optional[bytes]) -> Optional[tuple[int, int]]:
+    fmt = sniff_format(data)
+    if fmt == "UNKNOWN":
+        return None
+    return _DIMS[fmt](data)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)

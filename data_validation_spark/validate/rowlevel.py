@@ -1,0 +1,269 @@
+"""Row-level (distributed) validation — violation-row emitters.
+
+The Spark-native generalization of the reference's per-example validation and
+feature-skew paths (``validation_api.py:549-606``,
+``skew/feature_skew_detector.py:689-781``): instead of re-running a stats
+pass per example, row predicates are evaluated as vectorized expressions /
+Arrow UDFs and each failing row emits ``(row_key, feature, anomaly_type,
+detail)``.
+
+Scale notes (100 TB posture):
+* Uniqueness: two-stage salted aggregation — partial dup-counts per
+  (key, salt) then final per key — so one pathological hot key cannot pin a
+  single reducer; AQE skew handling stays on for the shuffle.
+* Referential: anti-joins; the parent side is broadcast when small enough,
+  else a shuffled hash anti-join on the key (explicitly repartitioned).
+* Pixel integrity: Arrow-batched decode, bytes column pruned to the scan,
+  optional sampling — the decode path is the only Python in this module.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_spark.schema import FeatureType, Schema
+
+VIOLATION_DDL = "row_key string, feature string, anomaly_type string, detail string"
+
+
+def _violations(df: DataFrame, key_col, feature: str, anomaly_type: str, detail) -> DataFrame:
+    return df.select(
+        key_col.cast("string").alias("row_key"),
+        F.lit(feature).alias("feature"),
+        F.lit(anomaly_type).alias("anomaly_type"),
+        detail.cast("string").alias("detail"),
+    )
+
+
+# ------------------------------------------------------------- uniqueness ---
+def check_uniqueness(
+    df: DataFrame, key_cols: list[str] | str, num_salts: int = 64
+) -> DataFrame:
+    """Exact duplicate detection via salted two-stage groupBy.
+
+    Stage 1 partially counts per (key, salt) — Spark's partial hash-agg plus an
+    explicit salt so a heavy-hitter key spreads over ``num_salts`` reducers;
+    stage 2 sums per key and keeps count > 1. Returns violation rows
+    ``(row_key=key, DUPLICATE_KEY, detail=count)``.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(17)), F.lit(num_salts))
+    partial = (
+        df.select(key.alias("k"), salt.alias("s"))
+        .groupBy("k", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dups = (
+        partial.groupBy("k")
+        .agg(F.sum("c").alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+    return _violations(
+        dups, F.col("k"), ",".join(key_cols), "DUPLICATE_KEY", F.col("cnt")
+    )
+
+
+def deduplicate_exact(df: DataFrame, key_cols: list[str] | str) -> DataFrame:
+    """Keep one row per key (first by total ordering of remaining columns is
+    nondeterministic in a distributed setting, so use the cheapest exact form)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    return df.dropDuplicates(key_cols)
+
+
+# ------------------------------------------------------------ referential ---
+def check_referential(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    feature: Optional[str] = None,
+    broadcast_threshold: Optional[int] = None,
+) -> DataFrame:
+    """Orphan detection: child keys with no parent — a left **anti** join
+    (generalizing the reference's base_only/test_only skew semantics).
+
+    The parent side is projected to its key column only (column pruning makes
+    the build side as small as possible); Catalyst/AQE picks broadcast vs
+    shuffled-hash automatically, or force broadcast via ``broadcast_threshold``.
+    """
+    parent_keys = parent.select(F.col(parent_key).alias("__pk")).dropDuplicates(["__pk"])
+    if broadcast_threshold is not None:
+        parent_keys = F.broadcast(parent_keys)
+    orphans = child.join(
+        parent_keys, on=child[child_key] == parent_keys["__pk"], how="left_anti"
+    )
+    return _violations(
+        orphans,
+        F.col(child_key),
+        feature or child_key,
+        "REFERENTIAL_ORPHAN",
+        F.lit("no matching parent key"),
+    )
+
+
+# -------------------------------------------------------- value constraints --
+def check_row_constraints(df: DataFrame, schema: Schema, key_col: str) -> DataFrame:
+    """Evaluate per-row predicates derived from the schema's domains — the
+    vectorized analogue of validate_instance (one violation row per failing
+    (row, feature)). All predicates are JVM-side expressions."""
+    from functools import reduce
+
+    parts: list[DataFrame] = []
+    cols = set(df.columns)
+    key = F.col(key_col)
+    for spec in schema.feature:
+        if spec.name not in cols:
+            continue
+        c = F.col(spec.name)
+        if spec.is_required():
+            parts.append(
+                _violations(
+                    df.where(c.isNull()),
+                    key,
+                    spec.name,
+                    "ROW_CONSTRAINT_VIOLATION",
+                    F.lit("required value missing"),
+                )
+            )
+        if spec.int_domain is not None:
+            d = spec.int_domain
+            cond = F.lit(False)
+            if d.min is not None:
+                cond = cond | (c < d.min)
+            if d.max is not None:
+                cond = cond | (c > d.max)
+            parts.append(
+                _violations(
+                    df.where(c.isNotNull() & cond),
+                    key,
+                    spec.name,
+                    "ROW_CONSTRAINT_VIOLATION",
+                    F.concat(F.lit("int out of domain: "), c.cast("string")),
+                )
+            )
+        if spec.float_domain is not None:
+            d = spec.float_domain
+            cond = F.lit(False)
+            if d.min is not None:
+                cond = cond | (c < d.min)
+            if d.max is not None:
+                cond = cond | (c > d.max)
+            if d.disallow_nan:
+                cond = cond | F.isnan(c.cast("double"))
+            parts.append(
+                _violations(
+                    df.where(c.isNotNull() & cond),
+                    key,
+                    spec.name,
+                    "ROW_CONSTRAINT_VIOLATION",
+                    F.concat(F.lit("float out of domain: "), c.cast("string")),
+                )
+            )
+        dom = schema.resolve_string_domain(spec)
+        if dom is not None:
+            parts.append(
+                _violations(
+                    df.where(c.isNotNull() & ~c.isin(dom.value)),
+                    key,
+                    spec.name,
+                    "ROW_CONSTRAINT_VIOLATION",
+                    F.concat(F.lit("value off domain: "), c),
+                )
+            )
+    if not parts:
+        return df.sparkSession.createDataFrame([], VIOLATION_DDL)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------- caption equality --
+def check_caption_equality(
+    images: DataFrame,
+    ref: DataFrame,
+    key: str = "image_id",
+    caption_col: str = "caption",
+    ref_caption_col: str = "caption_ref",
+) -> DataFrame:
+    """Exact caption equality vs a reference table (join on key, compare)."""
+    j = images.select(key, caption_col).join(ref.select(key, ref_caption_col), on=key)
+    bad = j.where(~F.col(caption_col).eqNullSafe(F.col(ref_caption_col)))
+    return _violations(
+        bad,
+        F.col(key),
+        caption_col,
+        "CAPTION_MISMATCH",
+        F.lit("caption differs from reference"),
+    )
+
+
+# ----------------------------------------------------------- pixel integrity --
+def check_pixel_integrity(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    expected_fn: Optional[Callable[[str, int, int], "np.ndarray"]] = None,
+    min_psnr_db: float = 40.0,
+    sample_rate: Optional[float] = None,
+) -> DataFrame:
+    """Decoded-pixel integrity: decode each image (Arrow-batched) and assert
+    PSNR ≥ ``min_psnr_db`` against the reference pixels
+    (``expected_fn(image_id, w, h) → array``; defaults to the datagen rule).
+    Undecodable payloads emit PIXEL_INTEGRITY_VIOLATION too.
+    """
+    from data_validation_spark.stats import imagecodec as codec
+
+    if expected_fn is None:
+        from data_validation_spark.datagen import expected_pixels, row_index_of
+
+        def expected_fn(image_id, w, h):  # noqa: F811
+            return expected_pixels(row_index_of(image_id), w, h)
+
+    src = df.select(F.col(id_col).alias("k"), F.col(bytes_col).alias("b"))
+    if sample_rate is not None and sample_rate < 1.0:
+        src = src.sample(fraction=sample_rate, seed=42)
+
+    def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            keys = batch.column("k").to_pylist()
+            datas = batch.column("b").to_pylist()
+            out_k, out_d = [], []
+            for k, data in zip(keys, datas):
+                decoded = codec.decode(data) if data is not None else None
+                if decoded is None:
+                    out_k.append(k)
+                    out_d.append("undecodable payload")
+                    continue
+                h, w = decoded.shape[:2]
+                expected = expected_fn(k, w, h)
+                p = codec.psnr(decoded, expected)
+                if p < min_psnr_db:
+                    out_k.append(k)
+                    out_d.append(f"psnr {p:.2f}dB < {min_psnr_db}dB")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_k, pa.string()), pa.array(out_d, pa.string())],
+                names=["row_key", "detail"],
+            )
+
+    found = src.mapInArrow(run, "row_key string, detail string")
+    return found.select(
+        "row_key",
+        F.lit(bytes_col).alias("feature"),
+        F.lit("PIXEL_INTEGRITY_VIOLATION").alias("anomaly_type"),
+        "detail",
+    )
+
+
+# ----------------------------------------------------------------- summary ---
+def summarize_violations(violations: DataFrame) -> DataFrame:
+    """Per-(feature, anomaly_type) counts — the per-reason roll-up the
+    reference produces by re-slicing on anomaly reason."""
+    return violations.groupBy("feature", "anomaly_type").agg(
+        F.count(F.lit(1)).alias("violation_count")
+    )
