@@ -1,38 +1,745 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full statistics+validation profile of the
+synthesized image/caption table (the engine's primary input shape) at smoke
+scale, returned as stats rows.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2, runnable on the driver's parquet tables and cross-checked
+against DuckDB. Float outputs are emitted as ``*_e6`` integers
+(``CAST(ROUND(x*1e6) AS BIGINT)``) so value-hash comparison is exact across
+engines. Non-SQL-expressible ops (sketches, LSH dedup, image pipeline) omit
+the oracle → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_validation_spark.stats.engine import compute_statistics
+from data_validation_spark.stats.options import StatsOptions
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _e6(col) -> "F.Column":
+    return F.round(col * F.lit(1000000.0), 0).cast("long")
+
+
+# ----------------------------------------------------------------- flagship --
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Stats+validation over the synthesized input_hint images table (1k rows),
+    plus the engine's stats rows as the returned DataFrame."""
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.stats.image import attach_image_stats
+    from data_validation_spark.stats.result import STATS_ROW_SCHEMA, stats_rows
+
+    df = images_df(spark, 1000, "clean").cache()
+    stats = compute_statistics(df, StatsOptions(categorical_features={"fmt"}))
+    attach_image_stats(stats, df, "bytes", decode_dims=False)
+    rows = stats_rows(stats)
+    df.unpersist()
+    return spark.createDataFrame(rows, STATS_ROW_SCHEMA)
+
+
+# ------------------------------------------------------------------ queries --
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _e6(F.sum("l_quantity")).alias("sum_qty_e6"),
+            _e6(F.sum("l_extendedprice")).alias("sum_base_price_e6"),
+            _e6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price_e6"
+            ),
+            _e6(F.avg("l_quantity")).alias("avg_qty_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_LINEITEM_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_colstats_lineitem(spark, sf_dir):
+    """Engine single-pass column profile → one row per numeric column."""
+    li = _t(spark, sf_dir, "lineitem").select(*_LINEITEM_NUM_COLS)
+    stats = compute_statistics(li, StatsOptions())
+    ds = stats.default_slice()
+    rows = []
+    for name in _LINEITEM_NUM_COLS:
+        fs = ds.feature(name)
+        n = fs.numeric
+        rows.append(
+            (
+                name,
+                fs.common.num_non_missing,
+                fs.common.num_missing,
+                int(round(n.min * 1e6)),
+                int(round(n.max * 1e6)),
+                int(round(n.mean * 1e6)),
+                int(round(n.std_dev * 1e4)),
+                n.num_zeros,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "feature string, non_missing bigint, missing bigint, min_e6 bigint, "
+        "max_e6 bigint, mean_e6 bigint, std_e4 bigint, zeros bigint",
+    )
+
+
+def _colstats_sql():
+    parts = []
+    for c in _LINEITEM_NUM_COLS:
+        parts.append(
+            f"SELECT '{c}' AS feature, count({c}) AS non_missing, "
+            f"count(*) - count({c}) AS missing, "
+            f"CAST(ROUND(min({c})*1000000) AS BIGINT) AS min_e6, "
+            f"CAST(ROUND(max({c})*1000000) AS BIGINT) AS max_e6, "
+            f"CAST(ROUND(avg({c})*1000000) AS BIGINT) AS mean_e6, "
+            f"CAST(ROUND(stddev_pop({c})*10000) AS BIGINT) AS std_e4, "
+            f"CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros "
+            f"FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q_presence_orders(spark, sf_dir):
+    """Engine presence stats (non-missing / missing per column)."""
+    orders = _t(spark, sf_dir, "orders")
+    stats = compute_statistics(orders, StatsOptions())
+    ds = stats.default_slice()
+    rows = [
+        (c, ds.num_examples, ds.feature(c).common.num_non_missing,
+         ds.feature(c).common.num_missing)
+        for c in _ORDERS_COLS
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, num_examples bigint, non_missing bigint, missing bigint"
+    )
+
+
+def _presence_sql():
+    parts = [
+        f"SELECT '{c}' AS feature, count(*) AS num_examples, count({c}) AS non_missing, "
+        f"count(*) - count({c}) AS missing FROM orders"
+        for c in _ORDERS_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_TOPK_FEATURES = [("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+                  ("orders", "o_orderstatus"), ("orders", "o_orderpriority")]
+
+
+def q_topk_categorical(spark, sf_dir):
+    """Engine exact top-k with (count desc, value desc) tie-break parity."""
+    out = []
+    for table, colname in _TOPK_FEATURES:
+        df = _t(spark, sf_dir, table).select(F.col(colname).alias("v"))
+        stats = compute_statistics(df, StatsOptions(num_top_values=5))
+        for rank, (val, cnt) in enumerate(
+            stats.default_slice().feature("v").string.top_values, start=1
+        ):
+            out.append((colname, val, int(cnt), rank))
+    return spark.createDataFrame(out, "feature string, value string, cnt bigint, rnk int")
+
+
+def _topk_sql():
+    parts = []
+    for table, colname in _TOPK_FEATURES:
+        parts.append(
+            f"SELECT * FROM (SELECT '{colname}' AS feature, {colname} AS value, "
+            f"CAST(count(*) AS BIGINT) AS cnt, CAST(ROW_NUMBER() OVER "
+            f"(ORDER BY count(*) DESC, {colname} DESC) AS INT) AS rnk "
+            f"FROM {table} WHERE {colname} IS NOT NULL GROUP BY {colname}) WHERE rnk <= 5"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_uniques_categorical(spark, sf_dir):
+    """Engine exact unique counts (distinct values per categorical feature)."""
+    out = []
+    for table, colname in _TOPK_FEATURES:
+        df = _t(spark, sf_dir, table).select(F.col(colname).alias("v"))
+        stats = compute_statistics(df, StatsOptions())
+        out.append((colname, stats.default_slice().feature("v").string.unique))
+    return spark.createDataFrame(out, "feature string, unique_count bigint")
+
+
+def _uniques_sql():
+    parts = [
+        f"SELECT '{c}' AS feature, count(DISTINCT {c}) AS unique_count FROM {t}"
+        for t, c in _TOPK_FEATURES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_quantiles_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    arr = li.agg(
+        F.expr(
+            "percentile(l_quantity, array(" + ",".join(str(q) for q in _QS) + "))"
+        ).alias("qs")
+    )
+    return arr.select(
+        F.posexplode("qs").alias("pos", "val")
+    ).select(F.col("pos").cast("int"), _e6(F.col("val")).alias("quantile_e6"))
+
+
+def _quantiles_sql():
+    parts = [
+        f"SELECT {i} AS pos, CAST(ROUND(quantile_cont(l_quantity, {q})*1000000) AS BIGINT)"
+        f" AS quantile_e6 FROM lineitem"
+        for i, q in enumerate(_QS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_median_by_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(_e6(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_e6"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_histogram_quantity(spark, sf_dir):
+    """Exact 10-bucket equi-width histogram (width_bucket composition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    mm = li.agg(F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi"))
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor((F.col("l_quantity") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
+                F.lit(9),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def _histogram_sql():
+    return (
+        "WITH mm AS (SELECT min(l_quantity) lo, max(l_quantity) hi FROM lineitem) "
+        "SELECT CAST(LEAST(FLOOR((l_quantity - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket, "
+        "count(*) AS cnt FROM lineitem, mm GROUP BY 1 ORDER BY 1"
+    )
+
+
+def q_valency_embeddings(spark, sf_dir):
+    """Engine valency stats on the array column."""
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    stats = compute_statistics(emb, StatsOptions())
+    c = stats.default_slice().feature("embedding").common
+    return spark.createDataFrame(
+        [(c.num_non_missing, c.min_num_values, c.max_num_values, c.tot_num_values,
+          int(round(c.avg_num_values * 1e6)))],
+        "non_missing bigint, min_vals bigint, max_vals bigint, tot_vals bigint, avg_vals_e6 bigint",
+    )
+
+
+def _valency_sql():
+    return (
+        "SELECT count(embedding) AS non_missing, CAST(min(len(embedding)) AS BIGINT) AS min_vals, "
+        "CAST(max(len(embedding)) AS BIGINT) AS max_vals, "
+        "CAST(sum(len(embedding)) AS BIGINT) AS tot_vals, "
+        "CAST(ROUND(avg(len(embedding))*1000000) AS BIGINT) AS avg_vals_e6 FROM embeddings"
+    )
+
+
+def q_array_element_stats(spark, sf_dir):
+    """Engine numeric stats over array elements (exploded long pass)."""
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    stats = compute_statistics(emb, StatsOptions())
+    n = stats.default_slice().feature("embedding").numeric
+    return spark.createDataFrame(
+        [(int(round(n.min * 1e6)), int(round(n.max * 1e6)), int(round(n.mean * 1e6)),
+          n.num_zeros)],
+        "min_e6 bigint, max_e6 bigint, mean_e6 bigint, zeros bigint",
+    )
+
+
+def _array_element_sql():
+    return (
+        "SELECT CAST(ROUND(min(u)*1000000) AS BIGINT) AS min_e6, "
+        "CAST(ROUND(max(u)*1000000) AS BIGINT) AS max_e6, "
+        "CAST(ROUND(avg(u)*1000000) AS BIGINT) AS mean_e6, "
+        "CAST(sum(CASE WHEN u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros "
+        "FROM (SELECT unnest(embedding) AS u FROM embeddings)"
+    )
+
+
+def q_intdomain_violations(spark, sf_dir):
+    """Row-level int-domain check → violation rows."""
+    from data_validation_spark.schema import FeatureSpec, IntDomain, Schema
+    from data_validation_spark.validate.rowlevel import check_row_constraints
+
+    part = _t(spark, sf_dir, "part")
+    schema = Schema(feature=[FeatureSpec(name="p_size", int_domain=IntDomain(min=1, max=45))])
+    return check_row_constraints(part, schema, "p_partkey").orderBy("row_key")
+
+
+def _intdomain_sql():
+    return (
+        "SELECT CAST(p_partkey AS VARCHAR) AS row_key, 'p_size' AS feature, "
+        "'ROW_CONSTRAINT_VIOLATION' AS anomaly_type, "
+        "'int out of domain: ' || CAST(p_size AS VARCHAR) AS detail "
+        "FROM part WHERE p_size IS NOT NULL AND (p_size < 1 OR p_size > 45) ORDER BY row_key"
+    )
+
+
+def q_stringdomain_violations(spark, sf_dir):
+    """Row-level string-domain check: events outside the allowed event types."""
+    from data_validation_spark.schema import FeatureSpec, Schema, StringDomain
+    from data_validation_spark.validate.rowlevel import check_row_constraints
+
+    events = _t(spark, sf_dir, "events")
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="event_type",
+                string_domain=StringDomain(value=["click", "view", "signup", "purchase"]),
+            )
+        ]
+    )
+    v = check_row_constraints(events, schema, "event_id")
+    return v.groupBy("feature", "anomaly_type").agg(F.count(F.lit(1)).alias("violation_count"))
+
+
+def _stringdomain_sql():
+    return (
+        "SELECT 'event_type' AS feature, 'ROW_CONSTRAINT_VIOLATION' AS anomaly_type, "
+        "count(*) AS violation_count FROM events "
+        "WHERE event_type IS NOT NULL AND event_type NOT IN ('click','view','signup','purchase')"
+    )
+
+
+def q_referential_orphans(spark, sf_dir):
+    """Anti-join referential check: event users absent from customer."""
+    from data_validation_spark.validate.rowlevel import check_referential
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    v = check_referential(events, "user_id", customer, "c_custkey", feature="user_id")
+    return v.agg(
+        F.lit("user_id").alias("feature"),
+        F.lit("REFERENTIAL_ORPHAN").alias("anomaly_type"),
+        F.count(F.lit(1)).alias("orphan_rows"),
+    )
+
+
+def _referential_sql():
+    return (
+        "SELECT 'user_id' AS feature, 'REFERENTIAL_ORPHAN' AS anomaly_type, "
+        "count(*) AS orphan_rows FROM events e "
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"
+    )
+
+
+def q_duplicate_keys(spark, sf_dir):
+    """Salted exact-dup detection on (user_id, event_type) pairs."""
+    from data_validation_spark.validate.rowlevel import check_uniqueness
+
+    events = _t(spark, sf_dir, "events").select(
+        F.concat_ws("#", F.col("user_id").cast("string"), "event_type").alias("k")
+    )
+    v = check_uniqueness(events, "k")
+    return v.agg(
+        F.count(F.lit(1)).alias("dup_keys"),
+        F.sum(F.col("detail").cast("long")).alias("dup_rows"),
+    )
+
+
+def _duplicate_keys_sql():
+    return (
+        "SELECT count(*) AS dup_keys, sum(c) AS dup_rows FROM ("
+        "SELECT CAST(user_id AS VARCHAR) || '#' || event_type AS k, count(*) AS c "
+        "FROM events GROUP BY 1 HAVING count(*) > 1)"
+    )
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact content dedup via hash-groupBy fingerprints (md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("distinct_texts"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("dup_groups"),
+        )
+    )
+
+
+def _dedup_exact_sql():
+    return (
+        "SELECT count(*) AS distinct_texts, "
+        "sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_groups FROM ("
+        "SELECT md5(text) AS fp, count(*) AS cnt FROM documents GROUP BY 1)"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace token counting per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.length(F.trim(F.col("text"))).cast("bigint").alias("n_chars_trim"),
+    ).orderBy("doc_id")
+
+
+def _token_counts_sql():
+    return (
+        "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+        "CAST(length(trim(text)) AS BIGINT) AS n_chars_trim FROM documents ORDER BY doc_id"
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Text quality scoring: alpha ratio, space ratio, avg token length."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    spaces = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    tokens = F.size(F.split(t, r"\s+"))
+    return docs.select(
+        "doc_id",
+        _e6(alpha / n).alias("alpha_ratio_e6"),
+        _e6(spaces / n).alias("space_ratio_e6"),
+        _e6((n - spaces) / tokens).alias("avg_token_len_e6"),
+    ).orderBy("doc_id")
+
+
+def _quality_sql():
+    return (
+        "SELECT doc_id, "
+        "CAST(ROUND(length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g')) * 1000000.0 "
+        "  / length(trim(text))) AS BIGINT) AS alpha_ratio_e6, "
+        "CAST(ROUND(length(regexp_replace(trim(text), '[^ ]', '', 'g')) * 1000000.0 "
+        "  / length(trim(text))) AS BIGINT) AS space_ratio_e6, "
+        "CAST(ROUND((length(trim(text)) - length(regexp_replace(trim(text), '[^ ]', '', 'g'))) "
+        "  * 1000000.0 / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) "
+        "  AS avg_token_len_e6 "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+def q_slice_matrix(spark, sf_dir):
+    """Sliced stats: per-(lang, source) example counts + avg doc length."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), _e6(F.avg("n_chars")).alias("avg_chars_e6"))
+        .orderBy("lang", "source")
+    )
+
+
+def _slice_matrix_sql():
+    return (
+        "SELECT lang, source, count(*) AS n, "
+        "CAST(ROUND(avg(n_chars)*1000000) AS BIGINT) AS avg_chars_e6 "
+        "FROM documents GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    joined = emb.crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_q = F.sqrt(F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x * x))
+    sim = (dot / (norm_a * norm_q)).alias("sim")
+    ranked = joined.select("vec_id", _e6(sim).alias("cos_sim_e6")).where(F.col("vec_id") != 0)
+    w = Window.orderBy(F.desc("cos_sim_e6"), F.asc("vec_id"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("rnk", "vec_id", "cos_sim_e6")
+    )
+
+
+def _embedding_topk_sql():
+    return (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "sims AS (SELECT vec_id, CAST(ROUND(list_cosine_similarity(embedding, qv)*1000000) "
+        "AS BIGINT) AS cos_sim_e6 FROM embeddings, q WHERE vec_id <> 0) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos_sim_e6 DESC, vec_id ASC) AS INT) AS rnk, "
+        "vec_id, cos_sim_e6 FROM sims ORDER BY cos_sim_e6 DESC, vec_id ASC LIMIT 10"
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative sum)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sessions = events.withColumn("new_sess", gap).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg((F.max("sess_id") + 1).alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def _sessionization_sql():
+    return (
+        "WITH flagged AS (SELECT user_id, CASE WHEN epoch(ts) - "
+        "lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800 THEN 1 ELSE 0 END "
+        "AS new_sess FROM events) "
+        "SELECT user_id, max(sess_id) + 1 AS n_sessions, count(*) AS n_events FROM ("
+        "SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY user_id "
+        "ROWS UNBOUNDED PRECEDING) AS sess_id FROM flagged) GROUP BY user_id ORDER BY user_id"
+    )
+
+
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling 1-day event-time windows per event type."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _e6(F.sum("value")).alias("sum_value_e6"))
+        .select(
+            F.col("w.start").cast("timestamp_ltz").cast("long").alias("day_epoch"),
+            "event_type",
+            "n",
+            "sum_value_e6",
+        )
+        .orderBy("day_epoch", "event_type")
+    )
+
+
+def _windowed_sql():
+    return (
+        "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, event_type, "
+        "count(*) AS n, CAST(ROUND(sum(value)*1000000) AS BIGINT) AS sum_value_e6 "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def q_drift_linf(spark, sf_dir):
+    """L∞ drift of the event_type distribution between the two halves of the
+    time range (engine drift metric over sliced stats)."""
+    from data_validation_spark.validate.drift import linfty_distance
+
+    events = _t(spark, sf_dir, "events")
+    half = events.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "h1")
+        .otherwise("h2")
+        .alias("half"),
+    )
+    rows = half.groupBy("half", "event_type").count().collect()
+    c1 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h1"}
+    c2 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h2"}
+    _, linf = linfty_distance(c1, c2)
+    return spark.createDataFrame([(int(round(linf * 1e6)),)], "linf_e6 bigint")
+
+
+def _drift_linf_sql():
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS half, "
+        "count(*) AS n FROM events GROUP BY 1, 2), "
+        "t AS (SELECT half, sum(n) AS tot FROM c GROUP BY 1), "
+        "p AS (SELECT c.event_type, c.half, c.n * 1.0 / t.tot AS p FROM c JOIN t USING (half)), "
+        "d AS (SELECT COALESCE(a.event_type, b.event_type) AS et, "
+        "ABS(COALESCE(a.p, 0) - COALESCE(b.p, 0)) AS diff "
+        "FROM (SELECT * FROM p WHERE half = 'h1') a "
+        "FULL OUTER JOIN (SELECT * FROM p WHERE half = 'h2') b ON a.event_type = b.event_type) "
+        "SELECT CAST(ROUND(max(diff)*1000000) AS BIGINT) AS linf_e6 FROM d"
+    )
+
+
+def q_crosscorr(spark, sf_dir):
+    """Cross-feature stats: Pearson correlation + covariance per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _e6(F.corr("l_quantity", "l_extendedprice")).alias("corr_e6"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).cast("double").alias("covar_r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _crosscorr_sql():
+    return (
+        "SELECT l_returnflag, CAST(ROUND(corr(l_quantity, l_extendedprice)*1000000) AS BIGINT) "
+        "AS corr_e6, ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_r2 "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    )
+
+
+# ------------------------------------------- rows-only (non-SQL-expressible) --
+def q_images_profile(spark, sf_dir):
+    """Full engine profile of the synthesized input_hint images table."""
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.stats.image import attach_image_stats
+    from data_validation_spark.stats.result import STATS_ROW_SCHEMA, stats_rows
+
+    n = 2000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 1000
+    df = images_df(spark, n, "clean").cache()
+    stats = compute_statistics(df, StatsOptions(categorical_features={"fmt"}))
+    attach_image_stats(stats, df, "bytes", decode_dims=False)
+    rows = stats_rows(stats)
+    df.unpersist()
+    return spark.createDataFrame(rows, STATS_ROW_SCHEMA)
+
+
+def q_images_verdict(spark, sf_dir):
+    """End-to-end stats → schema validation → anomaly rows on the dirty
+    images variant (includes drift comparison vs the prev variant)."""
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.pipeline import default_image_schema, validate_images
+
+    df = images_df(spark, 1000, "dirty")
+    prev = images_df(spark, 1000, "prev")
+    result = validate_images(spark, df, default_image_schema(), prev_df=prev)
+    rows = [
+        (a.feature, a.type.value, a.severity.value, a.slice_key)
+        for a in result.anomalies.anomalies
+    ]
+    return spark.createDataFrame(rows, "feature string, type string, severity string, slice_key string")
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs on documents (rows-only check)."""
+    from data_validation_spark.dedup.minhash import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
+    return pairs.agg(F.count(F.lit(1)).alias("candidate_pairs"))
+
+
+def q_sketch_stats(spark, sf_dir):
+    """Sketch-mode stats (t-digest quantiles + CMS top-k + HLL uniques)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    stats = compute_statistics(li, StatsOptions(use_sketches=True))
+    ds = stats.default_slice()
+    n = ds.feature("l_quantity").numeric
+    s = ds.feature("l_returnflag").string
+    return spark.createDataFrame(
+        [(int(round(n.median)), int(n.min), int(n.max), s.unique, s.top_values[0][0])],
+        "median_approx bigint, min_v bigint, max_v bigint, uniques bigint, top_value string",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": q_tpch_q1,
+        "colstats_lineitem": q_colstats_lineitem,
+        "presence_orders": q_presence_orders,
+        "topk_categorical": q_topk_categorical,
+        "uniques_categorical": q_uniques_categorical,
+        "quantiles_quantity": q_quantiles_quantity,
+        "median_by_flag": q_median_by_flag,
+        "histogram_quantity": q_histogram_quantity,
+        "valency_embeddings": q_valency_embeddings,
+        "array_element_stats": q_array_element_stats,
+        "intdomain_violations": q_intdomain_violations,
+        "stringdomain_violations": q_stringdomain_violations,
+        "referential_orphans": q_referential_orphans,
+        "duplicate_keys": q_duplicate_keys,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "slice_matrix": q_slice_matrix,
+        "embedding_topk": q_embedding_topk,
+        "sessionization": q_sessionization,
+        "windowed_counts": q_windowed_counts,
+        "drift_linf": q_drift_linf,
+        "crosscorr": q_crosscorr,
+        "images_profile": q_images_profile,
+        "images_verdict": q_images_verdict,
+        "minhash_dedup": q_minhash_dedup,
+        "sketch_stats": q_sketch_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(sum(l_quantity)*1000000) AS BIGINT) AS sum_qty_e6, "
+            "CAST(ROUND(sum(l_extendedprice)*1000000) AS BIGINT) AS sum_base_price_e6, "
+            "CAST(ROUND(sum(l_extendedprice*(1-l_discount))*1000000) AS BIGINT) "
+            "AS sum_disc_price_e6, "
+            "CAST(ROUND(avg(l_quantity)*1000000) AS BIGINT) AS avg_qty_e6, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "colstats_lineitem": _colstats_sql(),
+        "presence_orders": _presence_sql(),
+        "topk_categorical": _topk_sql(),
+        "uniques_categorical": _uniques_sql(),
+        "quantiles_quantity": _quantiles_sql(),
+        "median_by_flag": (
+            "SELECT l_returnflag, CAST(ROUND(quantile_cont(l_extendedprice, 0.5)*1000000) "
+            "AS BIGINT) AS median_e6 FROM lineitem GROUP BY 1 ORDER BY 1"
+        ),
+        "histogram_quantity": _histogram_sql(),
+        "valency_embeddings": _valency_sql(),
+        "array_element_stats": _array_element_sql(),
+        "intdomain_violations": _intdomain_sql(),
+        "stringdomain_violations": _stringdomain_sql(),
+        "referential_orphans": _referential_sql(),
+        "duplicate_keys": _duplicate_keys_sql(),
+        "dedup_exact_docs": _dedup_exact_sql(),
+        "token_counts": _token_counts_sql(),
+        "quality_scores": _quality_sql(),
+        "slice_matrix": _slice_matrix_sql(),
+        "embedding_topk": _embedding_topk_sql(),
+        "sessionization": _sessionization_sql(),
+        "windowed_counts": _windowed_sql(),
+        "drift_linf": _drift_linf_sql(),
+        "crosscorr": _crosscorr_sql(),
+        # images_profile / images_verdict / minhash_dedup / sketch_stats:
+        # non-SQL-expressible (synthesized input / sketches / LSH) → rows-only.
+    }

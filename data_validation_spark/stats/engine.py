@@ -85,6 +85,8 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         _QUANTILE_CUTS,
         options.quantiles_accuracy,
         options.num_values_histogram_buckets,
+        # sketch mode computes quantiles via t-digest in the sketch pass
+        include_quantiles=not options.use_sketches,
     )
     wide_rows = (
         df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
@@ -257,6 +259,8 @@ def _assemble_feature(p, rd, num_examples, slice_key, options, topk_data, uniq_d
             num.finite_max = _g(rd, p, "finmax", num.max if math.isfinite(num.max) else None)
             quants = _g(rd, p, "quants")
             finite_count = nonmissing - num.num_nan - num.num_pos_inf - num.num_neg_inf
+            if quants is None and key in arr_data:  # sketch mode: t-digest quantiles
+                quants = arr_data[key]["quants"]
             if options.weight_column:
                 w_cnt = _g(rd, p, "w_cnt", 0.0) or 0.0
                 w_sum = _g(rd, p, "w_sum", 0.0) or 0.0

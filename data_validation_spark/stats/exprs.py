@@ -103,7 +103,10 @@ def _value_col(p: ColumnPlan):
     dt = p.spark_type
     if isinstance(dt, T.BooleanType):
         return c.cast("long")
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ → LTZ is identity under the pinned UTC session timezone
+        return c.cast("timestamp_ltz").cast("double").cast("long")
+    if isinstance(dt, T.TimestampType):
         return c.cast("double").cast("long")  # epoch seconds
     if isinstance(dt, T.DateType):
         return F.unix_date(c).cast("long")
@@ -118,6 +121,7 @@ def build_agg_exprs(
     num_quantile_cuts: int,
     quantiles_accuracy: int,
     count_values_hist_buckets: int,
+    include_quantiles: bool = True,
 ) -> list:
     """All aggregate expressions for the single wide pass.
 
@@ -179,8 +183,9 @@ def build_agg_exprs(
                 F.avg(xf).alias(f"{a}__mean"),
                 F.stddev_pop(xf).alias(f"{a}__std"),
                 F.sum(F.when(xn == 0.0, 1).otherwise(0)).alias(f"{a}__zeros"),
-                F.percentile_approx(xf, qs, quantiles_accuracy).alias(f"{a}__quants"),
             ]
+            if include_quantiles:
+                exprs.append(F.percentile_approx(xf, qs, quantiles_accuracy).alias(f"{a}__quants"))
             if p.is_float:
                 exprs += [
                     F.sum(F.when(F.isnan(x), 1).otherwise(0)).alias(f"{a}__nan"),
@@ -215,7 +220,8 @@ def build_agg_exprs(
     return exprs
 
 
-def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[str]):
+def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[str],
+                include_scalar_numeric: bool = False):
     """Build the long-format frame ``(slice_key, feature, str_value, num_value,
     weight)`` feeding top-k/uniques and array-element numeric stats.
 
@@ -232,7 +238,7 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
         if p.stats_type in (STRUCT, UNKNOWN, BYTES):
             continue
         needs_topk = p.categorical
-        needs_numeric = p.numeric and p.nest_depth > 0
+        needs_numeric = p.numeric and (p.nest_depth > 0 or include_scalar_numeric)
         if not (needs_topk or needs_numeric):
             continue
         base = F.col(p.name)
