@@ -1,0 +1,152 @@
+"""Sketch-layer tests — three-way accumulate/merge/compact parity per the
+reference's harness pattern (tdv/utils/test_util.py:276-389): (a) one
+accumulator per batch then merge, (b) merge then compact, (c) sequential adds
+into one accumulator must all agree within tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from data_validation_spark.stats.sketches.countmin import CountMinTopK
+from data_validation_spark.stats.sketches.hll import HyperLogLog
+from data_validation_spark.stats.sketches.tdigest import TDigest
+
+
+# ------------------------------------------------------------------ t-digest
+def test_tdigest_quantiles_uniform():
+    rng = np.random.RandomState(0)
+    data = rng.uniform(0, 100, 50_000)
+    td = TDigest()
+    td.add(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert td.quantile(q) == pytest.approx(np.quantile(data, q), abs=1.0)
+    assert td.min == data.min() and td.max == data.max()
+
+
+def test_tdigest_three_way_parity():
+    rng = np.random.RandomState(1)
+    batches = [rng.normal(50, 10, 5000) for _ in range(4)]
+    all_data = np.concatenate(batches)
+
+    # (a) one accumulator per batch, merged
+    accs = []
+    for b in batches:
+        t = TDigest()
+        t.add(b)
+        accs.append(t)
+    merged = accs[0]
+    for t in accs[1:]:
+        merged = merged.merge(t)
+    # (b) merged + compacted again
+    compacted = merged.merge(TDigest())
+    # (c) sequential
+    seq = TDigest()
+    for b in batches:
+        seq.add(b)
+
+    for q in (0.1, 0.5, 0.9):
+        truth = np.quantile(all_data, q)
+        for sk in (merged, compacted, seq):
+            assert sk.quantile(q) == pytest.approx(truth, abs=0.5)
+    assert merged.count == pytest.approx(len(all_data))
+
+
+def test_tdigest_skewed_and_point_mass():
+    td = TDigest()
+    td.add(np.array([5.0] * 10_000))  # pure point mass
+    assert td.quantile(0.5) == pytest.approx(5.0)
+    td2 = TDigest()
+    td2.add(np.concatenate([np.zeros(9000), np.full(1000, 1000.0)]))
+    assert td2.quantile(0.5) == pytest.approx(0.0, abs=1e-6)
+    assert td2.quantile(0.95) == pytest.approx(1000.0, abs=5.0)
+
+
+def test_tdigest_ignores_nonfinite():
+    td = TDigest()
+    td.add(np.array([1.0, np.nan, np.inf, -np.inf, 3.0]))
+    assert td.count == 2
+    assert td.quantile(0.5) == pytest.approx(2.0, abs=1.0)
+
+
+# ------------------------------------------------------------------ count-min
+def test_cms_topk_exactish():
+    rng = np.random.RandomState(2)
+    # zipf-ish: value v_i with count ~ 1000/i
+    values, counts = [], []
+    for i in range(1, 200):
+        values.append(f"v{i:03d}")
+        counts.append(max(1000 // i, 1))
+    cms = CountMinTopK()
+    order = rng.permutation(len(values))
+    cms.add_counts([values[i] for i in order], np.array([counts[i] for i in order]))
+    top = cms.top_k(5)
+    assert [t[0] for t in top] == ["v001", "v002", "v003", "v004", "v005"]
+    assert top[0][1] == pytest.approx(1000, rel=0.01)
+
+
+def test_cms_merge_parity():
+    a = CountMinTopK()
+    b = CountMinTopK()
+    a.add_counts(["x", "y"], np.array([100, 50]))
+    b.add_counts(["x", "z"], np.array([30, 70]))
+    m = a.merge(b)
+    top = dict(m.top_k(10))
+    assert top["x"] == pytest.approx(130, rel=0.02)
+    assert top["z"] == pytest.approx(70, rel=0.02)
+    assert m.total == pytest.approx(250)
+
+
+def test_cms_tie_break_larger_value_first():
+    cms = CountMinTopK()
+    cms.add_counts(["a", "b", "c"], np.array([5, 5, 9]))
+    top = cms.top_k(3)
+    assert top[0][0] == "c"
+    assert [t[0] for t in top[1:]] == ["b", "a"]  # tie → larger value first
+
+
+# ------------------------------------------------------------------ HLL
+def test_hll_estimate():
+    hll = HyperLogLog()
+    vals = [f"item{i}" for i in range(10_000)]
+    hll.add(vals)
+    assert hll.estimate() == pytest.approx(10_000, rel=0.03)
+
+
+def test_hll_merge():
+    a = HyperLogLog()
+    b = HyperLogLog()
+    a.add([f"a{i}" for i in range(5000)])
+    b.add([f"a{i}" for i in range(2500, 7500)])
+    m = a.merge(b)
+    assert m.estimate() == pytest.approx(7500, rel=0.03)
+
+
+def test_hll_small_range():
+    hll = HyperLogLog()
+    hll.add(["x", "y", "z", "x"])
+    assert hll.estimate() == 3
+
+
+# ----------------------------------------------------------- engine parity
+def test_sketch_mode_vs_exact(spark):
+    rows = [(float(i % 100), f"k{i % 7}") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "x double, s string")
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+
+    exact = compute_statistics(df, StatsOptions(use_sketches=False))
+    sketch = compute_statistics(df, StatsOptions(use_sketches=True))
+
+    ex = exact.default_slice().feature("x").numeric
+    sx = sketch.default_slice().feature("x").numeric
+    assert sx.median == pytest.approx(ex.median, abs=2.0)
+    assert sx.mean == pytest.approx(ex.mean, rel=1e-6)
+    assert sx.min == ex.min and sx.max == ex.max
+
+    es = exact.default_slice().feature("s").string
+    ss = sketch.default_slice().feature("s").string
+    assert ss.unique == es.unique == 7
+    assert dict(ss.top_values) == pytest.approx(dict(es.top_values), rel=0.01)
+    # histograms exist in sketch mode too
+    assert sx.histogram("STANDARD") is not None
+    assert sx.histogram("STANDARD").total_count() == pytest.approx(10_000, rel=0.01)
