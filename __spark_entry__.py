@@ -40,14 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """Stats+validation over the synthesized input_hint images table (1k rows),
     plus the engine's stats rows as the returned DataFrame."""
     from data_validation_spark.datagen import images_df
-    from data_validation_spark.stats.image import attach_image_stats
     from data_validation_spark.stats.result import STATS_ROW_SCHEMA, stats_rows
 
-    df = images_df(spark, 1000, "clean").cache()
-    stats = compute_statistics(df, StatsOptions(categorical_features={"fmt"}))
-    attach_image_stats(stats, df, "bytes", decode_dims=False)
+    df = images_df(spark, 1000, "clean")
+    stats = compute_statistics(
+        df, StatsOptions(categorical_features={"fmt"}, image_columns={"bytes"})
+    )
     rows = stats_rows(stats)
-    df.unpersist()
     return spark.createDataFrame(rows, STATS_ROW_SCHEMA)
 
 
@@ -620,15 +619,14 @@ def _crosscorr_sql():
 def q_images_profile(spark, sf_dir):
     """Full engine profile of the synthesized input_hint images table."""
     from data_validation_spark.datagen import images_df
-    from data_validation_spark.stats.image import attach_image_stats
     from data_validation_spark.stats.result import STATS_ROW_SCHEMA, stats_rows
 
     n = 2000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 1000
-    df = images_df(spark, n, "clean").cache()
-    stats = compute_statistics(df, StatsOptions(categorical_features={"fmt"}))
-    attach_image_stats(stats, df, "bytes", decode_dims=False)
+    df = images_df(spark, n, "clean")
+    stats = compute_statistics(
+        df, StatsOptions(categorical_features={"fmt"}, image_columns={"bytes"})
+    )
     rows = stats_rows(stats)
-    df.unpersist()
     return spark.createDataFrame(rows, STATS_ROW_SCHEMA)
 
 

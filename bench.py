@@ -1,0 +1,100 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+images-validated/sec pipeline on the cached synthetic input_hint table.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+IMAGES_N = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "50000"))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "colstats_lineitem",
+    "presence_orders",
+    "topk_categorical",
+    "uniques_categorical",
+    "histogram_quantity",
+    "array_element_stats",
+    "duplicate_keys",
+    "referential_orphans",
+    "token_counts",
+    "quality_scores",
+    "embedding_topk",
+    "sessionization",
+    "windowed_counts",
+    "minhash_dedup",
+    "sketch_stats",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from data_validation_spark.datagen import ensure_images
+    from data_validation_spark.pipeline import default_image_schema, validate_images
+    from data_validation_spark.session import get_spark
+    from data_validation_spark.stats.options import StatsOptions
+
+    spark = get_spark("dvs-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    # one-time generation (cached parquet); excluded from timed section
+    images_path = ensure_images(spark, IMAGES_N, "clean")
+
+    timings: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: full stats + constraint + row-level pass over the images table
+    images = spark.read.parquet(images_path)
+    t0 = time.time()
+    result = validate_images(
+        spark,
+        images,
+        default_image_schema(),
+        options=StatsOptions(categorical_features={"fmt"}),
+        check_pixels=True,
+        pixel_sample_rate=0.05,
+    )
+    dt = time.time() - t0
+    timings["images_validate"] = round(dt, 3)
+    images_per_sec = IMAGES_N / dt if dt > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images_n": IMAGES_N,
+                "images_per_sec": round(images_per_sec, 1),
+                "validation_passed": result.passed,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

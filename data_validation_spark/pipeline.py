@@ -29,7 +29,6 @@ from data_validation_spark.schema import (
     UniqueConstraints,
 )
 from data_validation_spark.stats.engine import compute_statistics
-from data_validation_spark.stats.image import attach_image_stats
 from data_validation_spark.stats.options import StatsOptions
 from data_validation_spark.stats.result import DatasetStatsList
 from data_validation_spark.validate.rowlevel import (
@@ -124,10 +123,12 @@ def validate_images(
     """Full stats + validation + row-level pass over an images DataFrame."""
     schema = schema or default_image_schema()
     options = options or StatsOptions(categorical_features={"fmt"})
-
-    stats = compute_statistics(df, options)
     if "bytes" in df.columns:
-        attach_image_stats(stats, df, "bytes", decode_dims=False)
+        options.image_columns = set(options.image_columns) | {"bytes"}
+
+    # format histogram is fused into the wide agg (options.image_columns);
+    # the bytes column is scanned once for all its stats.
+    stats = compute_statistics(df, options)
 
     if prev_stats is None and prev_df is not None:
         prev_stats = compute_statistics(prev_df, options)

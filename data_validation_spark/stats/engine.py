@@ -77,6 +77,8 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
     for p in plans:
         if p.categorical:
             p.categorical = _want_topk(p, options)
+        if p.name in options.image_columns and p.stats_type == E.BYTES:
+            p.image_stats = True
 
     # ---- wide pass --------------------------------------------------------
     agg_exprs = E.build_agg_exprs(
@@ -331,6 +333,18 @@ def _assemble_feature(p, rd, num_examples, slice_key, options, topk_data, uniq_d
             min_num_bytes=float(_g(rd, p, "minbytes", 0) or 0),
             max_num_bytes=float(_g(rd, p, "maxbytes", 0) or 0),
         )
+        if p.image_stats:
+            hist = {
+                label: int(_g(rd, p, f"imgfmt_{label}", 0) or 0)
+                for label in ("png", "jpeg", "gif", "bmp", "UNKNOWN")
+            }
+            hist = {k: v for k, v in hist.items() if v > 0}
+            fs.custom["image_format_histogram"] = hist
+            total = sum(hist.values())
+            supported = total - hist.get("UNKNOWN", 0)
+            # domain inference thresholds: ≥80% supported over ≥100 values
+            if total >= 100 and supported / total >= 0.8:
+                fs.custom["domain_info"] = "image_domain {}"
     return fs
 
 

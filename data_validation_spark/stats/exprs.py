@@ -48,6 +48,7 @@ class ColumnPlan:
     is_float: bool = False  # element type can hold NaN
     categorical: bool = False  # include in top-k/uniques long job
     numeric: bool = False  # gets numeric stats
+    image_stats: bool = False  # fuse magic-byte format counters into wide agg
     source_type: str = ""  # original Spark type name (e.g. TIMESTAMP)
     exprs: list = field(default_factory=list)
 
@@ -210,13 +211,25 @@ def build_agg_exprs(
                 F.avg(blen).alias(f"{a}__avglen"),
                 F.min(blen).alias(f"{a}__minbytes"),
                 F.max(blen).alias(f"{a}__maxbytes"),
-                # Exact distinct on 64-bit content hash (collision-negligible);
-                # the reference estimates bytes uniques with a KMV sketch anyway.
-                # xxhash64(NULL) is non-null, so gate on presence explicitly.
-                F.countDistinct(
-                    F.when(F.col(p.name).isNotNull(), F.xxhash64(F.col(p.name)))
+                # HLL++ distinct estimate on a 64-bit content hash — one-pass,
+                # no expand; the reference estimates bytes uniques with a KMV
+                # sketch too. xxhash64(NULL) is non-null → gate on presence.
+                F.approx_count_distinct(
+                    F.when(F.col(p.name).isNotNull(), F.xxhash64(F.col(p.name))), 0.01
                 ).alias(f"{a}__unique"),
             ]
+            if p.image_stats:
+                # fused magic-byte format counters (image_stats_generator
+                # parity) — same scan, no extra pass over the binary column
+                from data_validation_spark.stats.image import sniff_format_col
+
+                fmt = sniff_format_col(F.col(p.name))
+                for label in ("png", "jpeg", "gif", "bmp", "UNKNOWN"):
+                    exprs.append(
+                        F.sum(F.when(fmt == label, 1).otherwise(0)).alias(
+                            f"{a}__imgfmt_{label}"
+                        )
+                    )
     return exprs
 
 

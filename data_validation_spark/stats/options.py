@@ -40,6 +40,10 @@ class StatsOptions:
     slice_column: Optional[str] = None
     default_slice_key: str = "All Examples"
 
+    # Binary columns whose magic-byte format histogram is fused into the wide
+    # aggregation pass (no separate scan of the binary column).
+    image_columns: set[str] = field(default_factory=set)
+
     # Semantic-domain stats (image format sniffing, NL heuristics, time).
     enable_semantic_domain_stats: bool = False
     semantic_domain_sample_rate: Optional[float] = None

@@ -549,7 +549,11 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
     ):
         if comparator is None:
             continue
-        if other is None or other.feature(spec.name) is None:
+        if other is None:
+            # No control dataset supplied at all → comparator not evaluated
+            # (reference skips drift checks without previous/serving stats).
+            continue
+        if other.feature(spec.name) is None:
             out.anomalies.append(
                 _anom(
                     spec.name,

@@ -348,7 +348,11 @@ def test_drift_control_missing():
             FeatureSpec(name="fmt", drift_comparator=DriftComparator(infinity_norm_threshold=0.1))
         ]
     )
-    result = validate_statistics(cur, schema)
+    # no control stats at all → comparator skipped entirely
+    assert validate_statistics(cur, schema).passed
+    # control stats present but feature absent → CONTROL_DATA_MISSING
+    prev = make_stats([make_feature("other")])
+    result = validate_statistics(cur, schema, previous_statistics=prev)
     assert AT.COMPARATOR_CONTROL_DATA_MISSING in types(result, "fmt")
 
 
