@@ -1,0 +1,146 @@
+"""Per-partition checkpoint ledger: resumable validation runs with lineage +
+metrics rows — the north rule's "interrupted jobs resume without recompute".
+
+Layout under ``ledger_dir``:
+    _ledger.jsonl             append-only: one line per completed partition
+                              (partition, status, lineage, metrics, timing)
+    stats_<partition>.json    the partition's statistics artifact
+    anomalies_<partition>.json
+
+``run_partitioned`` iterates the partition list, skips partitions already in
+the ledger (resume), validates each, and persists artifacts atomically
+(tmp-file + rename) so a crash mid-partition never records a partial result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from data_validation_spark.pipeline import ValidationRunResult, validate_images
+from data_validation_spark.schema import Schema
+from data_validation_spark.stats.result import DatasetStatsList
+
+ENGINE_VERSION = "0.1.0"
+
+
+@dataclass
+class PartitionRecord:
+    partition: str
+    status: str  # "ok" | "failed_validation"
+    num_examples: int
+    duration_sec: float
+    lineage: dict
+    metrics: dict
+
+
+class CheckpointLedger:
+    def __init__(self, ledger_dir: str):
+        self.dir = ledger_dir
+        os.makedirs(ledger_dir, exist_ok=True)
+        self.path = os.path.join(ledger_dir, "_ledger.jsonl")
+
+    def completed(self) -> dict[str, dict]:
+        done = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        done[rec["partition"]] = rec
+        return done
+
+    def is_done(self, partition: str) -> bool:
+        return partition in self.completed()
+
+    def record(self, rec: PartitionRecord) -> None:
+        with open(self.path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "partition": rec.partition,
+                        "status": rec.status,
+                        "num_examples": rec.num_examples,
+                        "duration_sec": rec.duration_sec,
+                        "lineage": rec.lineage,
+                        "metrics": rec.metrics,
+                        "engine_version": ENGINE_VERSION,
+                        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    }
+                )
+                + "\n"
+            )
+
+    def _atomic_write(self, name: str, text: str) -> None:
+        tmp = os.path.join(self.dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, os.path.join(self.dir, name))
+
+    def save_artifacts(self, partition: str, result: ValidationRunResult) -> None:
+        safe = partition.replace("/", "_").replace("=", "-")
+        self._atomic_write(f"stats_{safe}.json", result.stats.to_json())
+        self._atomic_write(f"anomalies_{safe}.json", result.anomalies.to_json())
+
+    def load_stats(self, partition: str) -> Optional[DatasetStatsList]:
+        safe = partition.replace("/", "_").replace("=", "-")
+        p = os.path.join(self.dir, f"stats_{safe}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return DatasetStatsList.from_json(f.read())
+
+
+def run_partitioned(
+    spark,
+    partitions: list[str],
+    read_partition: Callable[[str], "object"],
+    schema: Schema,
+    ledger_dir: str,
+    prev_stats_for: Optional[Callable[[str], Optional[DatasetStatsList]]] = None,
+    validate_fn: Callable = validate_images,
+    **validate_kwargs,
+) -> dict[str, PartitionRecord]:
+    """Validate each partition, skipping ones already in the ledger.
+
+    ``read_partition(partition) → DataFrame`` supplies the data (an Iceberg /
+    parquet partition-pruned read); per-partition verdicts + artifacts land in
+    the ledger directory. Returns records for partitions processed this run.
+    """
+    ledger = CheckpointLedger(ledger_dir)
+    done = ledger.completed()
+    out: dict[str, PartitionRecord] = {}
+    for part in partitions:
+        if part in done:
+            continue
+        t0 = time.time()
+        df = read_partition(part)
+        prev = prev_stats_for(part) if prev_stats_for else None
+        result = validate_fn(spark, df, schema, prev_stats=prev, **validate_kwargs)
+        dt = time.time() - t0
+        rec = PartitionRecord(
+            partition=part,
+            status="ok" if result.passed else "failed_validation",
+            num_examples=result.num_examples,
+            duration_sec=round(dt, 3),
+            lineage={
+                "partition": part,
+                "engine_version": ENGINE_VERSION,
+                "schema_features": [f.name for f in schema.feature],
+            },
+            metrics={
+                "anomaly_count": len(result.anomalies.anomalies),
+                "violation_counts": {
+                    f"{k[0]}::{k[1]}": v for k, v in result.violation_counts.items()
+                },
+                "examples_per_sec": round(result.num_examples / dt, 1) if dt else None,
+            },
+        )
+        ledger.save_artifacts(part, result)
+        ledger.record(rec)
+        out[part] = rec
+    return out

@@ -1,0 +1,78 @@
+"""Lift statistics — P(y | x) / P(y) per (x-feature value, label value),
+behavioral port of the reference's lift generator
+(``lift_stats_generator.py``, formula at :521-523), re-expressed as two
+aggregations and one broadcast join:
+
+    xy_counts = groupBy(x, y).count()        # one shuffle
+    y_rates   = groupBy(y).count() / total   # tiny, broadcast
+    lift(x,y) = (xy/x_total) / y_rate
+
+Top-k positive/negative lifts per y via a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def lift_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    top_k_per_y: int | None = None,
+    min_x_count: int = 1,
+) -> DataFrame:
+    """Returns (x, y, lift, xy_count, x_count, y_rate) rows."""
+    total = df.where(F.col(y_col).isNotNull()).count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"x string, y string, lift double, xy_count bigint, x_count bigint, y_rate double"
+        )
+    pairs = df.select(
+        F.col(x_col).cast("string").alias("x"), F.col(y_col).cast("string").alias("y")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    xy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("xy_count"))
+    x_tot = pairs.groupBy("x").agg(F.count(F.lit(1)).alias("x_count"))
+    y_tot = pairs.groupBy("y").agg((F.count(F.lit(1)) / total).alias("y_rate"))
+    out = (
+        xy.join(x_tot, "x")
+        .join(F.broadcast(y_tot), "y")
+        .where(F.col("x_count") >= min_x_count)
+        .select(
+            "x",
+            "y",
+            ((F.col("xy_count") / F.col("x_count")) / F.col("y_rate")).alias("lift"),
+            "xy_count",
+            "x_count",
+            "y_rate",
+        )
+    )
+    if top_k_per_y:
+        w = Window.partitionBy("y").orderBy(F.desc("lift"), F.desc("x"))
+        out = out.withColumn("__r", F.row_number().over(w)).where(
+            F.col("__r") <= top_k_per_y
+        ).drop("__r")
+    return out
+
+
+def cross_feature_stats(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Covariance + Pearson correlation for numeric column pairs (the
+    reference's cross_feature_stats_generator) — one aggregation."""
+    aggs = []
+    for a, b in pairs:
+        aggs += [
+            F.covar_pop(a, b).alias(f"{a}|{b}|cov"),
+            F.corr(a, b).alias(f"{a}|{b}|corr"),
+            F.count(F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)).alias(
+                f"{a}|{b}|n"
+            ),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    rows = []
+    for a, b in pairs:
+        rows.append(
+            (a, b, int(row[f"{a}|{b}|n"] or 0), row[f"{a}|{b}|cov"], row[f"{a}|{b}|corr"])
+        )
+    return df.sparkSession.createDataFrame(
+        rows, "feature_x string, feature_y string, count bigint, covariance double, correlation double"
+    )

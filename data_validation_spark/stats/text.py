@@ -1,0 +1,149 @@
+"""Text / natural-language statistics — the Spark-native counterparts of the
+reference's NL domain-inferring generator (avg-word-length heuristic,
+``natural_language_domain_inferring_stats_generator.py``) plus the
+training-data-pipeline text utilities: token counting, quality scoring,
+language ID (stopword n-gram heuristic), and rolling-hash fingerprints.
+
+Everything here is column expressions (JVM-side) except the language-ID
+scorer, which is an Arrow-vectorized pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from data_validation_spark.stats.result import DatasetStatsList
+
+# Reference thresholds: NL domain inferred when ≥80% of ≥100 values match the
+# heuristic (natural_language_domain_inferring_stats_generator.py).
+NL_MATCH_FRACTION = 0.8
+NL_MIN_EXAMPLES = 100
+_AVG_WORD_MIN, _AVG_WORD_MAX = 2.5, 8.0  # plausible-natural-language band
+
+
+def token_count_col(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def avg_token_length_col(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    return nospace / F.greatest(token_count_col(c), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds quality-scoring columns: token count, avg token length, alpha /
+    digit / punct ratios, stopword ratio — all JVM expressions."""
+    t = F.trim(F.col(text_col))
+    n = F.greatest(F.length(t), F.lit(1))
+    stop = r"\b(the|a|an|of|to|and|in|is|it|that|for)\b"
+    return (
+        df.withColumn("n_tokens", token_count_col(t))
+        .withColumn("avg_token_len", avg_token_length_col(t))
+        .withColumn("alpha_ratio", F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")) / n)
+        .withColumn("digit_ratio", F.length(F.regexp_replace(t, r"[^0-9]", "")) / n)
+        .withColumn(
+            "punct_ratio", F.length(F.regexp_replace(t, r"[^.,;:!?'\"]", "")) / n
+        )
+        .withColumn(
+            "stopword_count", F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{stop}', 0)"))
+        )
+        .withColumn(
+            "quality_score",
+            F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+                (
+                    F.least(F.col("alpha_ratio") * 1.2, F.lit(1.0))
+                    + F.when(
+                        (F.col("avg_token_len") >= _AVG_WORD_MIN)
+                        & (F.col("avg_token_len") <= _AVG_WORD_MAX),
+                        1.0,
+                    ).otherwise(0.0)
+                    + F.least(F.col("stopword_count") / F.greatest(F.col("n_tokens"), F.lit(1)) * 5.0, F.lit(1.0))
+                )
+                / 3.0
+            ),
+        )
+    )
+
+
+def fingerprint_col(col, ngram: int = 0) -> "F.Column":
+    """Document fingerprint: xxhash64 of the normalized text (or of its
+    sorted word set when ``ngram`` > 0 — order-insensitive variant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    if ngram > 0:
+        norm = F.concat_ws(" ", F.array_sort(F.split(norm, " ")))
+    return F.xxhash64(norm)
+
+
+# ---------------------------------------------------------------- language id
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "it", "that", "for", "was", "with", "a"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "pour", "dans", "que", "qui"},
+    "es": {"el", "la", "los", "las", "es", "una", "para", "con", "del", "que", "por"},
+}
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID (Arrow-vectorized); 'und' when no evidence."""
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = []
+            for text in pdf[text_col]:
+                words = set((text or "").lower().split())
+                best, best_n = "und", 0
+                for lang, sw in _STOPWORDS.items():
+                    n = len(words & sw)
+                    if n > best_n:
+                        best, best_n = lang, n
+                preds.append(best)
+            pdf = pdf.copy()
+            pdf[out_col] = preds
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(run, f"{schema}, {out_col} string")
+
+
+# ------------------------------------------------------- NL domain inference
+def attach_nl_stats(
+    stats: DatasetStatsList,
+    df: DataFrame,
+    text_col: str,
+    sample_rate: Optional[float] = None,
+) -> DatasetStatsList:
+    """Avg-word-length NL heuristic over the column; attaches
+    ``nl_match_fraction`` (+ ``domain_info`` when inferred) custom stats."""
+    src = df.select(F.col(text_col))
+    if sample_rate is not None and sample_rate < 1.0:
+        src = src.sample(fraction=sample_rate, seed=42)
+    awl = avg_token_length_col(text_col)
+    matches = F.when(
+        F.col(text_col).isNotNull()
+        & (token_count_col(text_col) > 0)
+        & (awl >= _AVG_WORD_MIN)
+        & (awl <= _AVG_WORD_MAX),
+        1,
+    ).otherwise(0)
+    row = src.agg(
+        F.sum(matches).alias("matched"), F.count(F.col(text_col)).alias("considered")
+    ).collect()[0]
+    matched, considered = int(row["matched"] or 0), int(row["considered"] or 0)
+    frac = matched / considered if considered else 0.0
+    for sl in stats.slices:
+        fs = sl.features.get(text_col)
+        if fs is None:
+            continue
+        fs.custom["nl_match_fraction"] = frac
+        if considered >= NL_MIN_EXAMPLES and frac >= NL_MATCH_FRACTION:
+            fs.custom["domain_info"] = "natural_language_domain {}"
+    return stats

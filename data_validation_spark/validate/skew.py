@@ -1,0 +1,181 @@
+"""Per-row feature skew detection between two datasets (training vs serving) —
+the Spark-native reimplementation of the reference's feature-skew pipeline
+(``tensorflow_data_validation/skew/feature_skew_detector.py``): join on an
+identifier fingerprint, compare feature values pairwise, emit per-feature
+skew counts, match stats, and a bounded sample of skewed pairs.
+
+Spark shape: one full-outer hash join on ``xxhash64(id columns)`` (the
+reference's farmhash fingerprint role), vectorized column compares, and a
+single aggregation for the counters — no CoGroupByKey, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class MatchStats:
+    """Counter parity with the reference's MatchStats
+    (feature_skew_detector.py MatchStats fields)."""
+
+    base_with_id_count: int = 0
+    test_with_id_count: int = 0
+    identifiers_count: int = 0
+    ids_missing_in_base_count: int = 0
+    ids_missing_in_test_count: int = 0
+    matching_pairs_count: int = 0
+    duplicate_id_count_base: int = 0
+    duplicate_id_count_test: int = 0
+
+
+@dataclass
+class FeatureSkew:
+    feature: str
+    base_count: int = 0
+    test_count: int = 0
+    match_count: int = 0
+    base_only: int = 0
+    test_only: int = 0
+    mismatch_count: int = 0
+
+    @property
+    def diff_count(self) -> int:
+        return self.base_only + self.test_only + self.mismatch_count
+
+
+@dataclass
+class SkewResult:
+    match_stats: MatchStats
+    feature_skew: dict[str, FeatureSkew] = field(default_factory=dict)
+    sample_pairs: Optional[DataFrame] = None
+
+
+def detect_feature_skew(
+    base: DataFrame,
+    test: DataFrame,
+    identifier_columns: list[str],
+    features_to_compare: Optional[list[str]] = None,
+    float_round_ndigits: Optional[int] = None,
+    allow_duplicate_identifiers: bool = False,
+    sample_size: int = 0,
+    sample_seed: int = 42,
+) -> SkewResult:
+    """Compare ``base`` vs ``test`` row-by-row on fingerprinted identifiers."""
+    if features_to_compare is None:
+        features_to_compare = sorted(
+            (set(base.columns) & set(test.columns)) - set(identifier_columns)
+        )
+
+    fp = F.xxhash64(*[F.col(c).cast("string") for c in identifier_columns])
+    b = base.select(fp.alias("__fp"), *features_to_compare)
+    t = test.select(fp.alias("__fp"), *features_to_compare)
+
+    if not allow_duplicate_identifiers:
+        # the reference skips duplicate-id examples; count them first
+        b_dups = b.groupBy("__fp").count().where(F.col("count") > 1)
+        t_dups = t.groupBy("__fp").count().where(F.col("count") > 1)
+        dup_b = b_dups.agg(F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
+        dup_t = t_dups.agg(F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
+        b = b.join(F.broadcast(b_dups.select("__fp")), "__fp", "left_anti")
+        t = t.join(F.broadcast(t_dups.select("__fp")), "__fp", "left_anti")
+    else:
+        dup_b = dup_t = 0
+
+    def cmp_col(c):
+        bc, tc = F.col(f"b.{c}"), F.col(f"t.{c}")
+        if float_round_ndigits is not None and dict(base.dtypes).get(c) in ("float", "double"):
+            bc, tc = F.round(bc, float_round_ndigits), F.round(tc, float_round_ndigits)
+        return bc.eqNullSafe(tc)
+
+    joined = b.alias("b").join(t.alias("t"), "__fp", "full_outer")
+    in_base = F.lit(True)
+    # presence flags: a side participated if any of its columns row exists.
+    # full_outer keeps __fp non-null; detect side presence via marker columns.
+    b2 = b.withColumn("__in_b", F.lit(1))
+    t2 = t.withColumn("__in_t", F.lit(1))
+    joined = b2.alias("b").join(t2.alias("t"), "__fp", "full_outer")
+
+    aggs = [
+        F.sum(F.coalesce(F.col("b.__in_b"), F.lit(0))).alias("n_base"),
+        F.sum(F.coalesce(F.col("t.__in_t"), F.lit(0))).alias("n_test"),
+        F.sum(
+            F.when(F.col("b.__in_b").isNotNull() & F.col("t.__in_t").isNotNull(), 1).otherwise(0)
+        ).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("b.__in_b").isNull() & F.col("t.__in_t").isNotNull(), 1).otherwise(0)
+        ).alias("missing_base"),
+        F.sum(
+            F.when(F.col("t.__in_t").isNull() & F.col("b.__in_b").isNotNull(), 1).otherwise(0)
+        ).alias("missing_test"),
+    ]
+    for c in features_to_compare:
+        both = F.col("b.__in_b").isNotNull() & F.col("t.__in_t").isNotNull()
+        bc, tc = F.col(f"b.{c}"), F.col(f"t.{c}")
+        aggs += [
+            F.sum(F.when(both & bc.isNotNull(), 1).otherwise(0)).alias(f"{c}__bcount"),
+            F.sum(F.when(both & tc.isNotNull(), 1).otherwise(0)).alias(f"{c}__tcount"),
+            F.sum(
+                F.when(both & bc.isNotNull() & tc.isNotNull() & cmp_col(c), 1).otherwise(0)
+            ).alias(f"{c}__match"),
+            F.sum(
+                F.when(both & bc.isNotNull() & tc.isNull(), 1).otherwise(0)
+            ).alias(f"{c}__bonly"),
+            F.sum(
+                F.when(both & bc.isNull() & tc.isNotNull(), 1).otherwise(0)
+            ).alias(f"{c}__tonly"),
+            F.sum(
+                F.when(both & bc.isNotNull() & tc.isNotNull() & ~cmp_col(c), 1).otherwise(0)
+            ).alias(f"{c}__mismatch"),
+        ]
+    row = joined.agg(*aggs).collect()[0].asDict()
+
+    ms = MatchStats(
+        base_with_id_count=int(row["n_base"] or 0),
+        test_with_id_count=int(row["n_test"] or 0),
+        identifiers_count=int(row["n_base"] or 0)
+        + int(row["missing_base"] or 0),
+        ids_missing_in_base_count=int(row["missing_base"] or 0),
+        ids_missing_in_test_count=int(row["missing_test"] or 0),
+        matching_pairs_count=int(row["n_pairs"] or 0),
+        duplicate_id_count_base=int(dup_b),
+        duplicate_id_count_test=int(dup_t),
+    )
+    result = SkewResult(match_stats=ms)
+    for c in features_to_compare:
+        fs = FeatureSkew(
+            feature=c,
+            base_count=int(row[f"{c}__bcount"] or 0),
+            test_count=int(row[f"{c}__tcount"] or 0),
+            match_count=int(row[f"{c}__match"] or 0),
+            base_only=int(row[f"{c}__bonly"] or 0),
+            test_only=int(row[f"{c}__tonly"] or 0),
+            mismatch_count=int(row[f"{c}__mismatch"] or 0),
+        )
+        if fs.base_count or fs.test_count or fs.diff_count:
+            result.feature_skew[c] = fs
+
+    if sample_size > 0:
+        any_mismatch = None
+        for c in features_to_compare:
+            cond = (
+                F.col("b.__in_b").isNotNull()
+                & F.col("t.__in_t").isNotNull()
+                & ~cmp_col(c)
+            )
+            any_mismatch = cond if any_mismatch is None else (any_mismatch | cond)
+        if any_mismatch is not None:
+            result.sample_pairs = (
+                joined.where(any_mismatch)
+                .orderBy(F.rand(sample_seed))
+                .limit(sample_size)
+                .select(
+                    "__fp",
+                    *[F.col(f"b.{c}").alias(f"base_{c}") for c in features_to_compare],
+                    *[F.col(f"t.{c}").alias(f"test_{c}") for c in features_to_compare],
+                )
+            )
+    return result

@@ -1,0 +1,205 @@
+"""Tests for feature-skew detection, text/time stats, lift, artifact merge,
+and checkpoint/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.stats.engine import compute_statistics
+from data_validation_spark.stats.lift import cross_feature_stats, lift_stats
+from data_validation_spark.stats.options import StatsOptions
+from data_validation_spark.stats.text import (
+    attach_nl_stats,
+    language_id,
+    quality_features,
+)
+from data_validation_spark.stats.time_stats import attach_time_stats, time_match_stats
+from data_validation_spark.validate.skew import detect_feature_skew
+
+
+# ------------------------------------------------------------------- skew
+def test_detect_feature_skew(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, s string, x double",
+    )
+    test = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0001), (5, "e", 5.0)],
+        "id long, s string, x double",
+    )
+    r = detect_feature_skew(base, test, ["id"], float_round_ndigits=2)
+    ms = r.match_stats
+    assert ms.base_with_id_count == 4
+    assert ms.test_with_id_count == 4
+    assert ms.matching_pairs_count == 3
+    assert ms.ids_missing_in_base_count == 1  # id 5
+    assert ms.ids_missing_in_test_count == 1  # id 4
+    s = r.feature_skew["s"]
+    assert s.match_count == 2 and s.mismatch_count == 1  # b vs B
+    x = r.feature_skew["x"]
+    # 3.0001 rounds to 3.0 at 2 digits → all three pairs match on x
+    assert x.match_count == 3 and x.mismatch_count == 0
+
+
+def test_skew_rounding_and_sample(spark):
+    base = spark.createDataFrame([(1, 1.234567), (2, 2.0)], "id long, x double")
+    test = spark.createDataFrame([(1, 1.234568), (2, 9.0)], "id long, x double")
+    r = detect_feature_skew(base, test, ["id"], float_round_ndigits=4, sample_size=5)
+    x = r.feature_skew["x"]
+    assert x.match_count == 1  # 1.2346 == 1.2346
+    assert x.mismatch_count == 1  # 2 vs 9
+    sample = r.sample_pairs.collect()
+    assert len(sample) == 1
+    assert sample[0]["base_x"] == 2.0 and sample[0]["test_x"] == 9.0
+
+
+def test_skew_duplicate_ids_skipped(spark):
+    base = spark.createDataFrame([(1, "a"), (1, "a2"), (2, "b")], "id long, s string")
+    test = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    r = detect_feature_skew(base, test, ["id"])
+    assert r.match_stats.duplicate_id_count_base == 2
+    assert r.match_stats.matching_pairs_count == 1  # only id 2
+
+
+# ------------------------------------------------------------------- text
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog."), (2, ""), (3, "123 456 789")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in quality_features(df, "text").collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["quality_score"] > 0.6
+    assert rows[2]["n_tokens"] == 0 and rows[2]["quality_score"] == 0.0
+    assert rows[3]["alpha_ratio"] == 0.0
+    assert rows[3]["digit_ratio"] > 0.7
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the garden of the house"),
+            (2, "der Hund und die Katze sind nicht in der Küche mit dem Ball"),
+            (3, "le chat est dans la maison et les oiseaux sont pour le jardin"),
+            (4, "xyzzy qwerty"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["lang_pred"] for r in language_id(df, "text").collect()}
+    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "fr" and rows[4] == "und"
+
+
+def test_nl_domain_inference(spark):
+    texts = [(i, "this is a perfectly normal english sentence with words") for i in range(120)]
+    df = spark.createDataFrame(texts, "id long, caption string")
+    stats = compute_statistics(df, StatsOptions(feature_allowlist=["caption"]))
+    attach_nl_stats(stats, df, "caption")
+    fs = stats.default_slice().feature("caption")
+    assert fs.custom["nl_match_fraction"] == 1.0
+    assert fs.custom["domain_info"] == "natural_language_domain {}"
+
+
+# ------------------------------------------------------------------- time
+def test_time_match_stats_strings(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-02-03",), ("not a date",)], "d string"
+    )
+    info = time_match_stats(df, "d")
+    assert info["formats"]["%Y-%m-%d"] == 2
+    assert info["considered"] == 3
+
+
+def test_time_domain_inference_ints(spark):
+    rows = [(1700000000 + i,) for i in range(150)]
+    df = spark.createDataFrame(rows, "t long")
+    stats = compute_statistics(df)
+    attach_time_stats(stats, df, "t")
+    fs = stats.default_slice().feature("t")
+    assert fs.custom["time_format"] == "UNIX_SECONDS"
+    assert "time_domain" in fs.custom["domain_info"]
+
+
+# ------------------------------------------------------------------- lift
+def test_lift_stats(spark):
+    # y=1 overall rate 0.5; x='a' → always y=1 (lift 2); x='b' → never (lift 0)
+    rows = [("a", 1)] * 5 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "x string, y int")
+    out = {(r["x"], r["y"]): r["lift"] for r in lift_stats(df, "x", "y").collect()}
+    assert out[("a", "1")] == pytest.approx(2.0)
+    assert out[("b", "0")] == pytest.approx(2.0)
+
+
+def test_cross_feature_stats(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "a double, b double"
+    )
+    r = cross_feature_stats(df, [("a", "b")]).collect()[0]
+    assert r["correlation"] == pytest.approx(1.0)
+    assert r["covariance"] == pytest.approx(4.0 / 3)
+
+
+# --------------------------------------------------------------- merge/ckpt
+def test_merge_stats(spark):
+    from data_validation_spark.io.artifacts import merge_stats
+
+    df1 = spark.createDataFrame([(1.0, "a"), (2.0, "b")], "x double, s string")
+    df2 = spark.createDataFrame([(3.0, "a"), (None, "c")], "x double, s string")
+    s1 = compute_statistics(df1)
+    s2 = compute_statistics(df2)
+    merged = merge_stats([s1, s2])
+    ds = merged.default_slice()
+    assert ds.num_examples == 4
+    fx = ds.feature("x")
+    assert fx.common.num_non_missing == 3 and fx.common.num_missing == 1
+    assert fx.numeric.min == 1.0 and fx.numeric.max == 3.0
+    assert fx.numeric.mean == pytest.approx(2.0)
+    fs = ds.feature("s")
+    assert fs.string.value_counts() == {"a": 2.0, "b": 1.0, "c": 1.0}
+    assert fs.string.top_values[0] == ("a", 2.0)
+    assert not fs.string.unique_is_exact
+
+    # merged whole must match a single-pass over the union (moments)
+    s_all = compute_statistics(df1.unionByName(df2))
+    assert merged.default_slice().feature("x").numeric.std_dev == pytest.approx(
+        s_all.default_slice().feature("x").numeric.std_dev
+    )
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.io.checkpoint import CheckpointLedger, run_partitioned
+    from data_validation_spark.pipeline import default_image_schema
+
+    calls = []
+
+    def read_partition(p):
+        calls.append(p)
+        n = {"p0": 300, "p1": 300}[p]
+        return images_df(spark, n, "clean", partitions=2)
+
+    ledger_dir = str(tmp_path / "ledger")
+    schema = default_image_schema()
+    r1 = run_partitioned(
+        spark, ["p0", "p1"], read_partition, schema, ledger_dir
+    )
+    assert set(r1) == {"p0", "p1"}
+    assert all(rec.status == "ok" for rec in r1.values())
+    assert calls == ["p0", "p1"]
+
+    # resume: nothing re-runs
+    r2 = run_partitioned(spark, ["p0", "p1"], read_partition, schema, ledger_dir)
+    assert r2 == {} and calls == ["p0", "p1"]
+
+    # new partition: only it runs
+    def read_p2(p):
+        calls.append(p)
+        return images_df(spark, 200, "dirty", partitions=2)
+
+    r3 = run_partitioned(spark, ["p0", "p1", "p2"], read_p2, schema, ledger_dir)
+    assert set(r3) == {"p2"}
+    assert r3["p2"].status == "failed_validation"
+    assert r3["p2"].metrics["violation_counts"]
+
+    ledger = CheckpointLedger(ledger_dir)
+    assert set(ledger.completed()) == {"p0", "p1", "p2"}
+    st = ledger.load_stats("p0")
+    assert st.default_slice().num_examples == 300
