@@ -615,6 +615,202 @@ def _crosscorr_sql():
     )
 
 
+def q_lift_event_type(spark, sf_dir):
+    """Lift stats: P(high-value | event_type) / P(high-value)."""
+    from data_validation_spark.stats.lift import lift_stats
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 10).cast("int").alias("hi")
+    )
+    out = lift_stats(events, "event_type", "hi")
+    return out.select("x", "y", _e6(F.col("lift")).alias("lift_e6"), "xy_count").orderBy("x", "y")
+
+
+def _lift_sql():
+    return (
+        "WITH p AS (SELECT event_type AS x, CAST(value > 10 AS INT)::VARCHAR AS y FROM events "
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+        "tot AS (SELECT count(*) AS n FROM p), "
+        "xy AS (SELECT x, y, count(*) AS xy_count FROM p GROUP BY 1, 2), "
+        "xt AS (SELECT x, count(*) AS x_count FROM p GROUP BY 1), "
+        "yt AS (SELECT y, count(*) * 1.0 / (SELECT n FROM tot) AS y_rate FROM p GROUP BY 1) "
+        "SELECT x, y, CAST(ROUND((xy_count * 1.0 / x_count) / y_rate * 1000000) AS BIGINT) "
+        "AS lift_e6, xy_count FROM xy JOIN xt USING (x) JOIN yt USING (y) ORDER BY x, y"
+    )
+
+
+def q_skew_match_stats(spark, sf_dir):
+    """Feature-skew pair join: two overlapping event subsets compared by id."""
+    from data_validation_spark.validate.skew import detect_feature_skew
+
+    events = _t(spark, sf_dir, "events")
+    base = events.where(F.col("event_id") % 2 == 0)
+    test = events.where(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + F.when(F.col("event_id") % 12 == 0, 1.0).otherwise(0.0)
+    )
+    r = detect_feature_skew(base, test, ["event_id"], features_to_compare=["event_type", "value"])
+    ms = r.match_stats
+    v = r.feature_skew["value"]
+    return spark.createDataFrame(
+        [
+            (
+                ms.base_with_id_count,
+                ms.test_with_id_count,
+                ms.matching_pairs_count,
+                ms.ids_missing_in_base_count,
+                ms.ids_missing_in_test_count,
+                v.match_count,
+                v.mismatch_count,
+            )
+        ],
+        "n_base bigint, n_test bigint, n_pairs bigint, missing_base bigint, "
+        "missing_test bigint, value_match bigint, value_mismatch bigint",
+    )
+
+
+def _skew_sql():
+    return (
+        "WITH b AS (SELECT * FROM events WHERE event_id % 2 = 0), "
+        "t AS (SELECT event_id, event_type, "
+        "value + CASE WHEN event_id % 12 = 0 THEN 1.0 ELSE 0 END AS value "
+        "FROM events WHERE event_id % 3 = 0) "
+        "SELECT (SELECT count(*) FROM b) AS n_base, (SELECT count(*) FROM t) AS n_test, "
+        "(SELECT count(*) FROM b JOIN t USING (event_id)) AS n_pairs, "
+        "(SELECT count(*) FROM t WHERE NOT EXISTS "
+        "(SELECT 1 FROM b WHERE b.event_id = t.event_id)) AS missing_base, "
+        "(SELECT count(*) FROM b WHERE NOT EXISTS "
+        "(SELECT 1 FROM t WHERE t.event_id = b.event_id)) AS missing_test, "
+        "(SELECT count(*) FROM b JOIN t USING (event_id) WHERE b.value = t.value) "
+        "AS value_match, "
+        "(SELECT count(*) FROM b JOIN t USING (event_id) WHERE b.value <> t.value) "
+        "AS value_mismatch"
+    )
+
+
+def q_time_format_detect(spark, sf_dir):
+    """Time-semantic stats: format match counts over stringified timestamps."""
+    from data_validation_spark.stats.time_stats import time_match_stats
+
+    events = _t(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts").cast("timestamp_ltz"), "yyyy-MM-dd HH:mm:ss").alias("d")
+    )
+    info = time_match_stats(events, "d")
+    best = max(info["formats"].items(), key=lambda kv: kv[1]) if info["formats"] else ("", 0)
+    return spark.createDataFrame(
+        [(info["considered"], best[0], best[1])],
+        "considered bigint, best_format string, match_count bigint",
+    )
+
+
+def _time_sql():
+    return (
+        "SELECT count(*) AS considered, '%Y-%m-%d %H:%M:%S' AS best_format, "
+        "count(*) AS match_count FROM events"
+    )
+
+
+def q_merged_stats_parity(spark, sf_dir):
+    """Sharded-stats merge: per-half artifacts merged on the driver must match
+    a single pass over the whole table (count/min/max/mean exact)."""
+    from data_validation_spark.io.artifacts import merge_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice", "l_orderkey")
+    h1 = li.where(F.col("l_orderkey") % 2 == 0)
+    h2 = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = merge_stats([compute_statistics(h1), compute_statistics(h2)])
+    ds = merged.default_slice()
+    rows = []
+    for c in ("l_quantity", "l_extendedprice"):
+        n = ds.feature(c).numeric
+        rows.append(
+            (
+                c,
+                ds.feature(c).common.num_non_missing,
+                int(round(n.min * 1e6)),
+                int(round(n.max * 1e6)),
+                int(round(n.mean * 1e6)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "feature string, non_missing bigint, min_e6 bigint, max_e6 bigint, mean_e6 bigint"
+    )
+
+
+def _merged_stats_sql():
+    parts = [
+        f"SELECT '{c}' AS feature, count({c}) AS non_missing, "
+        f"CAST(ROUND(min({c})*1000000) AS BIGINT) AS min_e6, "
+        f"CAST(ROUND(max({c})*1000000) AS BIGINT) AS max_e6, "
+        f"CAST(ROUND(avg({c})*1000000) AS BIGINT) AS mean_e6 FROM lineitem"
+        for c in ("l_quantity", "l_extendedprice")
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_ngram_jaccard_verify(spark, sf_dir):
+    """Exact word-3-gram Jaccard over LSH candidates (rows-only)."""
+    from data_validation_spark.dedup.minhash import minhash_lsh_candidates, verify_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    verified = verify_jaccard(cand, docs, "doc_id", "text", threshold=0.5)
+    return verified.agg(F.count(F.lit(1)).alias("near_dup_pairs"))
+
+
+def q_simhash_docs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming radius 3 (rows-only)."""
+    from data_validation_spark.dedup.simhash import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, "doc_id", "text", radius=3)
+    return pairs.agg(F.count(F.lit(1)).alias("simhash_pairs"))
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dup pairs over embeddings (rows-only)."""
+    from data_validation_spark.dedup.embedding import cosine_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(emb, "vec_id", "embedding", dim=64, threshold=0.9, bits=10)
+    return pairs.agg(F.count(F.lit(1)).alias("near_dup_pairs"))
+
+
+def q_langid_docs(spark, sf_dir):
+    """Stopword-vote language ID distribution (rows-only)."""
+    from data_validation_spark.stats.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        language_id(docs, "text")
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF approximate NN vs brute force recall check (rows-only)."""
+    from data_validation_spark.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [(int(r["vec_id"]), r["embedding"]) for r in emb.limit(3).collect()]
+    exact = {
+        (r["query_id"], r["id"])
+        for r in cosine_topk_bruteforce(emb, "vec_id", "embedding", qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["id"])
+        for r in cosine_topk_ivf(
+            emb, "vec_id", "embedding", qs, k=10, num_centroids=16, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact) if exact else 0.0
+    return spark.createDataFrame(
+        [(len(exact), len(approx), int(round(recall * 100)))],
+        "exact_results bigint, approx_results bigint, recall_pct bigint",
+    )
+
+
 # ------------------------------------------- rows-only (non-SQL-expressible) --
 def q_images_profile(spark, sf_dir):
     """Full engine profile of the synthesized input_hint images table."""
@@ -693,6 +889,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "drift_linf": q_drift_linf,
         "crosscorr": q_crosscorr,
+        "lift_event_type": q_lift_event_type,
+        "skew_match_stats": q_skew_match_stats,
+        "time_format_detect": q_time_format_detect,
+        "merged_stats_parity": q_merged_stats_parity,
+        "ngram_jaccard_verify": q_ngram_jaccard_verify,
+        "simhash_docs": q_simhash_docs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "langid_docs": q_langid_docs,
+        "similarity_ivf": q_similarity_ivf,
         "images_profile": q_images_profile,
         "images_verdict": q_images_verdict,
         "minhash_dedup": q_minhash_dedup,
@@ -738,6 +943,10 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts": _windowed_sql(),
         "drift_linf": _drift_linf_sql(),
         "crosscorr": _crosscorr_sql(),
+        "lift_event_type": _lift_sql(),
+        "skew_match_stats": _skew_sql(),
+        "time_format_detect": _time_sql(),
+        "merged_stats_parity": _merged_stats_sql(),
         # images_profile / images_verdict / minhash_dedup / sketch_stats:
         # non-SQL-expressible (synthesized input / sketches / LSH) → rows-only.
     }
