@@ -1,0 +1,90 @@
+"""Sources & sinks (SURVEY.md §2.1 parity).
+
+The reference reads TFRecord/CSV/pandas/example-dicts into Arrow RecordBatches;
+the Spark-native equivalents are thin wrappers over ``spark.read`` — Catalyst
+handles batching, pushdown, and column pruning. Iceberg needs its runtime jar
+on the classpath, so the connector is gated behind a capability check.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Optional[list[str]] = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    schema: Optional[str] = None,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with type inference — the reference's csv_decoder role
+    (type inference delegated to Spark's reader)."""
+    reader = spark.read.option("header", header).option("delimiter", delimiter)
+    if schema:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
+    """pandas → DataFrame (Arrow path) — stats_gen_lib DataFrame source role."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def from_example_dicts(spark: SparkSession, examples: list[dict], schema=None) -> DataFrame:
+    """Legacy example-dict batcher role (batch_util.py) — rows of plain dicts."""
+    return spark.createDataFrame(examples, schema=schema)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[int] = None,
+) -> DataFrame:
+    """Iceberg table source (time-travel capable). Requires the
+    iceberg-spark-runtime jar; raises a clear error when absent (this sandbox
+    image ships without it — the parquet path exercises the same engine)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; add "
+            "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages. "
+            "All engine operators work identically over spark.read.parquet."
+        )
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", snapshot_id)
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", as_of_timestamp)
+    return reader.load(table)
+
+
+def iceberg_partitions(spark: SparkSession, table: str) -> list[str]:
+    """Partition values for the checkpoint ledger (metadata-table read)."""
+    rows = spark.read.format("iceberg").load(f"{table}.partitions").collect()
+    return [str(r["partition"]) for r in rows]
+
+
+def write_violations(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Violation-rows sink (skew-results sink role)."""
+    df.write.mode(mode).parquet(path)

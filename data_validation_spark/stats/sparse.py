@@ -1,0 +1,126 @@
+"""Sparse- and weighted-feature statistics + empty-value counts + the
+partitioned-stats harness (SURVEY.md §2.3 tail).
+
+* Sparse feature (index column + value column, both arrays): per-feature
+  ``missing_value`` / ``missing_index`` counts and min/max length diff —
+  one multi-column aggregation (``sparse_feature_stats_generator`` /
+  ``count_missing_generator`` / ``length_diff_generator`` parity).
+* Weighted feature (value column + weight column, arrays): same pattern.
+* Empty-value counter: counts of -1 ints, '' strings, empty lists.
+* Partitioned stats harness: assign rows to random partitions, run a
+  pandas function per partition, summarize min/max/mean/median/std across
+  partitions (``partitioned_stats_generator`` shape — used for
+  sample-estimated stats like kNN mutual information).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def sparse_feature_stats(
+    df: DataFrame, index_col: str, value_col: str
+) -> dict:
+    """missing_value / missing_index / min,max_length_diff for one sparse
+    feature — single aggregation pass."""
+    i, v = F.col(index_col), F.col(value_col)
+    diff = F.size(i) - F.size(v)
+    row = df.agg(
+        F.sum(F.when(i.isNotNull() & v.isNull(), 1).otherwise(0)).alias("missing_value"),
+        F.sum(F.when(v.isNotNull() & i.isNull(), 1).otherwise(0)).alias("missing_index"),
+        F.min(F.when(i.isNotNull() & v.isNotNull(), diff)).alias("min_length_diff"),
+        F.max(F.when(i.isNotNull() & v.isNotNull(), diff)).alias("max_length_diff"),
+    ).collect()[0]
+    return {
+        "missing_value": int(row["missing_value"] or 0),
+        "missing_index": int(row["missing_index"] or 0),
+        "min_length_diff": row["min_length_diff"],
+        "max_length_diff": row["max_length_diff"],
+    }
+
+
+def weighted_feature_stats(df: DataFrame, value_col: str, weight_col: str) -> dict:
+    """missing_value / missing_weight / min,max_weight_length_diff."""
+    v, w = F.col(value_col), F.col(weight_col)
+    diff = F.size(w) - F.size(v)
+    row = df.agg(
+        F.sum(F.when(w.isNotNull() & v.isNull(), 1).otherwise(0)).alias("missing_value"),
+        F.sum(F.when(v.isNotNull() & w.isNull(), 1).otherwise(0)).alias("missing_weight"),
+        F.min(F.when(v.isNotNull() & w.isNotNull(), diff)).alias("min_weight_length_diff"),
+        F.max(F.when(v.isNotNull() & w.isNotNull(), diff)).alias("max_weight_length_diff"),
+    ).collect()[0]
+    return {
+        "missing_value": int(row["missing_value"] or 0),
+        "missing_weight": int(row["missing_weight"] or 0),
+        "min_weight_length_diff": row["min_weight_length_diff"],
+        "max_weight_length_diff": row["max_weight_length_diff"],
+    }
+
+
+def empty_value_counts(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:
+    """Counts of 'empty' sentinels per column: -1 for ints, '' for strings,
+    [] for arrays (``empty_value_counter_generator`` parity)."""
+    from pyspark.sql import types as T
+
+    columns = columns or df.columns
+    aggs = []
+    for c in columns:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            cond = col == -1
+        elif isinstance(dt, T.StringType):
+            cond = col == ""
+        elif isinstance(dt, T.ArrayType):
+            cond = F.size(col) == 0
+        else:
+            continue
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(c))
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    return {c: int(row[c] or 0) for c in row.asDict()}
+
+
+def partitioned_stats(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], dict],
+    num_partitions: int = 10,
+    seed: int = 42,
+) -> dict[str, dict]:
+    """Run ``fn(pdf) → {stat: value}`` on each of ``num_partitions`` random
+    row partitions; summarize each stat with min/max/mean/median/std across
+    partitions. The Spark shape of the reference's PartitionedStatsFn."""
+    import numpy as np
+
+    tagged = df.withColumn("__part", (F.rand(seed) * num_partitions).cast("int"))
+
+    def runner(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        stats = fn(pdf.drop(columns="__part"))
+        return pd.DataFrame(
+            {"part": [key[0]] * len(stats), "stat": list(stats), "value": list(stats.values())}
+        )
+
+    rows = (
+        tagged.groupBy("__part")
+        .applyInPandas(runner, "part int, stat string, value double")
+        .collect()
+    )
+    by_stat: dict[str, list[float]] = {}
+    for r in rows:
+        by_stat.setdefault(r["stat"], []).append(r["value"])
+    out = {}
+    for stat, vals in by_stat.items():
+        a = np.asarray(vals, dtype=float)
+        out[stat] = {
+            "min": float(a.min()),
+            "max": float(a.max()),
+            "mean": float(a.mean()),
+            "median": float(np.median(a)),
+            "std": float(a.std()),
+            "num_partitions": len(a),
+        }
+    return out

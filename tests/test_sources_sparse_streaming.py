@@ -1,0 +1,141 @@
+"""Tests for sources, sparse/weighted stats, empty-value counts, the
+partitioned harness, and streaming incremental stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.sources import (
+    from_example_dicts,
+    from_pandas,
+    iceberg_available,
+    read_csv,
+    read_iceberg,
+    read_parquet,
+)
+from data_validation_spark.stats.sparse import (
+    empty_value_counts,
+    partitioned_stats,
+    sparse_feature_stats,
+    weighted_feature_stats,
+)
+
+
+def test_read_parquet_with_pruning(spark, sf_dir):
+    df = read_parquet(spark, f"{sf_dir}/nation.parquet", columns=["n_name"])
+    assert df.columns == ["n_name"]
+    assert df.count() == 25
+
+
+def test_read_csv(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, p)
+    assert df.count() == 2
+    assert dict(df.dtypes)["a"] == "int"
+
+
+def test_from_pandas_and_dicts(spark):
+    import pandas as pd
+
+    assert from_pandas(spark, pd.DataFrame({"x": [1, 2]})).count() == 2
+    assert from_example_dicts(spark, [{"x": 1}, {"x": 2}]).count() == 2
+
+
+def test_iceberg_gated(spark):
+    if iceberg_available(spark):
+        pytest.skip("iceberg jar present")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        read_iceberg(spark, "db.tbl")
+
+
+def test_sparse_feature_stats(spark):
+    rows = [
+        ([1, 2], [10.0, 20.0]),  # aligned
+        ([1, 2, 3], [10.0]),  # length diff +2
+        (None, [5.0]),  # missing index
+        ([4], None),  # missing value
+    ]
+    df = spark.createDataFrame(rows, "idx array<int>, val array<double>")
+    s = sparse_feature_stats(df, "idx", "val")
+    assert s["missing_value"] == 1
+    assert s["missing_index"] == 1
+    assert s["min_length_diff"] == 0
+    assert s["max_length_diff"] == 2
+
+
+def test_weighted_feature_stats(spark):
+    rows = [(["a"], [1.0]), (["a", "b"], [1.0]), (None, [1.0]), (["c"], None)]
+    df = spark.createDataFrame(rows, "val array<string>, wt array<double>")
+    s = weighted_feature_stats(df, "val", "wt")
+    assert s["missing_value"] == 1
+    assert s["missing_weight"] == 1
+    assert s["min_weight_length_diff"] == -1
+    assert s["max_weight_length_diff"] == 0
+
+
+def test_empty_value_counts(spark):
+    rows = [(-1, "", []), (5, "x", [1]), (-1, None, None)]
+    df = spark.createDataFrame(rows, "i long, s string, a array<int>")
+    out = empty_value_counts(df)
+    assert out == {"i": 2, "s": 1, "a": 1}
+
+
+def test_partitioned_stats(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    out = partitioned_stats(df, lambda pdf: {"mean_x": float(pdf["x"].mean())}, 5)
+    s = out["mean_x"]
+    assert s["num_partitions"] == 5
+    assert s["mean"] == pytest.approx(499.5, abs=30)
+    assert s["min"] <= s["median"] <= s["max"]
+
+
+def test_streaming_incremental_stats(spark, tmp_path):
+    from data_validation_spark.streaming import StreamingStatsCollector
+
+    src = str(tmp_path / "stream_src")
+    df1 = spark.createDataFrame([(1.0, "a"), (2.0, "b")], "x double, s string")
+    df2 = spark.createDataFrame([(3.0, "a"), (4.0, "c")], "x double, s string")
+    df1.write.mode("overwrite").parquet(src)
+
+    collector = StreamingStatsCollector()
+    stream = spark.readStream.schema("x double, s string").parquet(src)
+    q = collector.attach(stream)
+    try:
+        q.processAllAvailable()
+        df2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    acc = collector.accumulated.default_slice()
+    assert acc.num_examples == 4
+    assert acc.feature("x").numeric.min == 1.0
+    assert acc.feature("x").numeric.max == 4.0
+    assert acc.feature("x").numeric.mean == pytest.approx(2.5)
+    assert acc.feature("s").string.value_counts()["a"] == 2.0
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from data_validation_spark.streaming import windowed_event_counts
+
+    src = str(tmp_path / "events_src")
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:02:00", "click", 2.0),
+        ("2024-01-01 00:07:00", "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, k string, v double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k", "v"
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(src)
+    agg = windowed_event_counts(stream, "ts", "k", window="5 minutes", value_col="v")
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("wc").start()
+    try:
+        q.processAllAvailable()
+        out = {(r["k"], r["w"]["start"].minute): r["n"] for r in spark.sql("select * from wc").collect()}
+    finally:
+        q.stop()
+    assert out[("click", 0)] == 2
+    assert out[("view", 5)] == 1
