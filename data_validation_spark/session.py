@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Local-mode split sizing: sandbox inputs are a few hundred MB, so the
+        # 128 MB default yields too few scan tasks to use all cores. On a real
+        # cluster at 100 TB leave this at 128m — splits are plentiful there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_FILES_MAX_PARTITION_BYTES", "16m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

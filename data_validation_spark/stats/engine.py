@@ -136,26 +136,24 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
             long_df.where(F.col("str_value").isNotNull())
             .groupBy("slice_key", "feature", "str_value")
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("weight").alias("wcnt"))
-            .persist()
         )
         k = max(options.num_top_values, options.num_rank_histogram_buckets)
         w = Window.partitionBy("slice_key", "feature").orderBy(
             F.desc("cnt"), F.desc("str_value")  # tie-break parity: larger value wins
         )
+        # unique count rides the same window pass (count over the full frame)
+        # so top-k + uniques is ONE job with no persist.
+        wu = Window.partitionBy("slice_key", "feature")
         top_rows = (
             counts.withColumn("rank", F.row_number().over(w))
+            .withColumn("unique", F.count(F.lit(1)).over(wu))
             .where(F.col("rank") <= k)
             .collect()
         )
-        uniq_rows = (
-            counts.groupBy("slice_key", "feature").agg(F.count(F.lit(1)).alias("unique")).collect()
-        )
-        counts.unpersist()
         for r in top_rows:
             topk_data.setdefault((r["slice_key"], r["feature"]), []).append(
                 (r["rank"], r["str_value"], r["cnt"], r["wcnt"])
             )
-        for r in uniq_rows:
             uniq_data[(r["slice_key"], r["feature"])] = r["unique"]
 
     if any_arr:

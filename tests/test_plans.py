@@ -1,0 +1,88 @@
+"""Physical-plan quality gates: column pruning reaches the parquet scan,
+filters push down, small join sides broadcast, aggregation is partial+final
+hash agg inside whole-stage codegen. These are the 100-TB posture checks —
+a plan that reads all columns for a 2-column projection is a bug."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_stats_engine_prunes_columns(spark, sf_dir):
+    """Profiling two columns must not read the other four from parquet."""
+    from data_validation_spark.stats import exprs as E
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sub = df.select("l_quantity", "l_discount")
+    plans = E.classify_columns(sub.schema, set())
+    aggs = E.build_agg_exprs(plans, None, 100, 1000, 10)
+    plan = plan_of(df.select("l_quantity", "l_discount").groupBy().agg(*aggs[1:]))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"l_quantity", "l_discount"}
+    # percentile_approx is a TypedImperativeAggregate → ObjectHashAggregate
+    # (still partial+final, no codegen for that operator by design)
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert plan.count("Aggregate") >= 2  # partial + final
+
+
+def test_row_constraint_filter_pushdown(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    q = df.where((F.col("p_size") < 1) | (F.col("p_size") > 45)).select("p_partkey")
+    plan = plan_of(q)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(p_size)" in plan or "Or(LessThan" in plan
+
+
+def test_referential_join_broadcasts_small_parent(spark, sf_dir):
+    from data_validation_spark.validate.rowlevel import check_referential
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v = check_referential(events, "user_id", customer, "c_custkey")
+    plan = plan_of(v)
+    # AQE or static planning must pick a broadcast for the small parent side
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+    assert "LeftAnti" in plan
+
+
+def test_topk_is_single_shuffle_then_window(spark, sf_dir):
+    """The exact top-k path: one Exchange for the counts groupBy, one for the
+    window — no extra shuffles or cartesian products."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("v")
+    )
+    counts = (
+        li.select(F.lit("s").alias("slice_key"), F.lit("f").alias("feature"), "v")
+        .groupBy("slice_key", "feature", "v")
+        .count()
+    )
+    plan = plan_of(counts)
+    assert plan.count("Exchange") <= 2  # partial agg → exchange → final agg
+    assert "CartesianProduct" not in plan
+
+
+def test_wide_agg_is_partial_final(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = df.agg(F.count("o_orderkey"), F.avg("o_totalprice"), F.max("o_orderdate"))
+    plan = plan_of(agg)
+    # two HashAggregates (partial + final) around one exchange
+    # (AQE's pre-execution formatted plan omits WholeStageCodegen markers)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_embedding_topk_broadcasts_query(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.q_embedding_topk(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
