@@ -77,7 +77,7 @@ def test_wide_agg_is_partial_final(spark, sf_dir):
     # two HashAggregates (partial + final) around one exchange
     # (AQE's pre-execution formatted plan omits WholeStageCodegen markers)
     assert plan.count("HashAggregate") >= 2
-    assert plan.count("Exchange") == 1
+    assert plan.count("+- Exchange") == 1  # exactly one shuffle in the tree
 
 
 def test_embedding_topk_broadcasts_query(spark, sf_dir):
