@@ -747,6 +747,77 @@ def _merged_stats_sql():
     return " UNION ALL ".join(parts)
 
 
+def q_mutual_information(spark, sf_dir):
+    """Exact discrete MI between event_type and a high-value flag."""
+    from data_validation_spark.stats.mi import discrete_mutual_information
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 10).cast("int").cast("string").alias("hi")
+    ).where(F.col("event_type").isNotNull() & F.col("hi").isNotNull())
+    mi = discrete_mutual_information(events, "event_type", "hi")
+    return spark.createDataFrame([(int(round(mi * 1e6)),)], "mi_e6 bigint")
+
+
+def _mi_sql():
+    return (
+        "WITH p AS (SELECT event_type AS x, CAST(CAST(value > 10 AS INT) AS VARCHAR) AS y "
+        "FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+        "j AS (SELECT x, y, count(*) AS n FROM p GROUP BY 1, 2), "
+        "t AS (SELECT sum(n) AS tot FROM j), "
+        "mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY 1), "
+        "my AS (SELECT y, sum(n) AS ny FROM j GROUP BY 1) "
+        "SELECT CAST(ROUND(sum((n * 1.0 / tot) * log2((n * 1.0 / tot) / "
+        "((nx * 1.0 / tot) * (ny * 1.0 / tot)))) * 1000000) AS BIGINT) AS mi_e6 "
+        "FROM j CROSS JOIN t JOIN mx USING (x) JOIN my USING (y)"
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """NL vocab stats: token coverage vs the corpus's own top-100 tokens."""
+    from data_validation_spark.stats.text import vocab_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    w = Window.orderBy(F.desc("cnt"), F.desc("token"))
+    vocab = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 100)
+        .select("token")
+    )
+    s = vocab_token_stats(docs, "text", vocab)
+    return spark.createDataFrame(
+        [
+            (
+                s["total_tokens"],
+                s["in_vocab_tokens"],
+                s["oov_tokens"],
+                int(round(s["coverage"] * 1e6)),
+            )
+        ],
+        "total_tokens bigint, in_vocab bigint, oov bigint, coverage_e6 bigint",
+    )
+
+
+def _vocab_sql():
+    return (
+        "WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token "
+        "FROM documents), "
+        "toks2 AS (SELECT token FROM toks WHERE length(token) > 0), "
+        "vocab AS (SELECT token FROM (SELECT token, count(*) AS cnt, "
+        "ROW_NUMBER() OVER (ORDER BY count(*) DESC, token DESC) AS r "
+        "FROM toks2 GROUP BY token) WHERE r <= 100), "
+        "j AS (SELECT t.token, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS iv "
+        "FROM toks2 t LEFT JOIN vocab v ON t.token = v.token) "
+        "SELECT count(*) AS total_tokens, sum(iv) AS in_vocab, "
+        "count(*) - sum(iv) AS oov, "
+        "CAST(ROUND(sum(iv) * 1000000.0 / count(*)) AS BIGINT) AS coverage_e6 FROM j"
+    )
+
+
 def q_ngram_jaccard_verify(spark, sf_dir):
     """Exact word-3-gram Jaccard over LSH candidates (rows-only)."""
     from data_validation_spark.dedup.minhash import minhash_lsh_candidates, verify_jaccard
@@ -893,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_match_stats": q_skew_match_stats,
         "time_format_detect": q_time_format_detect,
         "merged_stats_parity": q_merged_stats_parity,
+        "mutual_information": q_mutual_information,
+        "vocab_coverage": q_vocab_coverage,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "simhash_docs": q_simhash_docs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -947,6 +1020,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_match_stats": _skew_sql(),
         "time_format_detect": _time_sql(),
         "merged_stats_parity": _merged_stats_sql(),
+        "mutual_information": _mi_sql(),
+        "vocab_coverage": _vocab_sql(),
         # images_profile / images_verdict / minhash_dedup / sketch_stats:
         # non-SQL-expressible (synthesized input / sketches / LSH) → rows-only.
     }

@@ -138,15 +138,36 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("weight").alias("wcnt"))
         )
         k = max(options.num_top_values, options.num_rank_histogram_buckets)
-        w = Window.partitionBy("slice_key", "feature").orderBy(
+        # Exact two-phase salted top-k: a single window over (slice, feature)
+        # sorts every distinct value in ONE task per feature — a straggler at
+        # high cardinality. Phase A ranks within (slice, feature, salt) so the
+        # heavy sort spreads over `salts` tasks per feature and also carries
+        # each salt bucket's distinct-count; phase B ranks the ≤ salts×k
+        # survivors. Exact: the global top-k of a salt bucket's values is in
+        # that bucket's local top-k, and salt buckets partition the distinct
+        # values so their sizes sum to the exact unique count.
+        salts = 16
+        salt = F.pmod(F.xxhash64("str_value"), F.lit(salts))
+        wa = Window.partitionBy("slice_key", "feature", "salt").orderBy(
             F.desc("cnt"), F.desc("str_value")  # tie-break parity: larger value wins
         )
-        # unique count rides the same window pass (count over the full frame)
-        # so top-k + uniques is ONE job with no persist.
-        wu = Window.partitionBy("slice_key", "feature")
+        wa_cnt = Window.partitionBy("slice_key", "feature", "salt")
+        local = (
+            counts.withColumn("salt", salt)
+            .withColumn("r", F.row_number().over(wa))
+            .withColumn("u", F.count(F.lit(1)).over(wa_cnt))
+            .where(F.col("r") <= k)
+        )
+        wb = Window.partitionBy("slice_key", "feature").orderBy(
+            F.desc("cnt"), F.desc("str_value")
+        )
+        wb_all = Window.partitionBy("slice_key", "feature")
         top_rows = (
-            counts.withColumn("rank", F.row_number().over(w))
-            .withColumn("unique", F.count(F.lit(1)).over(wu))
+            local.withColumn("rank", F.row_number().over(wb))
+            .withColumn(
+                "unique",
+                F.sum(F.when(F.col("r") == 1, F.col("u")).otherwise(0)).over(wb_all),
+            )
             .where(F.col("rank") <= k)
             .collect()
         )

@@ -1,0 +1,90 @@
+"""Mutual information between a feature and a label.
+
+The reference estimates kNN-based adjusted MI over random partitions
+(``mutual_information.py`` + ``partitioned_stats_generator.py``). Here:
+
+* ``discrete_mutual_information`` — exact MI over categorical (or binned
+  numeric) pairs: one groupBy(x, y) shuffle + two marginal aggregations
+  derived from it, MI summed driver-side in log2. Numeric columns are
+  equi-width binned first (``num_bins``).
+* ``estimated_mutual_information`` — the reference's sample-partitioned
+  shape: MI computed per random partition via the partitioned harness,
+  summarized min/max/mean/median/std across partitions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _binned(df: DataFrame, col: str, num_bins: int):
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in ("double", "float"):
+        mm = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo, hi = mm["lo"], mm["hi"]
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("string")
+        width = (hi - lo) / num_bins
+        return F.least(F.floor((c - lo) / width), F.lit(num_bins - 1)).cast("string")
+    return c.cast("string")
+
+
+def discrete_mutual_information(
+    df: DataFrame, x_col: str, y_col: str, num_bins: int = 10
+) -> float:
+    """Exact MI in bits over the (binned) joint distribution."""
+    pairs = df.select(
+        _binned(df, x_col, num_bins).alias("x"), _binned(df, y_col, num_bins).alias("y")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    rows = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        return 0.0
+    px: dict[str, float] = {}
+    py: dict[str, float] = {}
+    for r in rows:
+        px[r["x"]] = px.get(r["x"], 0) + r["n"]
+        py[r["y"]] = py.get(r["y"], 0) + r["n"]
+    mi = 0.0
+    for r in rows:
+        pxy = r["n"] / total
+        mi += pxy * math.log2(pxy / ((px[r["x"]] / total) * (py[r["y"]] / total)))
+    return max(mi, 0.0)
+
+
+def estimated_mutual_information(
+    df: DataFrame, x_col: str, y_col: str, num_partitions: int = 10,
+    num_bins: int = 10, seed: int = 42,
+) -> dict:
+    """MI estimated per random partition, summarized across partitions —
+    the reference's partitioned-estimator shape (pandas-side per partition)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_validation_spark.stats.sparse import partitioned_stats
+
+    def fn(pdf: pd.DataFrame) -> dict:
+        x = pdf[x_col]
+        y = pdf[y_col]
+        if np.issubdtype(x.dtype, np.floating):
+            x = pd.cut(x, bins=num_bins, labels=False)
+        if np.issubdtype(y.dtype, np.floating):
+            y = pd.cut(y, bins=num_bins, labels=False)
+        joint = pd.crosstab(x, y).to_numpy().astype(float)
+        total = joint.sum()
+        if total == 0:
+            return {"mi": 0.0}
+        pxy = joint / total
+        px = pxy.sum(axis=1, keepdims=True)
+        py = pxy.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = pxy * np.log2(pxy / (px @ py))
+        return {"mi": float(np.nansum(terms))}
+
+    out = partitioned_stats(
+        df.select(x_col, y_col), fn, num_partitions=num_partitions, seed=seed
+    )
+    return out["mi"]

@@ -114,6 +114,37 @@ def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> Dat
     return df.mapInPandas(run, f"{schema}, {out_col} string")
 
 
+# --------------------------------------------------------- vocab token stats
+def vocab_token_stats(
+    df: DataFrame, text_col: str, vocab: DataFrame, vocab_col: str = "token"
+) -> dict:
+    """Schema-driven NL stats vs a vocabulary table: token coverage (fraction
+    of tokens found in the vocab), OOV count, avg token length — the
+    reference's nl_stats vocab path as explode + broadcast join + aggregate.
+    """
+    tokens = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    v = F.broadcast(vocab.select(F.col(vocab_col).alias("tok")).dropDuplicates(["tok"])
+                    .withColumn("__in_vocab", F.lit(1)))
+    joined = tokens.join(v, "tok", "left")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0))).alias("in_vocab"),
+        F.avg(F.length("tok")).alias("avg_token_length"),
+    ).collect()[0]
+    total = int(row["total_tokens"] or 0)
+    inv = int(row["in_vocab"] or 0)
+    return {
+        "total_tokens": total,
+        "in_vocab_tokens": inv,
+        "oov_tokens": total - inv,
+        "coverage": inv / total if total else 0.0,
+        "avg_token_length": row["avg_token_length"] or 0.0,
+    }
+
+
 # ------------------------------------------------------- NL domain inference
 def attach_nl_stats(
     stats: DatasetStatsList,

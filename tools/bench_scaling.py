@@ -35,7 +35,7 @@ for _ in range({runs}):
     t0 = time.time()
     r = validate_images(spark, df, default_image_schema(),
                         options=StatsOptions(categorical_features={{"fmt"}}),
-                        check_pixels=True, pixel_sample_rate=0.05)
+                        check_pixels=True, pixel_sample_rate=0.25)
     dt = time.time() - t0
     if best is None or dt < best:
         best = dt
@@ -58,9 +58,9 @@ def run_level(cores: int, path: str, runs: int) -> dict:
 
 
 def main():
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     high = low * 4
 
     # ensure cached input exists (generated once, excluded from timing)
@@ -100,7 +100,7 @@ def main():
 
 Full stats + constraint + row-level pass (`pipeline.validate_images`: wide agg
 + exact top-k/uniques + fused image-format histogram + schema validation +
-uniqueness + row constraints + 5%-sampled pixel-integrity decode) over the
+uniqueness + row constraints + 25%-sampled pixel-integrity decode) over the
 deterministic `input_hint` images table ({n_images:,} rows, cached parquet).
 
 Sandbox proxy for the N vs 4N executor-cluster requirement: identical job at
