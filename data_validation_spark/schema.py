@@ -180,9 +180,30 @@ class DatasetConstraints:
 
 
 @dataclass
+class SparseFeature:
+    """Logical sparse feature over (index, value) physical columns
+    (cf. reference sparse_feature checks, ``anomalies/schema.cc:1197-1292``)."""
+
+    name: str
+    index_feature: str = ""
+    value_feature: str = ""
+
+
+@dataclass
+class WeightedFeature:
+    """Logical weighted feature over (value, weight) physical columns."""
+
+    name: str
+    feature: str = ""
+    weight_feature: str = ""
+
+
+@dataclass
 class Schema:
     feature: list[FeatureSpec] = field(default_factory=list)
     string_domain: list[StringDomain] = field(default_factory=list)
+    sparse_feature: list[SparseFeature] = field(default_factory=list)
+    weighted_feature: list[WeightedFeature] = field(default_factory=list)
     dataset_constraints: Optional[DatasetConstraints] = None
     default_environment: list[str] = field(default_factory=list)
 
@@ -284,6 +305,8 @@ _NESTED = {
     (FeatureSpec, "skew_comparator"): SkewComparator,
     (Schema, "feature"): FeatureSpec,
     (Schema, "string_domain"): StringDomain,
+    (Schema, "sparse_feature"): SparseFeature,
+    (Schema, "weighted_feature"): WeightedFeature,
     (Schema, "dataset_constraints"): DatasetConstraints,
     (DatasetConstraints, "num_examples_drift_comparator"): NumExamplesVersionComparator,
     (DatasetConstraints, "num_examples_version_comparator"): NumExamplesVersionComparator,

@@ -60,6 +60,28 @@ def weighted_feature_stats(df: DataFrame, value_col: str, weight_col: str) -> di
     }
 
 
+def attach_sparse_weighted_stats(stats, df: DataFrame, schema) -> None:
+    """Compute custom stats for every schema-declared sparse / weighted
+    feature and attach them to the artifact (one aggregation per feature;
+    the rule layer in validate/rules.py consumes them)."""
+    from data_validation_spark.stats.result import FeatureStats
+
+    ds = stats.default_slice()
+    if ds is None:
+        return
+    cols = set(df.columns)
+    for sf in getattr(schema, "sparse_feature", []):
+        if sf.index_feature in cols and sf.value_feature in cols:
+            s = sparse_feature_stats(df, sf.index_feature, sf.value_feature)
+            fs = ds.features.setdefault(sf.name, FeatureStats(name=sf.name, type="STRUCT"))
+            fs.custom["sparse_feature_stats"] = s
+    for wf in getattr(schema, "weighted_feature", []):
+        if wf.feature in cols and wf.weight_feature in cols:
+            s = weighted_feature_stats(df, wf.feature, wf.weight_feature)
+            fs = ds.features.setdefault(wf.name, FeatureStats(name=wf.name, type="STRUCT"))
+            fs.custom["weighted_feature_stats"] = s
+
+
 def empty_value_counts(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:
     """Counts of 'empty' sentinels per column: -1 for ints, '' for strings,
     [] for arrays (``empty_value_counter_generator`` parity)."""

@@ -104,7 +104,90 @@ def validate_statistics(
             continue
         validate_feature(fs, spec, schema, ds, out)
         _check_comparators(fs, spec, prev, serving, ds, out)
+
+    _check_sparse_weighted(ds, schema, out)
     return out
+
+
+def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
+    """Custom-stat-driven sparse/weighted feature checks
+    (``anomalies/schema.cc:1197-1292``)."""
+    for sf in schema.sparse_feature:
+        fs = ds.feature(sf.name)
+        s = fs.custom.get("sparse_feature_stats") if fs else None
+        if s is None:
+            continue
+        if s.get("missing_value", 0) > 0:
+            out.anomalies.append(
+                _anom(
+                    sf.name,
+                    AnomalyType.SPARSE_FEATURE_MISSING_VALUE,
+                    "Missing value feature",
+                    f"Found {s['missing_value']} examples missing the value feature.",
+                    ds.slice_key,
+                    measurement=float(s["missing_value"]),
+                )
+            )
+        if s.get("missing_index", 0) > 0:
+            out.anomalies.append(
+                _anom(
+                    sf.name,
+                    AnomalyType.SPARSE_FEATURE_MISSING_INDEX,
+                    "Missing index feature",
+                    f"Found {s['missing_index']} examples missing the index feature.",
+                    ds.slice_key,
+                    measurement=float(s["missing_index"]),
+                )
+            )
+        lo, hi = s.get("min_length_diff"), s.get("max_length_diff")
+        if (lo is not None and lo != 0) or (hi is not None and hi != 0):
+            out.anomalies.append(
+                _anom(
+                    sf.name,
+                    AnomalyType.SPARSE_FEATURE_LENGTH_MISMATCH,
+                    "Length mismatch",
+                    f"Index and value lists differ in length (diff range [{lo}, {hi}]).",
+                    ds.slice_key,
+                )
+            )
+    for wf in schema.weighted_feature:
+        fs = ds.feature(wf.name)
+        s = fs.custom.get("weighted_feature_stats") if fs else None
+        if s is None:
+            continue
+        if s.get("missing_value", 0) > 0:
+            out.anomalies.append(
+                _anom(
+                    wf.name,
+                    AnomalyType.WEIGHTED_FEATURE_MISSING_VALUE,
+                    "Missing value feature",
+                    f"Found {s['missing_value']} examples missing the value feature.",
+                    ds.slice_key,
+                    measurement=float(s["missing_value"]),
+                )
+            )
+        if s.get("missing_weight", 0) > 0:
+            out.anomalies.append(
+                _anom(
+                    wf.name,
+                    AnomalyType.WEIGHTED_FEATURE_MISSING_WEIGHT,
+                    "Missing weight feature",
+                    f"Found {s['missing_weight']} examples missing the weight feature.",
+                    ds.slice_key,
+                    measurement=float(s["missing_weight"]),
+                )
+            )
+        lo, hi = s.get("min_weight_length_diff"), s.get("max_weight_length_diff")
+        if (lo is not None and lo != 0) or (hi is not None and hi != 0):
+            out.anomalies.append(
+                _anom(
+                    wf.name,
+                    AnomalyType.WEIGHTED_FEATURE_LENGTH_MISMATCH,
+                    "Length mismatch",
+                    f"Weight and value lists differ in length (diff range [{lo}, {hi}]).",
+                    ds.slice_key,
+                )
+            )
 
 
 def _anom(feature, type_, short, desc, slice_key, measurement=None, threshold=None,

@@ -1,0 +1,123 @@
+"""Per-example validation, anomaly-reason slicing, derived features, and
+sparse/weighted schema rule wiring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.anomalies import AnomalyType as AT
+from data_validation_spark.schema import (
+    FeatureSpec,
+    IntDomain,
+    Presence,
+    Schema,
+    SparseFeature,
+    StringDomain,
+    WeightedFeature,
+)
+from data_validation_spark.stats.engine import compute_statistics
+from data_validation_spark.stats.sparse import attach_sparse_weighted_stats
+from data_validation_spark.validate.instance import (
+    slice_by_anomaly_reason,
+    statistics_for_instance,
+    validate_instance,
+    with_derived_features,
+)
+from data_validation_spark.validate.rules import validate_statistics
+
+
+def test_validate_instance_clean():
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="w", int_domain=IntDomain(min=1, max=100),
+                        presence=Presence(min_count=1)),
+            FeatureSpec(name="fmt", string_domain=StringDomain(value=["png", "jpeg"])),
+        ]
+    )
+    assert validate_instance({"w": 50, "fmt": "png"}, schema).passed
+
+
+def test_validate_instance_violations():
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="w", int_domain=IntDomain(min=1, max=100),
+                        presence=Presence(min_count=1)),
+            FeatureSpec(name="fmt", string_domain=StringDomain(value=["png", "jpeg"])),
+        ]
+    )
+    r = validate_instance({"w": -5, "fmt": "tiff"}, schema)
+    got = {a.type for a in r.anomalies}
+    assert AT.INT_TYPE_SMALL_INT in got
+    assert AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES in got
+    # missing required feature on the row
+    r2 = validate_instance({"fmt": "png"}, schema)
+    assert AT.SCHEMA_MISSING_COLUMN in {a.type for a in r2.anomalies}
+
+
+def test_validate_instance_strips_global_only():
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="w", presence=Presence(min_fraction=0.9)),
+        ]
+    )
+    # a single row missing w would be LOW_FRACTION_PRESENT on a dataset, but
+    # per-example output strips global-only types (FEATURE_TYPE_NOT_PRESENT
+    # is per-example-meaningful and kept by the reference semantics too).
+    r = validate_instance({"w": None}, schema)
+    assert AT.FEATURE_TYPE_LOW_FRACTION_PRESENT not in {a.type for a in r.anomalies}
+
+
+def test_statistics_for_instance_lists():
+    stats = statistics_for_instance({"arr": [1.0, 2.0, float("nan")], "s": ["a", "a", "b"]})
+    ds = stats.default_slice()
+    assert ds.feature("arr").common.tot_num_values == 3
+    assert ds.feature("arr").numeric.num_nan == 1
+    assert ds.feature("s").string.top_values[0] == ("a", 2.0)
+
+
+def test_slice_by_anomaly_reason(spark):
+    df = spark.createDataFrame([(1, 5), (2, -3), (3, 200)], "id long, v long")
+    from data_validation_spark.validate.rowlevel import check_row_constraints
+
+    schema = Schema(feature=[FeatureSpec(name="v", int_domain=IntDomain(min=0, max=100))])
+    violations = check_row_constraints(df, schema, "id")
+    sliced = slice_by_anomaly_reason(df, violations, "id")
+    rows = {(r["id"], r["anomaly_reason"]) for r in sliced.collect()}
+    assert rows == {(2, "ROW_CONSTRAINT_VIOLATION"), (3, "ROW_CONSTRAINT_VIOLATION")}
+
+
+def test_with_derived_features(spark):
+    df = spark.createDataFrame([(2,)], "x long")
+    out = with_derived_features(df, {"x2": F.col("x") * 2})
+    assert out.collect()[0]["x2"] == 4
+
+
+def test_sparse_weighted_rules(spark):
+    rows = [
+        ([1, 2], [10.0], ["a"], [1.0, 2.0]),
+        (None, [5.0], ["b"], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "idx array<int>, val array<double>, wv array<string>, wt array<double>"
+    )
+    schema = Schema(
+        sparse_feature=[SparseFeature(name="sp", index_feature="idx", value_feature="val")],
+        weighted_feature=[WeightedFeature(name="wf", feature="wv", weight_feature="wt")],
+    )
+    stats = compute_statistics(df)
+    attach_sparse_weighted_stats(stats, df, schema)
+    result = validate_statistics(stats, schema)
+    got = {a.type for a in result.anomalies}
+    assert AT.SPARSE_FEATURE_MISSING_INDEX in got
+    assert AT.SPARSE_FEATURE_LENGTH_MISMATCH in got
+    assert AT.WEIGHTED_FEATURE_MISSING_WEIGHT in got
+    assert AT.WEIGHTED_FEATURE_LENGTH_MISMATCH in got
+
+
+def test_schema_json_roundtrip_sparse():
+    schema = Schema(
+        sparse_feature=[SparseFeature(name="sp", index_feature="i", value_feature="v")],
+        weighted_feature=[WeightedFeature(name="wf", feature="f", weight_feature="w")],
+    )
+    back = Schema.from_json(schema.to_json())
+    assert back.sparse_feature[0].index_feature == "i"
+    assert back.weighted_feature[0].weight_feature == "w"
