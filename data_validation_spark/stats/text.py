@@ -82,6 +82,34 @@ def fingerprint_col(col, ngram: int = 0) -> "F.Column":
     return F.xxhash64(norm)
 
 
+# ----------------------------------------------------------- invalid UTF-8
+def invalid_utf8_count(df: DataFrame, binary_col: str) -> int:
+    """Count of binary values that are not valid UTF-8 (the reference's
+    CountInvalidUTF8 over bytes features). Spark ``StringType`` is UTF-8 by
+    construction, so this only applies to binary columns. JVM-side: a value
+    is invalid iff the permissive binary→string cast loses round-tripping
+    (replacement characters appear)."""
+    c = F.col(binary_col)
+    decoded = c.cast("string")
+    # try_cast keeps invalid sequences as replacement chars; re-encoding a
+    # valid string yields the original bytes.
+    bad = F.when(c.isNotNull() & (F.encode(decoded, "UTF-8") != c), 1).otherwise(0)
+    row = df.agg(F.sum(bad).alias("n")).collect()[0]
+    return int(row["n"] or 0)
+
+
+def attach_invalid_utf8(stats: DatasetStatsList, df: DataFrame, binary_col: str) -> None:
+    n = invalid_utf8_count(df, binary_col)
+    for sl in stats.slices:
+        fs = sl.features.get(binary_col)
+        if fs is not None:
+            if fs.string is None:
+                from data_validation_spark.stats.result import StringStats
+
+                fs.string = StringStats()
+            fs.string.invalid_utf8_count = n
+
+
 # ---------------------------------------------------------------- language id
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "it", "that", "for", "was", "with", "a"},

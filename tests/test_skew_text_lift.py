@@ -203,3 +203,19 @@ def test_checkpoint_resume(spark, tmp_path):
     assert set(ledger.completed()) == {"p0", "p1", "p2"}
     st = ledger.load_stats("p0")
     assert st.default_slice().num_examples == 300
+
+
+def test_invalid_utf8_count(spark):
+    from data_validation_spark.stats.text import attach_invalid_utf8, invalid_utf8_count
+
+    rows = [
+        (bytearray("héllo".encode()),),
+        (bytearray(b"\xff\xfe\x00bad"),),
+        (bytearray(b"ok"),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "b binary")
+    assert invalid_utf8_count(df, "b") == 1
+    stats = compute_statistics(df)
+    attach_invalid_utf8(stats, df, "b")
+    assert stats.default_slice().feature("b").string.invalid_utf8_count == 1
