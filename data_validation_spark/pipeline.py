@@ -126,33 +126,44 @@ def validate_images(
     if "bytes" in df.columns:
         options.image_columns = set(options.image_columns) | {"bytes"}
 
-    # format histogram is fused into the wide agg (options.image_columns);
-    # the bytes column is scanned once for all its stats.
-    stats = compute_statistics(df, options)
+    # The stats pass and the row-level violations pass are independent job
+    # graphs — submit them concurrently so their stages interleave.
+    from concurrent.futures import ThreadPoolExecutor
+    from functools import reduce
 
-    if prev_stats is None and prev_df is not None:
-        prev_stats = compute_statistics(prev_df, options)
+    def stats_job():
+        # format histogram is fused into the wide agg (options.image_columns);
+        # the bytes column is scanned once for all its stats.
+        s = compute_statistics(df, options)
+        p = prev_stats
+        if p is None and prev_df is not None:
+            p = compute_statistics(prev_df, options)
+        return s, p
+
+    def violations_job():
+        violations = []
+        if "image_id" in df.columns:
+            violations.append(check_uniqueness(df, "image_id"))
+        violations.append(check_row_constraints(df, schema, _key_col(df)))
+        if check_pixels and "bytes" in df.columns:
+            violations.append(check_pixel_integrity(df, sample_rate=pixel_sample_rate))
+        out: dict = {}
+        if violations:
+            allv = reduce(lambda a, b: a.unionByName(b), violations)
+            for r in summarize_violations(allv).collect():
+                out[(r["feature"], r["anomaly_type"])] = r["violation_count"]
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        stats_f = pool.submit(stats_job)
+        viol_f = pool.submit(violations_job)
+        stats, prev_stats_resolved = stats_f.result()
+        vc = viol_f.result()
+    prev_stats = prev_stats_resolved
 
     anomalies = validate_statistics(
         stats, schema, environment=environment, previous_statistics=prev_stats
     )
-
-    # Row-level checks — one violations union, summarized in a single action.
-    violations = []
-    if "image_id" in df.columns:
-        violations.append(check_uniqueness(df, "image_id"))
-    violations.append(check_row_constraints(df, schema, _key_col(df)))
-    if check_pixels and "bytes" in df.columns:
-        violations.append(
-            check_pixel_integrity(df, sample_rate=pixel_sample_rate)
-        )
-    vc: dict = {}
-    if violations:
-        from functools import reduce
-
-        allv = reduce(lambda a, b: a.unionByName(b), violations)
-        for r in summarize_violations(allv).collect():
-            vc[(r["feature"], r["anomaly_type"])] = r["violation_count"]
 
     ds = stats.default_slice()
     return ValidationRunResult(

@@ -80,7 +80,12 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         if p.name in options.image_columns and p.stats_type == E.BYTES:
             p.image_stats = True
 
-    # ---- wide pass --------------------------------------------------------
+    # ---- wide + long passes, submitted concurrently ------------------------
+    # The two jobs are independent; overlapping them lets Spark's scheduler
+    # interleave their stages (fills the cluster while either job's final
+    # single-reducer stage runs) and hides per-job fixed overhead.
+    from concurrent.futures import ThreadPoolExecutor
+
     agg_exprs = E.build_agg_exprs(
         plans,
         options.weight_column,
@@ -90,21 +95,26 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         # sketch mode computes quantiles via t-digest in the sketch pass
         include_quantiles=not options.use_sketches,
     )
-    wide_rows = (
-        df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
-    )
+
+    def wide_job():
+        return df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
+
+    def long_job():
+        if options.use_sketches:
+            from data_validation_spark.stats.sketches.runner import run_sketch_pass
+
+            return run_sketch_pass(df, plans, slice_col, options)
+        return _run_long_pass(df, plans, slice_col, options)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        wide_f = pool.submit(wide_job)
+        long_f = pool.submit(long_job)
+        wide_rows = wide_f.result()
+        topk_data, uniq_data, arr_data = long_f.result()
 
     if not wide_rows:
         # Placeholder-for-empty-input parity (stats_impl.py:141-158).
         return DatasetStatsList([DatasetStats(options.default_slice_key, 0, features={})])
-
-    # ---- long pass (exact top-k / uniques + array-element numerics) -------
-    if options.use_sketches:
-        from data_validation_spark.stats.sketches.runner import run_sketch_pass
-
-        topk_data, uniq_data, arr_data = run_sketch_pass(df, plans, slice_col, options)
-    else:
-        topk_data, uniq_data, arr_data = _run_long_pass(df, plans, slice_col, options)
 
     # ---- assembly ----------------------------------------------------------
     slices = []

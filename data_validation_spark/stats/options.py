@@ -19,7 +19,8 @@ class StatsOptions:
     num_values_histogram_buckets: int = 10
 
     # Approximation knobs (reference: eps=0.01 quantiles; MG 1024; KMV 16384).
-    quantiles_accuracy: int = 1000  # 1/eps for percentile_approx
+    # 1/eps for percentile_approx; reference eps=0.01 ⇒ 100 — default 2× that
+    quantiles_accuracy: int = 200
     tdigest_compression: int = 200
     topk_sketch_size: int = 1024
     hll_precision: int = 14  # 2^14 = 16384 registers
