@@ -70,7 +70,7 @@ def main() -> None:
         default_image_schema(),
         options=StatsOptions(categorical_features={"fmt"}),
         check_pixels=True,
-        pixel_sample_rate=0.05,
+        pixel_sample_rate=0.25,
     )
     dt = time.time() - t0
     timings["images_validate"] = round(dt, 3)

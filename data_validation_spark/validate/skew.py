@@ -91,10 +91,8 @@ def detect_feature_skew(
             bc, tc = F.round(bc, float_round_ndigits), F.round(tc, float_round_ndigits)
         return bc.eqNullSafe(tc)
 
-    joined = b.alias("b").join(t.alias("t"), "__fp", "full_outer")
-    in_base = F.lit(True)
-    # presence flags: a side participated if any of its columns row exists.
-    # full_outer keeps __fp non-null; detect side presence via marker columns.
+    # presence flags: full_outer keeps __fp non-null on both sides, so side
+    # participation is detected via explicit marker columns.
     b2 = b.withColumn("__in_b", F.lit(1))
     t2 = t.withColumn("__in_t", F.lit(1))
     joined = b2.alias("b").join(t2.alias("t"), "__fp", "full_outer")
