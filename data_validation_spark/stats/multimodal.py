@@ -1,0 +1,301 @@
+"""Multimodal binary columns — audio/video as opaque ``binary`` with typed
+metadata, mirroring the image pipeline's shape (sniff → metadata → sampled
+decode → features).
+
+Real implementations (no external libs needed):
+* WAV (PCM): full encoder/decoder + metadata (channels/rate/duration) +
+  feature extraction (RMS energy, zero-crossing rate, peak).
+* Container sniffing for mp3/flac/ogg/mp4/webm/avi by magic bytes (JVM-side
+  column expression — no Python in that path).
+* MP4: real ftyp major-brand parse.
+
+STUBS (clearly marked — this container has no media codecs):
+* ``decode_audio`` for mp3/flac/ogg and ``sample_frames`` for video raise
+  ``NotImplementedError`` pointing at the integration seam; the Spark-side
+  plumbing (schemas, Arrow batch shapes, chunking, sampling) is real and
+  tested with WAV / synthetic payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------- sniffing --
+_MEDIA_MAGICS = [
+    ("wav", 0, b"RIFF"),  # + WAVE at 8, checked below
+    ("flac", 0, b"fLaC"),
+    ("ogg", 0, b"OggS"),
+    ("mp3", 0, b"ID3"),
+    ("webm", 0, b"\x1a\x45\xdf\xa3"),
+    ("avi", 0, b"RIFF"),  # + AVI at 8
+]
+
+
+def sniff_media_col(col) -> "F.Column":
+    """JVM-side media-container sniffing: wav/mp3/flac/ogg/mp4/webm/avi/UNKNOWN."""
+    b = F.col(col) if isinstance(col, str) else col
+
+    def pre(off: int, sig: bytes):
+        return F.substring(b, off + 1, len(sig)) == F.lit(sig)
+
+    return (
+        F.when(b.isNull(), F.lit(None).cast("string"))
+        .when(pre(0, b"RIFF") & pre(8, b"WAVE"), "wav")
+        .when(pre(0, b"RIFF") & pre(8, b"AVI "), "avi")
+        .when(pre(0, b"fLaC"), "flac")
+        .when(pre(0, b"OggS"), "ogg")
+        .when(pre(0, b"ID3") | (F.substring(b, 1, 2) == F.lit(b"\xff\xfb")), "mp3")
+        .when(pre(4, b"ftyp"), "mp4")
+        .when(pre(0, b"\x1a\x45\xdf\xa3"), "webm")
+        .otherwise("UNKNOWN")
+    )
+
+
+def sniff_media(data: Optional[bytes]) -> str:
+    if not data:
+        return "UNKNOWN"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
+    if data[:4] == b"fLaC":
+        return "flac"
+    if data[:4] == b"OggS":
+        return "ogg"
+    if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
+        return "mp3"
+    if data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"
+    return "UNKNOWN"
+
+
+# ------------------------------------------------------------------- WAV ----
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono/multichannel int16 PCM → WAV bytes (real, stdlib-only)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, channels = samples.shape
+    pcm = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    data_size = len(pcm)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+        + pcm
+    )
+
+
+def decode_wav(data: bytes) -> Optional[tuple[np.ndarray, int]]:
+    """WAV bytes → (int16 array [frames, channels], sample_rate). Real."""
+    try:
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        pos = 12
+        fmt = None
+        pcm = None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + size]
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                pcm = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or pcm is None or fmt[0] != 1 or fmt[5] != 16:
+            return None
+        channels, rate = fmt[1], fmt[2]
+        arr = np.frombuffer(pcm, dtype="<i2")
+        return arr.reshape(-1, channels), rate
+    except Exception:
+        return None
+
+
+def wav_metadata(data: bytes) -> Optional[dict]:
+    decoded = decode_wav(data)
+    if decoded is None:
+        return None
+    arr, rate = decoded
+    return {
+        "channels": arr.shape[1],
+        "sample_rate": rate,
+        "n_frames": arr.shape[0],
+        "duration_s": arr.shape[0] / rate if rate else 0.0,
+    }
+
+
+def mp4_major_brand(data: bytes) -> Optional[str]:
+    """Real ftyp parse: the major brand of an MP4/ISO-BMFF container."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return data[8:12].decode("ascii", "replace").strip()
+    return None
+
+
+# ------------------------------------------------------------- decode stubs --
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode audio payload → (int16 samples, rate). WAV is real; compressed
+    codecs are a STUB — wire a real decoder (ffmpeg/soundfile) here."""
+    fmt = sniff_media(data)
+    if fmt == "wav":
+        out = decode_wav(data)
+        if out is None:
+            raise ValueError("corrupt wav payload")
+        return out
+    raise NotImplementedError(
+        f"STUB: no {fmt} decoder in this environment — integrate ffmpeg/"
+        "soundfile at this seam; the Spark plumbing (metadata pass, feature "
+        "pass, chunking) is format-agnostic and tested via WAV."
+    )
+
+
+def sample_frames(data: bytes, every_n: int = 30) -> list[np.ndarray]:
+    """Video frame sampling STUB — no video codec in this environment.
+    Integrate PyAV/ffmpeg here; see media_chunks for the batch plumbing."""
+    raise NotImplementedError(
+        "STUB: video frame sampling requires a codec (PyAV/ffmpeg); "
+        "the distributed plumbing is exercised via media_chunks()."
+    )
+
+
+# ----------------------------------------------------------- Spark passes ---
+MEDIA_META_DDL = (
+    "id string, media_format string, payload_bytes bigint, channels int, "
+    "sample_rate int, n_frames bigint, duration_s double, mp4_brand string"
+)
+
+
+def extract_media_metadata(
+    df: DataFrame, id_col: str, bytes_col: str, sample_rate: Optional[float] = None
+) -> DataFrame:
+    """Arrow-batched metadata extraction over an opaque media column.
+    Real for WAV/MP4-brand; other formats surface format + size only."""
+    src = df.select(F.col(id_col).cast("string").alias("k"), F.col(bytes_col).alias("b"))
+    if sample_rate is not None and sample_rate < 1.0:
+        src = src.sample(fraction=sample_rate, seed=42)
+
+    def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("k").to_pylist()
+            datas = batch.column("b").to_pylist()
+            rows = {k: [] for k in (
+                "id", "media_format", "payload_bytes", "channels", "sample_rate",
+                "n_frames", "duration_s", "mp4_brand")}
+            for k, d in zip(ids, datas):
+                fmt = sniff_media(d)
+                meta = wav_metadata(d) if fmt == "wav" else None
+                rows["id"].append(k)
+                rows["media_format"].append(fmt)
+                rows["payload_bytes"].append(len(d) if d is not None else None)
+                rows["channels"].append(meta["channels"] if meta else None)
+                rows["sample_rate"].append(meta["sample_rate"] if meta else None)
+                rows["n_frames"].append(meta["n_frames"] if meta else None)
+                rows["duration_s"].append(meta["duration_s"] if meta else None)
+                rows["mp4_brand"].append(mp4_major_brand(d) if fmt == "mp4" and d else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["id"], pa.string()),
+                    pa.array(rows["media_format"], pa.string()),
+                    pa.array(rows["payload_bytes"], pa.int64()),
+                    pa.array(rows["channels"], pa.int32()),
+                    pa.array(rows["sample_rate"], pa.int32()),
+                    pa.array(rows["n_frames"], pa.int64()),
+                    pa.array(rows["duration_s"], pa.float64()),
+                    pa.array(rows["mp4_brand"], pa.string()),
+                ],
+                names=list(rows),
+            )
+
+    return src.mapInArrow(run, MEDIA_META_DDL)
+
+
+AUDIO_FEATURES_DDL = (
+    "id string, rms double, peak double, zero_crossing_rate double, duration_s double"
+)
+
+
+def audio_features(df: DataFrame, id_col: str, bytes_col: str,
+                   sample_rate: Optional[float] = None) -> DataFrame:
+    """Vectorized audio feature extraction (RMS / peak / ZCR) — real for WAV;
+    undecodable payloads yield NULL features (decode seam documented above)."""
+    src = df.select(F.col(id_col).cast("string").alias("k"), F.col(bytes_col).alias("b"))
+    if sample_rate is not None and sample_rate < 1.0:
+        src = src.sample(fraction=sample_rate, seed=42)
+
+    def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("k").to_pylist()
+            datas = batch.column("b").to_pylist()
+            out = {k: [] for k in ("id", "rms", "peak", "zcr", "dur")}
+            for k, d in zip(ids, datas):
+                out["id"].append(k)
+                decoded = decode_wav(d) if d is not None and sniff_media(d) == "wav" else None
+                if decoded is None:
+                    for f in ("rms", "peak", "zcr", "dur"):
+                        out[f].append(None)
+                    continue
+                arr, rate = decoded
+                x = arr[:, 0].astype(np.float64) / 32768.0
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if x.size else 0.0)
+                out["zcr"].append(
+                    float(np.mean(np.abs(np.diff(np.signbit(x))))) if x.size > 1 else 0.0
+                )
+                out["dur"].append(x.size / rate if rate else 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["id"], pa.string()),
+                    pa.array(out["rms"], pa.float64()),
+                    pa.array(out["peak"], pa.float64()),
+                    pa.array(out["zcr"], pa.float64()),
+                    pa.array(out["dur"], pa.float64()),
+                ],
+                names=["id", "rms", "peak", "zero_crossing_rate", "duration_s"],
+            )
+
+    return src.mapInArrow(run, AUDIO_FEATURES_DDL)
+
+
+def media_chunks(
+    df: DataFrame, id_col: str, bytes_col: str, chunk_bytes: int = 1 << 20
+) -> DataFrame:
+    """Split opaque payloads into fixed-size chunks ``(id, chunk_idx, chunk)``
+    — the distributed plumbing for frame-sampling / shard-wise feature
+    extraction (each chunk processes independently downstream)."""
+    src = df.select(F.col(id_col).cast("string").alias("k"), F.col(bytes_col).alias("b"))
+
+    def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("k").to_pylist()
+            datas = batch.column("b").to_pylist()
+            out_id, out_idx, out_chunk = [], [], []
+            for k, d in zip(ids, datas):
+                if d is None:
+                    continue
+                for i in range(0, max(len(d), 1), chunk_bytes):
+                    out_id.append(k)
+                    out_idx.append(i // chunk_bytes)
+                    out_chunk.append(d[i : i + chunk_bytes])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.string()),
+                    pa.array(out_idx, pa.int32()),
+                    pa.array(out_chunk, pa.binary()),
+                ],
+                names=["id", "chunk_idx", "chunk"],
+            )
+
+    return src.mapInArrow(run, "id string, chunk_idx int, chunk binary")
