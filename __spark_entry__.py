@@ -747,6 +747,75 @@ def _merged_stats_sql():
     return " UNION ALL ".join(parts)
 
 
+def q_tpch_q3ish(spark, sf_dir):
+    """Three-table join + agg + top-10 (broadcast dims, shuffled fact)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(_e6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_e6"))
+        .orderBy(F.desc("revenue_e6"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q3_sql():
+    return (
+        "SELECT l_orderkey, CAST(ROUND(sum(l_extendedprice*(1-l_discount))*1000000) AS BIGINT) "
+        "AS revenue_e6 FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey "
+        "ORDER BY revenue_e6 DESC, l_orderkey ASC LIMIT 10"
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Rollup aggregation (sub-total hierarchy)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _e6(F.sum("o_totalprice")).alias("total_e6"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def _rollup_sql():
+    return (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "CAST(ROUND(sum(o_totalprice)*1000000) AS BIGINT) AS total_e6 "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus, o_orderpriority"
+    )
+
+
+def q_pivot_returnflag(spark, sf_dir):
+    """Pivot: returnflag rows × linestatus columns of summed quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_e6(F.sum("l_quantity")))
+        .withColumnRenamed("O", "qty_o_e6")
+        .withColumnRenamed("F", "qty_f_e6")
+        .orderBy("l_returnflag")
+    )
+
+
+def _pivot_sql():
+    return (
+        "SELECT l_returnflag, "
+        "CAST(ROUND(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)*1000000) AS BIGINT) "
+        "AS qty_o_e6, "
+        "CAST(ROUND(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)*1000000) AS BIGINT) "
+        "AS qty_f_e6 "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Exact discrete MI between event_type and a high-value flag."""
     from data_validation_spark.stats.mi import discrete_mutual_information
@@ -966,6 +1035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_stats_parity": q_merged_stats_parity,
         "mutual_information": q_mutual_information,
         "vocab_coverage": q_vocab_coverage,
+        "tpch_q3ish": q_tpch_q3ish,
+        "rollup_orders": q_rollup_orders,
+        "pivot_returnflag": q_pivot_returnflag,
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "simhash_docs": q_simhash_docs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1022,6 +1094,9 @@ def oracle_sql() -> dict[str, str]:
         "merged_stats_parity": _merged_stats_sql(),
         "mutual_information": _mi_sql(),
         "vocab_coverage": _vocab_sql(),
+        "tpch_q3ish": _q3_sql(),
+        "rollup_orders": _rollup_sql(),
+        "pivot_returnflag": _pivot_sql(),
         # images_profile / images_verdict / minhash_dedup / sketch_stats:
         # non-SQL-expressible (synthesized input / sketches / LSH) → rows-only.
     }
