@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-IMAGES_N = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "50000"))
+IMAGES_N = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "400000"))
 
 BENCH_QUERIES = [
     "tpch_q1",
