@@ -55,6 +55,77 @@ def discrete_mutual_information(
     return max(mi, 0.0)
 
 
+def _digamma(x: float) -> float:
+    """Digamma via recurrence + asymptotic expansion (no scipy in image)."""
+    r = 0.0
+    while x < 6:
+        r -= 1.0 / x
+        x += 1.0
+    f = 1.0 / (x * x)
+    return r + math.log(x) - 0.5 / x - f * (
+        1.0 / 12 - f * (1.0 / 120 - f * (1.0 / 252 - f / 240))
+    )
+
+
+def kraskov_mi(x, y, k: int = 3) -> float:
+    """KSG estimator #1 (Kraskov et al. 2004) of MI between two continuous
+    samples, in nats — the reference's kNN-MI approach
+    (``mutual_information.py``). Brute-force neighbor search: intended for the
+    per-partition samples of the partitioned harness (n ≤ a few thousand).
+
+        MI ≈ ψ(k) + ψ(N) − ⟨ψ(n_x+1) + ψ(n_y+1)⟩
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64).ravel()
+    y = np.asarray(y, dtype=np.float64).ravel()
+    m = np.isfinite(x) & np.isfinite(y)
+    x, y = x[m], y[m]
+    n = x.size
+    if n <= k + 1:
+        return 0.0
+    # tiny deterministic jitter breaks ties (KSG assumes continuous data)
+    rngx = (x.max() - x.min()) or 1.0
+    rngy = (y.max() - y.min()) or 1.0
+    g = np.random.Generator(np.random.Philox(key=[1234, 0]))
+    x = x + g.normal(0, 1e-10 * rngx, n)
+    y = y + g.normal(0, 1e-10 * rngy, n)
+
+    dx = np.abs(x[:, None] - x[None, :])
+    dy = np.abs(y[:, None] - y[None, :])
+    dj = np.maximum(dx, dy)  # Chebyshev distance in the joint space
+    np.fill_diagonal(dj, np.inf)
+    eps = np.partition(dj, k - 1, axis=1)[:, k - 1]  # k-th NN distance
+    nx = (dx < eps[:, None]).sum(axis=1) - 1  # exclude self
+    ny = (dy < eps[:, None]).sum(axis=1) - 1
+    psi = _digamma
+    mi = psi(k) + psi(n) - float(
+        np.mean([psi(a + 1) + psi(b + 1) for a, b in zip(nx, ny)])
+    )
+    return max(mi, 0.0)
+
+
+def estimated_knn_mutual_information(
+    df: DataFrame, x_col: str, y_col: str, num_partitions: int = 10,
+    k: int = 3, max_rows_per_partition: int = 2000, seed: int = 42,
+) -> dict:
+    """kNN (Kraskov) MI per random partition, summarized across partitions —
+    the reference's partitioned kNN-MI shape."""
+    import pandas as pd
+
+    from data_validation_spark.stats.sparse import partitioned_stats
+
+    def fn(pdf: pd.DataFrame) -> dict:
+        if len(pdf) > max_rows_per_partition:
+            pdf = pdf.sample(n=max_rows_per_partition, random_state=0)
+        return {"knn_mi_nats": kraskov_mi(pdf[x_col].to_numpy(), pdf[y_col].to_numpy(), k)}
+
+    out = partitioned_stats(
+        df.select(x_col, y_col).dropna(), fn, num_partitions=num_partitions, seed=seed
+    )
+    return out["knn_mi_nats"]
+
+
 def estimated_mutual_information(
     df: DataFrame, x_col: str, y_col: str, num_partitions: int = 10,
     num_bins: int = 10, seed: int = 42,

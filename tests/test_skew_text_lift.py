@@ -219,3 +219,27 @@ def test_invalid_utf8_count(spark):
     stats = compute_statistics(df)
     attach_invalid_utf8(stats, df, "b")
     assert stats.default_slice().feature("b").string.invalid_utf8_count == 1
+
+
+def test_kraskov_knn_mi(spark):
+    import math
+
+    import numpy as np
+
+    from data_validation_spark.stats.mi import estimated_knn_mutual_information, kraskov_mi
+
+    rng = np.random.RandomState(0)
+    n = 1200
+    x = rng.normal(size=n)
+    rho = 0.8
+    y = rho * x + math.sqrt(1 - rho * rho) * rng.normal(size=n)
+    # analytic MI of bivariate gaussian: −½ ln(1−ρ²) ≈ 0.511 nats
+    assert kraskov_mi(x, y) == pytest.approx(0.511, abs=0.09)
+    assert kraskov_mi(x, rng.normal(size=n)) < 0.05
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    summary = estimated_knn_mutual_information(df, "x", "y", num_partitions=4)
+    assert summary["num_partitions"] == 4
+    assert summary["mean"] == pytest.approx(0.511, abs=0.15)
