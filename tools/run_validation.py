@@ -68,14 +68,21 @@ def main() -> int:
     if args.partition_col:
         from data_validation_spark.io.checkpoint import run_partitioned
 
-        parts = [
-            str(r[0])
+        raw_parts = [
+            r[0]
             for r in df.select(args.partition_col).distinct().orderBy(args.partition_col).collect()
         ]
+        by_label = {("__NULL__" if p is None else str(p)): p for p in raw_parts}
+
+        def read_part(label: str):
+            v = by_label[label]
+            c = F.col(args.partition_col)
+            return df.where(c.isNull() if v is None else c.cast("string") == str(v))
+
         recs = run_partitioned(
             spark,
-            parts,
-            lambda p: df.where(F.col(args.partition_col).cast("string") == p),
+            sorted(by_label),
+            read_part,
             schema or default_image_schema(),
             args.ledger or "./_dvs_ledger",
             check_pixels=args.check_pixels,
