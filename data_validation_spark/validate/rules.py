@@ -383,9 +383,33 @@ def _check_int_domain(fs, spec, sk, out):
     if spec.int_domain is None:
         return
     d = spec.int_domain
-    lo, hi = _observed_range(fs)
-    if lo is None:
-        return
+    if fs.type == "STRING" and fs.string is not None:
+        # int domain on a string feature: every observed value must parse as
+        # an integer (int_domain_util.cc string-parsing semantics).
+        lo = hi = None
+        for b in fs.string.rank_histogram:
+            try:
+                v = int(b.label)
+            except ValueError:
+                out.anomalies.append(
+                    _anom(
+                        spec.name,
+                        AnomalyType.INT_TYPE_NOT_INT_STRING,
+                        "Non-integer string values",
+                        f"String value '{b.label}' does not parse as an integer.",
+                        sk,
+                    )
+                )
+                return
+            lo = v if lo is None else min(lo, v)
+            hi = v if hi is None else max(hi, v)
+        if lo is None:
+            return
+        lo, hi = float(lo), float(hi)
+    else:
+        lo, hi = _observed_range(fs)
+        if lo is None:
+            return
     if d.min is not None and lo < d.min:
         out.anomalies.append(
             _anom(
@@ -416,6 +440,23 @@ def _check_float_domain(fs, spec, sk, out):
     if spec.float_domain is None:
         return
     d = spec.float_domain
+    if fs.type == "STRING" and fs.string is not None and fs.numeric is None:
+        # float domain on a string feature (float_domain_util.cc parsing path)
+        for b in fs.string.rank_histogram:
+            try:
+                float(b.label)
+            except ValueError:
+                out.anomalies.append(
+                    _anom(
+                        spec.name,
+                        AnomalyType.FLOAT_TYPE_STRING_NOT_FLOAT,
+                        "Non-float string values",
+                        f"String value '{b.label}' does not parse as a float.",
+                        sk,
+                    )
+                )
+                return
+        return
     n = fs.numeric
     if n is None:
         return

@@ -448,3 +448,23 @@ def test_update_schema_fixes_anomalies():
     assert result.passed, result.to_json()
     assert fixed.get_feature("new_col") is not None
     assert "tiff" in fixed.resolve_string_domain(fixed.get_feature("fmt")).value
+
+
+def test_int_domain_on_string_feature():
+    ok = make_stats([_string_feature("s", {"1": 3.0, "42": 2.0})])
+    schema = Schema(feature=[FeatureSpec(name="s", int_domain=IntDomain(min=0, max=100))])
+    assert validate_statistics(ok, schema).passed
+    # out of range after parsing
+    big = make_stats([_string_feature("s", {"1": 3.0, "999": 2.0})])
+    assert AT.INT_TYPE_BIG_INT in types(validate_statistics(big, schema), "s")
+    # non-integer string
+    bad = make_stats([_string_feature("s", {"1": 3.0, "abc": 2.0})])
+    assert types(validate_statistics(bad, schema), "s") == {AT.INT_TYPE_NOT_INT_STRING}
+
+
+def test_float_domain_on_string_feature():
+    ok = make_stats([_string_feature("s", {"1.5": 3.0, "2e3": 2.0})])
+    schema = Schema(feature=[FeatureSpec(name="s", float_domain=FloatDomain())])
+    assert validate_statistics(ok, schema).passed
+    bad = make_stats([_string_feature("s", {"1.5": 3.0, "xyz": 2.0})])
+    assert AT.FLOAT_TYPE_STRING_NOT_FLOAT in types(validate_statistics(bad, schema), "s")
