@@ -150,7 +150,9 @@ Reproduce: `python tools/bench_scaling.py {n_images} {low} {runs}`
 (one-time datagen cached under `.data/`). Per-round query timings land in
 `BENCH_r{{N}}.json` via `bench.py`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BASELINE.md is the curated synthesis across sessions — raw per-run
+    # reports go to lastrun.md so a bad window never clobbers the record.
+    with open(os.path.join(REPO, "BENCH", "lastrun.md"), "w") as f:
         f.write(md)
 
 
