@@ -601,7 +601,9 @@ def q_crosscorr(spark, sf_dir):
         li.groupBy("l_returnflag")
         .agg(
             _e6(F.corr("l_quantity", "l_extendedprice")).alias("corr_e6"),
-            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).cast("double").alias("covar_r2"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("covar_c"),
         )
         .orderBy("l_returnflag")
     )
@@ -610,8 +612,8 @@ def q_crosscorr(spark, sf_dir):
 def _crosscorr_sql():
     return (
         "SELECT l_returnflag, CAST(ROUND(corr(l_quantity, l_extendedprice)*1000000) AS BIGINT) "
-        "AS corr_e6, ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_r2 "
-        "FROM lineitem GROUP BY 1 ORDER BY 1"
+        "AS corr_e6, CAST(ROUND(covar_pop(l_quantity, l_extendedprice) * 100) AS BIGINT) "
+        "AS covar_c FROM lineitem GROUP BY 1 ORDER BY 1"
     )
 
 
