@@ -372,8 +372,15 @@ def q_duplicate_keys(spark, sf_dir):
     """Salted exact-dup detection on (user_id, event_type) pairs."""
     from data_validation_spark.validate.rowlevel import check_uniqueness
 
+    # Null semantics aligned with the oracle: both sides coalesce NULL key
+    # parts to an explicit sentinel (concat_ws would *skip* nulls while the
+    # SQL `||` would propagate them — neither matches the other implicitly).
     events = _t(spark, sf_dir, "events").select(
-        F.concat_ws("#", F.col("user_id").cast("string"), "event_type").alias("k")
+        F.concat_ws(
+            "#",
+            F.coalesce(F.col("user_id").cast("string"), F.lit("<null>")),
+            F.coalesce(F.col("event_type"), F.lit("<null>")),
+        ).alias("k")
     )
     v = check_uniqueness(events, "k")
     return v.agg(
@@ -384,8 +391,9 @@ def q_duplicate_keys(spark, sf_dir):
 
 def _duplicate_keys_sql():
     return (
-        "SELECT count(*) AS dup_keys, sum(c) AS dup_rows FROM ("
-        "SELECT CAST(user_id AS VARCHAR) || '#' || event_type AS k, count(*) AS c "
+        "SELECT count(*) AS dup_keys, CAST(sum(c) AS BIGINT) AS dup_rows FROM ("
+        "SELECT coalesce(CAST(user_id AS VARCHAR), '<null>') || '#' || "
+        "coalesce(event_type, '<null>') AS k, count(*) AS c "
         "FROM events GROUP BY 1 HAVING count(*) > 1)"
     )
 
@@ -407,7 +415,7 @@ def q_dedup_exact_docs(spark, sf_dir):
 def _dedup_exact_sql():
     return (
         "SELECT count(*) AS distinct_texts, "
-        "sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_groups FROM ("
+        "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups FROM ("
         "SELECT md5(text) AS fp, count(*) AS cnt FROM documents GROUP BY 1)"
     )
 
@@ -530,7 +538,8 @@ def _sessionization_sql():
         "WITH flagged AS (SELECT user_id, CASE WHEN epoch(ts) - "
         "lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800 THEN 1 ELSE 0 END "
         "AS new_sess FROM events) "
-        "SELECT user_id, max(sess_id) + 1 AS n_sessions, count(*) AS n_events FROM ("
+        "SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM ("
         "SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY user_id "
         "ROWS UNBOUNDED PRECEDING) AS sess_id FROM flagged) GROUP BY user_id ORDER BY user_id"
     )
@@ -851,12 +860,21 @@ def q_vocab_coverage(spark, sf_dir):
     tokens = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     ).where(F.length("token") > 0)
-    w = Window.orderBy(F.desc("cnt"), F.desc("token"))
-    vocab = (
+    # Salted two-phase exact top-100 (same shape as stats/engine.py's top-k):
+    # a global Window.orderBy would sort every distinct token in ONE task.
+    salts = 16
+    counts = (
         tokens.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= 100)
+        .withColumn("salt", F.pmod(F.xxhash64("token"), F.lit(salts)))
+    )
+    wa = Window.partitionBy("salt").orderBy(F.desc("cnt"), F.desc("token"))
+    wb = Window.orderBy(F.desc("cnt"), F.desc("token"))
+    vocab = (
+        counts.withColumn("r", F.row_number().over(wa))
+        .where(F.col("r") <= 100)  # global top-100 ⊆ union of per-salt top-100
+        .withColumn("r2", F.row_number().over(wb))
+        .where(F.col("r2") <= 100)
         .select("token")
     )
     s = vocab_token_stats(docs, "text", vocab)
@@ -883,8 +901,8 @@ def _vocab_sql():
         "FROM toks2 GROUP BY token) WHERE r <= 100), "
         "j AS (SELECT t.token, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS iv "
         "FROM toks2 t LEFT JOIN vocab v ON t.token = v.token) "
-        "SELECT count(*) AS total_tokens, sum(iv) AS in_vocab, "
-        "count(*) - sum(iv) AS oov, "
+        "SELECT count(*) AS total_tokens, CAST(sum(iv) AS BIGINT) AS in_vocab, "
+        "CAST(count(*) - sum(iv) AS BIGINT) AS oov, "
         "CAST(ROUND(sum(iv) * 1000000.0 / count(*)) AS BIGINT) AS coverage_e6 FROM j"
     )
 

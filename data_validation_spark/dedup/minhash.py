@@ -1,66 +1,86 @@
 """MinHash + LSH near-duplicate detection: shingle → minhash signature →
 band → bucket-join → candidate pairs (→ optional exact-Jaccard verify).
 
-Signatures are computed in one Arrow-vectorized pass (numpy multiply-shift
-permutations over crc32 shingle hashes). Banding turns the O(n²) pair search
-into one groupBy shuffle on (band, band-hash) buckets; pair explosion happens
-inside buckets only. At cluster scale the bucket groupBy is the only shuffle
-and hot buckets are bounded by ``max_bucket_size``.
+Everything in the hot path is JVM-side Catalyst expressions (no per-row
+Python): shingling via ``split``/``transform``/``slice``/``concat_ws``,
+hashing via ``xxhash64``, and the signature as a single ``aggregate`` fold
+that keeps one running minimum per permutation (each permutation is
+``xxhash64(shingle_hash, seed_j)``). Banding turns the O(n²) pair search into
+one groupBy shuffle on (band, band-hash) buckets; pair explosion happens
+inside buckets only and hot buckets are bounded by ``max_bucket_size``.
+
+Reference semantics: near-dup candidate generation for large text corpora
+(the reference has no dedup operators; this is the LLM-pipeline extension
+required by the build spec).
 """
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-_MERSENNE = (1 << 61) - 1
-
-
-def _perm_params(num_hashes: int, seed: int = 42):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    return a, b
+_MAX_LONG = (1 << 63) - 1
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct crc32 hashes of the k-word shingles of ``text``."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.unique(
-        np.array([zlib.crc32(s.encode("utf-8", "ignore")) for s in shingles], dtype=np.uint64)
+def shingle_array(text_col: Column, k: int) -> Column:
+    """Array of k-word shingle strings of ``text_col`` (JVM expressions only).
+
+    Texts shorter than ``k`` words yield a single shingle of all words;
+    empty/whitespace-only texts yield an empty array.
+    """
+    words = F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n = F.size(words)
+    return (
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            ),
+        )
+        .when(n > 0, F.array(F.concat_ws(" ", words)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_hash_array(text_col: Column, k: int) -> Column:
+    """Distinct xxhash64 hashes of the k-word shingles (JVM-side)."""
+    return F.array_distinct(
+        F.transform(shingle_array(text_col, k), lambda s: F.xxhash64(s))
     )
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_k: int = 3
 ) -> DataFrame:
-    """(id, signature array<long>) via one Arrow pass."""
-    a, b = _perm_params(num_hashes)
+    """(id, signature array<long>) — one JVM pass, no Python in the loop.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                h = _shingle_hashes(text or "", shingle_k)
-                if h.size == 0:
-                    sigs.append([0] * num_hashes)
-                    continue
-                # (num_hashes, n) permuted values; min along shingles
-                vals = (np.outer(a, h) + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({"id": pdf[id_col], "signature": sigs})
-
-    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
-        lambda it: run(it), f"id {df.schema[id_col].dataType.simpleString()}, signature array<long>"
+    Permutation j of shingle-hash h is ``xxhash64(h, j)`` (an independent
+    64-bit hash per seed); the signature is a single ``aggregate`` fold over
+    the shingle hashes keeping the per-permutation minimum, so each shingle
+    hash is computed once and the whole signature stays inside whole-stage
+    codegen. Empty texts get the sentinel signature [0] * num_hashes.
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+    hashes = shingle_hash_array(F.col(text_col), shingle_k)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda m, j: F.least(m, F.xxhash64(h, j))
+        ),
     )
+    # Empty docs: fold returns init (all MAX_LONG) — normalize to the 0
+    # sentinel the callers/tests expect for "no content".
+    sig = F.when(
+        F.size(hashes) == 0, F.array_repeat(F.lit(0).cast("long"), num_hashes)
+    ).otherwise(sig)
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -113,27 +133,27 @@ def verify_jaccard(
     candidates: DataFrame, df: DataFrame, id_col: str, text_col: str,
     shingle_k: int = 3, threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs (joins texts back, computes in
-    an Arrow pass). Returns pairs with jaccard ≥ threshold."""
-    texts = df.select(F.col(id_col).alias("jid"), F.col(text_col).alias("jtext"))
+    """Exact k-word-shingle Jaccard on candidate pairs — fully JVM-side.
+
+    Joins the (pruned, pre-shingled) texts back to the candidate pairs and
+    computes |A∩B| / |A∪B| with ``array_intersect``/``array_union`` over the
+    distinct shingle-string sets, so the verify stage has no Python and no
+    hash-collision error. Returns pairs with jaccard ≥ threshold.
+    """
+    texts = df.select(
+        F.col(id_col).alias("jid"),
+        F.array_distinct(shingle_array(F.col(text_col), shingle_k)).alias("sh"),
+    )
     joined = (
         candidates.join(texts, candidates["id_a"] == texts["jid"])
-        .select("id_a", "id_b", F.col("jtext").alias("text_a"))
+        .select("id_a", "id_b", F.col("sh").alias("sh_a"))
         .join(texts, F.col("id_b") == texts["jid"])
-        .select("id_a", "id_b", "text_a", F.col("jtext").alias("text_b"))
+        .select("id_a", "id_b", "sh_a", F.col("sh").alias("sh_b"))
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            jac = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                sa = set(_shingle_hashes(ta or "", shingle_k).tolist())
-                sb = set(_shingle_hashes(tb or "", shingle_k).tolist())
-                u = len(sa | sb)
-                jac.append(len(sa & sb) / u if u else 0.0)
-            out = pdf[["id_a", "id_b"]].copy()
-            out["jaccard"] = jac
-            yield out
-
-    verified = joined.mapInPandas(run, "id_a long, id_b long, jaccard double")
+    union_n = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(
+        union_n > 0,
+        F.size(F.array_intersect("sh_a", "sh_b")) / union_n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    verified = joined.select("id_a", "id_b", jac.alias("jaccard"))
     return verified.where(F.col("jaccard") >= threshold)

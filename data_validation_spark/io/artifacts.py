@@ -104,8 +104,12 @@ def _merge_feature(a: FeatureStats, b: FeatureStats) -> FeatureStats:
     )
     if a.numeric and b.numeric:
         na, nb = a.numeric, b.numeric
-        wa = ca.num_non_missing - na.num_nan - na.num_pos_inf - na.num_neg_inf
-        wb = cb.num_non_missing - nb.num_nan - nb.num_pos_inf - nb.num_neg_inf
+        # Moment weights are FINITE VALUE counts: mean/std are computed over
+        # flattened elements, so the weight base is tot_num_values (equal to
+        # num_non_missing for scalar features, the element count for arrays);
+        # clamp at 0 so a shard can never contribute a negative weight.
+        wa = max(ca.tot_num_values - na.num_nan - na.num_pos_inf - na.num_neg_inf, 0)
+        wb = max(cb.tot_num_values - nb.num_nan - nb.num_pos_inf - nb.num_neg_inf, 0)
         w = wa + wb
         mean = (na.mean * wa + nb.mean * wb) / w if w else 0.0
         # E[x²] reconstruction for merged variance

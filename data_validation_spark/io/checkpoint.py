@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -81,13 +82,20 @@ class CheckpointLedger:
             f.write(text)
         os.replace(tmp, os.path.join(self.dir, name))
 
+    @staticmethod
+    def _safe_name(partition: str) -> str:
+        # Collision-free: percent-encode everything non-alphanumeric so
+        # distinct partitions ('a/b' vs 'a_b', 'x=1' vs 'x-1') cannot map to
+        # the same artifact file and silently overwrite each other.
+        return urllib.parse.quote(partition, safe="")
+
     def save_artifacts(self, partition: str, result: ValidationRunResult) -> None:
-        safe = partition.replace("/", "_").replace("=", "-")
+        safe = self._safe_name(partition)
         self._atomic_write(f"stats_{safe}.json", result.stats.to_json())
         self._atomic_write(f"anomalies_{safe}.json", result.anomalies.to_json())
 
     def load_stats(self, partition: str) -> Optional[DatasetStatsList]:
-        safe = partition.replace("/", "_").replace("=", "-")
+        safe = self._safe_name(partition)
         p = os.path.join(self.dir, f"stats_{safe}.json")
         if not os.path.exists(p):
             return None

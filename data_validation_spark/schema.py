@@ -227,16 +227,17 @@ class Schema:
         return None
 
     def feature_in_environment(self, spec: FeatureSpec, environment: Optional[str]) -> bool:
-        """Environment filtering (``anomalies/schema.cc:697-727``)."""
+        """Environment filtering, mirroring ``anomalies/schema.cc:697-714``:
+        with an environment, in_environment wins, then not_in_environment,
+        then membership of the environment in default_environment, else
+        excluded; with no environment every feature is in scope."""
         if environment is None:
-            return not spec.in_environment or bool(
-                set(self.default_environment) & set(spec.in_environment)
-            ) if self.default_environment else True
+            return True
+        if spec.in_environment and environment in spec.in_environment:
+            return True
         if spec.not_in_environment and environment in spec.not_in_environment:
             return False
-        if spec.in_environment:
-            return environment in spec.in_environment
-        return True
+        return environment in self.default_environment
 
     # ---- JSON round trip -------------------------------------------------
     def to_json(self, indent: int | None = 2) -> str:

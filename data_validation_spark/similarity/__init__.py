@@ -43,10 +43,24 @@ def train_centroids(
     df: DataFrame, vec_col: str, num_centroids: int = 64, sample: int = 10000,
     iters: int = 8, seed: int = 42,
 ) -> np.ndarray:
-    """Mini k-means on a driver-side sample (Lloyd iterations, numpy)."""
+    """Mini k-means on a driver-side sample (Lloyd iterations, numpy).
+
+    Sampling is a real Bernoulli ``df.sample`` — ``limit(n)`` would take the
+    first partitions only, a biased sample on sorted/partitioned data.
+    """
+    n_total = df.count()
+    if n_total == 0:
+        raise ValueError("cannot train centroids on an empty DataFrame")
+    frac = min(1.0, (sample * 1.2) / n_total)
     rows = (
-        df.select(vec_col).limit(sample).toPandas()[vec_col].tolist()
+        df.select(vec_col)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample)
+        .toPandas()[vec_col]
+        .tolist()
     )
+    if not rows:  # tiny inputs where the Bernoulli draw came up empty
+        rows = df.select(vec_col).limit(sample).toPandas()[vec_col].tolist()
     x = np.array(rows, dtype=np.float32)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
     rng = np.random.RandomState(seed)

@@ -158,8 +158,12 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
         # values so their sizes sum to the exact unique count.
         salts = 16
         salt = F.pmod(F.xxhash64("str_value"), F.lit(salts))
+        # Rank by weighted frequency when a weight column is configured (the
+        # reference's weighted top-k orders by weighted counts); tie-break
+        # parity: larger value wins.
+        rank_col = "wcnt" if options.weight_column else "cnt"
         wa = Window.partitionBy("slice_key", "feature", "salt").orderBy(
-            F.desc("cnt"), F.desc("str_value")  # tie-break parity: larger value wins
+            F.desc(rank_col), F.desc("str_value")
         )
         wa_cnt = Window.partitionBy("slice_key", "feature", "salt")
         local = (
@@ -169,7 +173,7 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
             .where(F.col("r") <= k)
         )
         wb = Window.partitionBy("slice_key", "feature").orderBy(
-            F.desc("cnt"), F.desc("str_value")
+            F.desc(rank_col), F.desc("str_value")
         )
         wb_all = Window.partitionBy("slice_key", "feature")
         top_rows = (

@@ -35,24 +35,35 @@ def _binned(df: DataFrame, col: str, num_bins: int):
 def discrete_mutual_information(
     df: DataFrame, x_col: str, y_col: str, num_bins: int = 10
 ) -> float:
-    """Exact MI in bits over the (binned) joint distribution."""
+    """Exact MI in bits over the (binned) joint distribution.
+
+    Fully distributive: the joint histogram stays on the cluster; marginals
+    are window sums partitioned by x / by y (each a keyed shuffle, no single
+    reducer), and only the final scalar MI sum reaches the driver — safe at
+    arbitrary joint cardinality.
+    """
+    from pyspark.sql import Window
+
     pairs = df.select(
         _binned(df, x_col, num_bins).alias("x"), _binned(df, y_col, num_bins).alias("y")
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
-    rows = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n")).collect()
-    total = sum(r["n"] for r in rows)
+    joint = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    total_row = joint.agg(F.sum("n").alias("t")).collect()[0]
+    total = total_row["t"] or 0
     if total == 0:
         return 0.0
-    px: dict[str, float] = {}
-    py: dict[str, float] = {}
-    for r in rows:
-        px[r["x"]] = px.get(r["x"], 0) + r["n"]
-        py[r["y"]] = py.get(r["y"], 0) + r["n"]
-    mi = 0.0
-    for r in rows:
-        pxy = r["n"] / total
-        mi += pxy * math.log2(pxy / ((px[r["x"]] / total) * (py[r["y"]] / total)))
-    return max(mi, 0.0)
+    nx = F.sum("n").over(Window.partitionBy("x"))
+    ny = F.sum("n").over(Window.partitionBy("y"))
+    term = (F.col("n") / F.lit(float(total))) * F.log2(
+        (F.col("n") * F.lit(float(total))) / (F.col("nxx") * F.col("nyy"))
+    )
+    mi_row = (
+        joint.withColumn("nxx", nx)
+        .withColumn("nyy", ny)
+        .agg(F.sum(term).alias("mi"))
+        .collect()[0]
+    )
+    return max(float(mi_row["mi"] or 0.0), 0.0)
 
 
 def _digamma(x: float) -> float:

@@ -30,13 +30,16 @@ class TDigest:
     # ------------------------------------------------------------------ add
     def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[np.isfinite(v)]
+        finite = np.isfinite(v)
+        v = v[finite]
         if v.size == 0:
             return
+        # The finite mask must be applied to BOTH arrays — positional
+        # truncation would mispair weights with values when NaN/inf present.
         w = (
             np.ones_like(v)
             if weights is None
-            else np.asarray(weights, dtype=np.float64)[: v.size]
+            else np.asarray(weights, dtype=np.float64)[finite]
         )
         self._buf_v.append(v)
         self._buf_w.append(w)

@@ -53,20 +53,29 @@ def check_uniqueness(
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    key = F.concat_ws("", *[F.col(c).cast("string") for c in key_cols])
+    # Group on the raw key columns, NOT a string concat: a concat key skips
+    # NULL parts (concat_ws semantics) and can collide when a value contains
+    # the separator. The display key rendered afterwards uses a unit
+    # separator + explicit NULL sentinel, so it is unambiguous for reporting.
+    kcols = [F.col(c).alias(f"__k{i}") for i, c in enumerate(key_cols)]
+    knames = [f"__k{i}" for i in range(len(key_cols))]
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(17)), F.lit(num_salts))
     partial = (
-        df.select(key.alias("k"), salt.alias("s"))
-        .groupBy("k", "s")
+        df.select(*kcols, salt.alias("s"))
+        .groupBy(*knames, "s")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     dups = (
-        partial.groupBy("k")
+        partial.groupBy(*knames)
         .agg(F.sum("c").alias("cnt"))
         .where(F.col("cnt") > 1)
     )
+    display_key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(n).cast("string"), F.lit("<null>")) for n in knames],
+    )
     return _violations(
-        dups, F.col("k"), ",".join(key_cols), "DUPLICATE_KEY", F.col("cnt")
+        dups, display_key, ",".join(key_cols), "DUPLICATE_KEY", F.col("cnt")
     )
 
 

@@ -81,6 +81,19 @@ def test_simhash(docs):
     assert (0, 1) in pairs and pairs[(0, 1)] == 0
 
 
+def test_simhash_degenerate_bucket_bounded(spark):
+    # 1000 empty docs all fingerprint to 0; the old block-equality self-join
+    # exploded to ~500k pairs here. Degenerate fingerprints are excluded and
+    # buckets are capped, so this must finish quickly with zero pairs among
+    # the empties while still finding the one real near-dup pair.
+    rows = [(i, "") for i in range(1000)]
+    rows += [(2000, "alpha beta gamma delta epsilon"), (2001, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_dups(df, "doc_id", "text", radius=3).collect()}
+    assert pairs == {(2000, 2001)}
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)

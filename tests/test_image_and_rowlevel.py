@@ -120,6 +120,18 @@ def test_check_uniqueness(spark):
     assert check_uniqueness(images_df(spark, 500, "clean"), "image_id").count() == 0
 
 
+def test_check_uniqueness_multicol_no_concat_collision(spark):
+    # ("ab","c") and ("a","bc") must NOT collide into one key; NULL parts must
+    # not merge with empty strings either.
+    df = spark.createDataFrame(
+        [("ab", "c"), ("a", "bc"), ("x", None), ("x", ""), ("d", "e"), ("d", "e")],
+        "k1 string, k2 string",
+    )
+    v = check_uniqueness(df, ["k1", "k2"]).collect()
+    assert len(v) == 1
+    assert v[0]["detail"] == "2" and v[0]["row_key"].startswith("d")
+
+
 def test_check_referential(spark):
     images = images_df(spark, 1000, "clean", partitions=2)
     ref = ref_captions_df(spark, 1000, partitions=2)

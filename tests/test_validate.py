@@ -380,19 +380,42 @@ def test_skew_jsd_numeric():
 
 def test_environments():
     stats = make_stats([make_feature("a")])
+    # Reference convention (schema.cc:697-714 + feature_statistics_validator
+    # tests): default_environment lists the environments every feature belongs
+    # to by default; not_in_environment carves the label out of SERVING.
     schema = Schema(
         feature=[
             FeatureSpec(name="a"),
             FeatureSpec(
                 name="label", presence=Presence(min_count=1), not_in_environment=["SERVING"]
             ),
-        ]
+        ],
+        default_environment=["TRAINING", "SERVING"],
     )
     # TRAINING: label required but missing → anomaly
     assert not validate_statistics(stats, schema, environment="TRAINING").passed
     # SERVING: label excluded → clean (the 'a' feature is fine)
     r = validate_statistics(stats, schema, environment="SERVING")
     assert types(r, "label") == set()
+    # No environment requested → every feature is in scope (schema.cc:711-713)
+    assert not validate_statistics(stats, schema, environment=None).passed
+    # in_environment wins over not_in_environment (checked first)
+    schema2 = Schema(
+        feature=[
+            FeatureSpec(
+                name="label",
+                presence=Presence(min_count=1),
+                in_environment=["SERVING"],
+                not_in_environment=["SERVING"],
+            ),
+        ],
+    )
+    assert not validate_statistics(stats, schema2, environment="SERVING").passed
+    # environment not in default_environment and no annotations → excluded
+    schema3 = Schema(
+        feature=[FeatureSpec(name="a"), FeatureSpec(name="label", presence=Presence(min_count=1))]
+    )
+    assert validate_statistics(stats, schema3, environment="EVAL").passed
 
 
 # ---------------------------------------------------------------- inference
