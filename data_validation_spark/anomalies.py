@@ -169,11 +169,52 @@ class Anomalies:
     def types_for(self, feature: str) -> set[AnomalyType]:
         return {a.type for a in self.anomalies if a.feature == feature}
 
+    def feature_anomaly_info(self) -> dict[str, dict]:
+        """Per-feature roll-up matching the reference's ``AnomalyInfo`` map
+        (``schema_anomalies.cc:80-111``): each feature gets its reason list,
+        max severity, and a unified description. Multiple SCHEMA_NEW_COLUMN
+        reasons collapse to one; >1 remaining reason unifies to the aggregate
+        type MULTIPLE_REASONS with short description "Multiple errors"."""
+        sev_rank = {Severity.UNKNOWN: 0, Severity.WARNING: 1, Severity.ERROR: 2}
+        by_feature: dict[str, list[Anomaly]] = {}
+        for a in self.anomalies:
+            by_feature.setdefault(a.feature, []).append(a)
+        out: dict[str, dict] = {}
+        for feature, reasons in by_feature.items():
+            # FilterDescriptions: all-new-column collapses to one reason.
+            if all(r.type == AnomalyType.SCHEMA_NEW_COLUMN for r in reasons):
+                reasons = reasons[:1]
+            severity = max(reasons, key=lambda r: sev_rank[r.severity]).severity
+            if len(reasons) == 1:
+                agg_type = reasons[0].type
+                short = reasons[0].short_description
+                desc = reasons[0].description
+            else:
+                agg_type = AnomalyType.MULTIPLE_REASONS
+                short = "Multiple errors"
+                desc = " ".join(r.description for r in reasons if r.description)
+            out[feature] = {
+                "type": agg_type.value,
+                "severity": severity.value,
+                "short_description": short,
+                "description": desc,
+                "reasons": [
+                    {
+                        "type": r.type.value,
+                        "short_description": r.short_description,
+                        "description": r.description,
+                    }
+                    for r in reasons
+                ],
+            }
+        return out
+
     def to_json(self, indent: int | None = 2) -> str:
         return json.dumps(
             {
                 "passed": self.passed,
                 "anomalies": [a.to_dict() for a in self.anomalies],
+                "anomaly_info": self.feature_anomaly_info(),
                 "drift_skew_info": [
                     {
                         "feature": m.feature,

@@ -154,9 +154,18 @@ class FeatureSpec:
     skew_comparator: Optional[SkewComparator] = None
     in_environment: list[str] = field(default_factory=list)
     not_in_environment: list[str] = field(default_factory=list)
+    # Per-nest-level valency bounds (``value_counts`` plural in the reference,
+    # feature_util.cc:172-215): entry i constrains nest level i+1. Mutually
+    # exclusive with ``value_count`` for nested>1 features.
+    value_counts: Optional[list[ValueCount]] = None
     # When True, INT/FLOAT feature gets string-stats (top-k/uniques) treatment.
     is_categorical: bool = False
     deprecated: bool = False
+    # Derived-feature bookkeeping (schema.cc:1171-1194): the source feature a
+    # validation-derived feature was computed from, and its lifecycle stage
+    # ("VALIDATION_DERIVED" expected when derived).
+    validation_derived_source: Optional[str] = None
+    lifecycle_stage: Optional[str] = None
 
     def is_required(self) -> bool:
         p = self.presence
@@ -292,6 +301,7 @@ def _from_dict(cls, d):
 _NESTED = {
     (FeatureSpec, "presence"): Presence,
     (FeatureSpec, "value_count"): ValueCount,
+    (FeatureSpec, "value_counts"): ValueCount,
     (FeatureSpec, "shape"): FixedShape,
     (FeatureSpec, "int_domain"): IntDomain,
     (FeatureSpec, "float_domain"): FloatDomain,

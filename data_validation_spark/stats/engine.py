@@ -43,6 +43,7 @@ from data_validation_spark.stats.result import (
     DatasetStatsList,
     FeatureStats,
     NumericStats,
+    PresenceAndValency,
     RankBucket,
     StringStats,
 )
@@ -270,6 +271,16 @@ def _assemble_feature(p, rd, num_examples, slice_key, options, topk_data, uniq_d
         common.max_num_values = int(_g(rd, p, "maxvals", 0) or 0)
         common.tot_num_values = int(_g(rd, p, "totvals", 0) or 0)
         common.avg_num_values = common.tot_num_values / nonmissing if nonmissing else 0.0
+        if p.nest_depth >= 2:
+            common.presence_and_valency = [
+                PresenceAndValency(
+                    num_non_missing=int(_g(rd, p, f"l{lvl}_nlists", 0) or 0),
+                    min_num_values=int(_g(rd, p, f"l{lvl}_minvals", 0) or 0),
+                    max_num_values=int(_g(rd, p, f"l{lvl}_maxvals", 0) or 0),
+                    tot_num_values=int(_g(rd, p, f"l{lvl}_totvals", 0) or 0),
+                )
+                for lvl in range(1, p.nest_depth + 1)
+            ]
         vh = _g(rd, p, "valshist")
         if vh is not None:
             common.num_values_histogram = quantiles_histogram(

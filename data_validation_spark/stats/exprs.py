@@ -167,6 +167,34 @@ def build_agg_exprs(
                 exprs.append(
                     F.sum(F.when(arr.isNotNull(), w)).alias(f"{a}__w_nonmissing")
                 )
+            if p.nest_depth >= 2:
+                # Per-nest-level valency (GetMinMaxNumValues parity,
+                # feature_util.cc:136-215): level 1 = outer list lengths,
+                # level ℓ = lengths of the lists found after flattening ℓ-2
+                # times. All JVM expressions — one extra agg column per level.
+                for lvl in range(1, p.nest_depth + 1):
+                    if lvl == 1:
+                        sz_min = sz_max = F.size(arr)
+                        sz_tot = F.size(arr)
+                        n_lists = F.count(arr)
+                    else:
+                        parent = F.col(p.name)
+                        for _ in range(lvl - 2):
+                            parent = F.flatten(parent)
+                        inner = F.filter(parent, lambda x: x.isNotNull())
+                        sizes = F.transform(inner, lambda x: F.size(x))
+                        sz_min = F.array_min(sizes)
+                        sz_max = F.array_max(sizes)
+                        sz_tot = F.aggregate(
+                            sizes, F.lit(0).cast("long"), lambda acc, s: acc + s
+                        )
+                        n_lists = F.sum(F.size(inner))
+                    exprs += [
+                        F.min(sz_min).alias(f"{a}__l{lvl}_minvals"),
+                        F.max(sz_max).alias(f"{a}__l{lvl}_maxvals"),
+                        F.sum(sz_tot).alias(f"{a}__l{lvl}_totvals"),
+                        n_lists.alias(f"{a}__l{lvl}_nlists"),
+                    ]
             # Numeric stats of array elements handled in the long (exploded) job.
             continue
 

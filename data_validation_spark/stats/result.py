@@ -38,6 +38,18 @@ class RankBucket:
 
 
 @dataclass
+class PresenceAndValency:
+    """Per-nest-level presence/valency (reference
+    ``GetMinMaxNumValues`` / ``presence_and_valency_stats``): level 1 is the
+    outermost list, level N the innermost."""
+
+    num_non_missing: int = 0
+    min_num_values: int = 0
+    max_num_values: int = 0
+    tot_num_values: int = 0
+
+
+@dataclass
 class CommonStats:
     num_non_missing: int = 0
     num_missing: int = 0
@@ -48,6 +60,21 @@ class CommonStats:
     num_values_histogram: Optional[Histogram] = None
     weighted_num_non_missing: Optional[float] = None
     weighted_num_missing: Optional[float] = None
+    # Set only for features with nestedness > 1 (list<list<...>>); None means
+    # a single nest level (scalars and flat arrays).
+    presence_and_valency: Optional[list[PresenceAndValency]] = None
+
+    def nest_levels(self) -> int:
+        return len(self.presence_and_valency) if self.presence_and_valency else 1
+
+    def min_max_num_values(self) -> list[tuple[int, int]]:
+        """Per-level (min, max) list lengths — ``GetMinMaxNumValues`` parity."""
+        if self.presence_and_valency:
+            return [
+                (pv.min_num_values, pv.max_num_values)
+                for pv in self.presence_and_valency
+            ]
+        return [(self.min_num_values, self.max_num_values)]
 
     @property
     def num_examples(self) -> int:
@@ -190,6 +217,7 @@ _CLASSES = {
         HistogramBucket,
         Histogram,
         RankBucket,
+        PresenceAndValency,
         CommonStats,
         NumericStats,
         StringStats,

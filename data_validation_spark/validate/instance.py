@@ -123,3 +123,15 @@ def with_derived_features(df: DataFrame, derived: dict[str, "F.Column"]) -> Data
     for name, col in derived.items():
         df = df.withColumn(name, col)
     return df
+
+
+def mark_derived_features(stats, sources: dict[str, str]) -> None:
+    """Stamp the ``validation_derived_source`` custom stat on derived features
+    (the statistics-side half of ``schema.cc:1171-1194``): feature name →
+    source feature it was derived from. ``validate_statistics`` then checks
+    the schema carries the source + VALIDATION_DERIVED lifecycle."""
+    for sl in stats.slices:
+        for name, src in sources.items():
+            fs = sl.features.get(name)
+            if fs is not None:
+                fs.custom["validation_derived_source"] = src

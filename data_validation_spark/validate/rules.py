@@ -49,8 +49,17 @@ def validate_statistics(
     previous_statistics: Optional[DatasetStatsList] = None,
     serving_statistics: Optional[DatasetStatsList] = None,
     previous_version_statistics: Optional[DatasetStatsList] = None,
+    severity_overrides: Optional[dict[AnomalyType, Severity]] = None,
+    new_features_are_warnings: bool = False,
 ) -> Anomalies:
-    """Validate the default slice of ``statistics`` against ``schema``."""
+    """Validate the default slice of ``statistics`` against ``schema``.
+
+    ``severity_overrides`` / ``new_features_are_warnings`` mirror the
+    reference's ``FeatureStatisticsToProtoConfig`` severity resolution
+    (``schema.cc:349-372``): all anomalies default to ERROR, the deprecated
+    new-features flag downgrades SCHEMA_NEW_COLUMN to WARNING, and explicit
+    per-reason overrides win over both.
+    """
     ds = statistics.default_slice()
     out = Anomalies()
     if ds is None or ds.num_examples == 0:
@@ -106,7 +115,24 @@ def validate_statistics(
         _check_comparators(fs, spec, prev, serving, ds, out)
 
     _check_sparse_weighted(ds, schema, out)
+    _resolve_severities(out, severity_overrides, new_features_are_warnings)
     return out
+
+
+def _resolve_severities(
+    out: Anomalies,
+    severity_overrides: Optional[dict[AnomalyType, Severity]],
+    new_features_are_warnings: bool,
+) -> None:
+    """Severity resolution (``schema.cc:349-372``): per-reason overrides win;
+    the legacy new-features flag downgrades SCHEMA_NEW_COLUMN to WARNING."""
+    if not severity_overrides and not new_features_are_warnings:
+        return
+    for a in out.anomalies:
+        if severity_overrides and a.type in severity_overrides:
+            a.severity = severity_overrides[a.type]
+        elif new_features_are_warnings and a.type == AnomalyType.SCHEMA_NEW_COLUMN:
+            a.severity = Severity.WARNING
 
 
 def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
@@ -277,33 +303,7 @@ def validate_feature(
             )
 
     # ---- value counts (feature_util.cc:136-215) ----------------------------
-    if spec.value_count:
-        if spec.value_count.min is not None and c.min_num_values < spec.value_count.min:
-            out.anomalies.append(
-                _anom(
-                    spec.name,
-                    AnomalyType.FEATURE_TYPE_LOW_NUMBER_VALUES,
-                    "Low number of values",
-                    f"Some examples have fewer values ({c.min_num_values}) than "
-                    f"expected minimum ({spec.value_count.min}).",
-                    sk,
-                    measurement=float(c.min_num_values),
-                    threshold=float(spec.value_count.min),
-                )
-            )
-        if spec.value_count.max is not None and c.max_num_values > spec.value_count.max:
-            out.anomalies.append(
-                _anom(
-                    spec.name,
-                    AnomalyType.FEATURE_TYPE_HIGH_NUMBER_VALUES,
-                    "High number of values",
-                    f"Some examples have more values ({c.max_num_values}) than "
-                    f"expected maximum ({spec.value_count.max}).",
-                    sk,
-                    measurement=float(c.max_num_values),
-                    threshold=float(spec.value_count.max),
-                )
-            )
+    _check_value_counts(fs, spec, sk, out)
 
     # ---- fixed shape (feature_util.cc:558-616) ------------------------------
     if spec.shape is not None:
@@ -319,6 +319,9 @@ def validate_feature(
                     sk,
                 )
             )
+
+    # ---- derived features (schema.cc:1171-1194) ------------------------------
+    _check_derived_feature(fs, spec, sk, out)
 
     # ---- domains ------------------------------------------------------------
     _check_int_domain(fs, spec, sk, out)
@@ -368,6 +371,111 @@ def validate_feature(
                         threshold=float(uc.max),
                     )
                 )
+
+
+def _check_value_counts(fs: FeatureStats, spec: FeatureSpec, sk, out: Anomalies) -> None:
+    """``UpdateValueCount`` / ``UpdateValueCounts`` semantics
+    (``feature_util.cc:136-215``): singular ``value_count`` is only valid for
+    single-nest-level features; plural ``value_counts`` must have exactly one
+    entry per nest level. Mismatches emit VALUE_NESTEDNESS_MISMATCH and skip
+    the per-level bound checks (the reference clears the constraint)."""
+    mmv = fs.common.min_max_num_values()
+    levels = len(mmv)
+    if spec.value_count is not None:
+        if levels > 1:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.VALUE_NESTEDNESS_MISMATCH,
+                    "Nestedness mismatch",
+                    "This feature has a value_count, but the nestedness level of "
+                    "the feature > 1. For features with nestedness levels greater "
+                    "than 1, value_counts, not value_count, should be specified.",
+                    sk,
+                )
+            )
+        else:
+            _check_one_value_count(spec.name, spec.value_count, mmv[0], None, sk, out)
+    if spec.value_counts is not None:
+        if len(spec.value_counts) != levels:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.VALUE_NESTEDNESS_MISMATCH,
+                    "Nestedness mismatch",
+                    "The values have a different nest level than expected. "
+                    "Value counts will not be checked.",
+                    sk,
+                    measurement=float(levels),
+                    threshold=float(len(spec.value_counts)),
+                )
+            )
+        else:
+            for i, (vc, mm) in enumerate(zip(spec.value_counts, mmv)):
+                _check_one_value_count(spec.name, vc, mm, i, sk, out)
+
+
+def _check_one_value_count(name, vc, min_max, level, sk, out: Anomalies) -> None:
+    lo, hi = min_max
+    at = f" at nestedness level {level}" if level is not None else ""
+    if vc.min is not None and lo < vc.min:
+        out.anomalies.append(
+            _anom(
+                name,
+                AnomalyType.FEATURE_TYPE_LOW_NUMBER_VALUES,
+                "Missing values",
+                f"Some examples have fewer values ({lo}) than "
+                f"expected minimum ({vc.min}){at}.",
+                sk,
+                measurement=float(lo),
+                threshold=float(vc.min),
+            )
+        )
+    if vc.max is not None and hi > vc.max:
+        out.anomalies.append(
+            _anom(
+                name,
+                AnomalyType.FEATURE_TYPE_HIGH_NUMBER_VALUES,
+                "Superfluous values",
+                f"Some examples have more values ({hi}) than "
+                f"expected maximum ({vc.max}){at}.",
+                sk,
+                measurement=float(hi),
+                threshold=float(vc.max),
+            )
+        )
+
+
+def _check_derived_feature(fs: FeatureStats, spec: FeatureSpec, sk, out: Anomalies) -> None:
+    """Derived-feature bookkeeping (``schema.cc:1171-1194``): statistics mark
+    a feature as validation-derived via the ``validation_derived_source``
+    custom stat; the schema must carry the source and the VALIDATION_DERIVED
+    lifecycle stage."""
+    stats_source = fs.custom.get("validation_derived_source")
+    if stats_source and not spec.validation_derived_source:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.DERIVED_FEATURE_INVALID_SOURCE,
+                "Derived source not set in schema.",
+                "Derived source not set in schema.",
+                sk,
+            )
+        )
+    if (
+        spec.validation_derived_source
+        and spec.lifecycle_stage != "VALIDATION_DERIVED"
+        and not spec.deprecated
+    ):
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.DERIVED_FEATURE_BAD_LIFECYCLE,
+                "Derived feature has wrong lifecycle.",
+                "Derived feature has wrong lifecycle.",
+                sk,
+            )
+        )
 
 
 def _observed_range(fs: FeatureStats):

@@ -169,3 +169,25 @@ def test_json_roundtrip(simple_stats):
     assert f2.min == -INF and f2.max == INF
     assert f1.mean == f2.mean
     assert back.default_slice().feature("s").string.top_values[0] == ("a", 3.0)
+
+
+def test_nested_valency_per_level(spark):
+    # depth-2 array: per-level valency (GetMinMaxNumValues parity).
+    rows = [
+        ([[1, 2], [3]],),        # level1 len 2; level2 lens 2,1
+        ([[4, 5, 6]],),          # level1 len 1; level2 len 3
+        (None,),                 # missing at level 1
+    ]
+    df = spark.createDataFrame(rows, "a array<array<long>>")
+    stats = compute_statistics(df)
+    c = stats.default_slice().feature("a").common
+    assert c.nest_levels() == 2
+    assert c.min_max_num_values() == [(1, 2), (1, 3)]
+    pv1, pv2 = c.presence_and_valency
+    assert pv1.num_non_missing == 2 and pv1.tot_num_values == 3
+    assert pv2.num_non_missing == 3 and pv2.tot_num_values == 6
+    # JSON round trip keeps per-level valency
+    from data_validation_spark.stats.result import DatasetStatsList
+
+    back = DatasetStatsList.from_json(stats.to_json())
+    assert back.default_slice().feature("a").common.min_max_num_values() == [(1, 2), (1, 3)]

@@ -166,6 +166,122 @@ def test_value_counts():
     assert got == {AT.FEATURE_TYPE_LOW_NUMBER_VALUES, AT.FEATURE_TYPE_HIGH_NUMBER_VALUES}
 
 
+def _nested_feature(name, levels):
+    """Feature with presence_and_valency for ``levels`` nest levels:
+    levels = [(min, max), ...] outermost first."""
+    from data_validation_spark.stats.result import PresenceAndValency
+
+    f = make_feature(name, min_vals=levels[-1][0], max_vals=levels[-1][1])
+    f.common.presence_and_valency = [
+        PresenceAndValency(
+            num_non_missing=10, min_num_values=lo, max_num_values=hi,
+            tot_num_values=10 * hi,
+        )
+        for lo, hi in levels
+    ]
+    return f
+
+
+def test_value_count_nestedness_mismatch():
+    # Singular value_count on a nestedness-2 feature → VALUE_NESTEDNESS_MISMATCH
+    # (feature_util.cc:140-150), and the per-level bounds are NOT checked.
+    stats = make_stats([_nested_feature("a", [(1, 2), (0, 9)])])
+    schema = Schema(feature=[FeatureSpec(name="a", value_count=ValueCount(min=1, max=3))])
+    assert types(validate_statistics(stats, schema), "a") == {AT.VALUE_NESTEDNESS_MISMATCH}
+
+
+def test_value_counts_per_level():
+    stats = make_stats([_nested_feature("a", [(1, 2), (0, 9)])])
+    # wrong number of levels → nestedness mismatch (feature_util.cc:173-185)
+    schema = Schema(feature=[FeatureSpec(name="a", value_counts=[ValueCount(min=1)])])
+    assert types(validate_statistics(stats, schema), "a") == {AT.VALUE_NESTEDNESS_MISMATCH}
+    # right level count → per-level low/high checks
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="a",
+                value_counts=[ValueCount(min=1, max=2), ValueCount(min=1, max=3)],
+            )
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    got = types(result, "a")
+    assert got == {AT.FEATURE_TYPE_LOW_NUMBER_VALUES, AT.FEATURE_TYPE_HIGH_NUMBER_VALUES}
+    assert any("nestedness level 1" in a.description for a in result.anomalies)
+    # satisfied bounds → clean
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="a",
+                value_counts=[ValueCount(min=1, max=2), ValueCount(max=9)],
+            )
+        ]
+    )
+    assert validate_statistics(stats, schema).passed
+
+
+def test_derived_feature_reasons():
+    # Stats mark the feature derived, schema lacks the source → INVALID_SOURCE.
+    f = make_feature("d")
+    f.custom["validation_derived_source"] = "src_col"
+    stats = make_stats([f])
+    schema = Schema(feature=[FeatureSpec(name="d")])
+    assert types(validate_statistics(stats, schema), "d") == {
+        AT.DERIVED_FEATURE_INVALID_SOURCE
+    }
+    # Schema has the source but the wrong lifecycle → BAD_LIFECYCLE.
+    schema = Schema(feature=[FeatureSpec(name="d", validation_derived_source="src_col")])
+    assert types(validate_statistics(stats, schema), "d") == {
+        AT.DERIVED_FEATURE_BAD_LIFECYCLE
+    }
+    # Correct lifecycle → clean.
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="d",
+                validation_derived_source="src_col",
+                lifecycle_stage="VALIDATION_DERIVED",
+            )
+        ]
+    )
+    assert validate_statistics(stats, schema).passed
+
+
+def test_severity_overrides_and_rollup():
+    from data_validation_spark.anomalies import Severity
+
+    stats = make_stats([make_feature("a"), make_feature("extra")])
+    schema = Schema(
+        feature=[FeatureSpec(name="a", type=FeatureType.BYTES, value_count=ValueCount(max=0))]
+    )
+    # default: everything ERROR → fails
+    assert not validate_statistics(stats, schema).passed
+    # overrides downgrade both reasons → passes (WARNINGs only)
+    r = validate_statistics(
+        stats,
+        schema,
+        severity_overrides={
+            AT.SCHEMA_NEW_COLUMN: Severity.WARNING,
+            AT.UNEXPECTED_DATA_TYPE: Severity.WARNING,
+            AT.FEATURE_TYPE_HIGH_NUMBER_VALUES: Severity.WARNING,
+        },
+    )
+    assert r.passed
+    assert all(a.severity == Severity.WARNING for a in r.anomalies)
+    # legacy flag: only SCHEMA_NEW_COLUMN becomes WARNING
+    r2 = validate_statistics(stats, schema, new_features_are_warnings=True)
+    sev = {a.type: a.severity for a in r2.anomalies}
+    assert sev[AT.SCHEMA_NEW_COLUMN] == Severity.WARNING
+    assert sev[AT.UNEXPECTED_DATA_TYPE] == Severity.ERROR
+    # MULTIPLE_REASONS roll-up: feature 'a' has 2 reasons → aggregate type
+    info = r2.feature_anomaly_info()
+    assert info["a"]["type"] == AT.MULTIPLE_REASONS.value
+    assert info["a"]["short_description"] == "Multiple errors"
+    assert len(info["a"]["reasons"]) == 2
+    assert info["extra"]["type"] == AT.SCHEMA_NEW_COLUMN.value
+    assert info["extra"]["severity"] == "WARNING"
+
+
 def test_fixed_shape():
     from data_validation_spark.schema import FixedShape
 
