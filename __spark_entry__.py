@@ -1024,6 +1024,388 @@ def q_sketch_stats(spark, sf_dir):
     )
 
 
+def q_nl_token_stats(spark, sf_dir):
+    """NL token-level stats (natural_language_stats_generator parity): stats
+    for the constrained token 'the' + sequence-length extremes."""
+    from data_validation_spark.stats.text import compute_nl_statistics
+
+    docs = _t(spark, sf_dir, "documents")
+    nl = compute_nl_statistics(docs, "text", constrained_tokens=["the"])
+    ts = nl["token_statistics"]["the"]
+    return spark.createDataFrame(
+        [
+            (
+                ts["frequency"],
+                int(round(ts["fraction_of_sequences"] * 1e6)),
+                ts["per_sequence_min_frequency"],
+                ts["per_sequence_max_frequency"],
+                nl["min_sequence_length"],
+                nl["max_sequence_length"],
+            )
+        ],
+        "the_frequency bigint, the_fraction_e6 bigint, the_min_per_seq bigint, "
+        "the_max_per_seq bigint, min_seq_len bigint, max_seq_len bigint",
+    )
+
+
+def _nl_token_stats_sql():
+    return (
+        "WITH docs2 AS (SELECT doc_id, trim(text) AS t FROM documents WHERE text IS NOT NULL), "
+        "toks AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok FROM docs2), "
+        "toks2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0), "
+        "per_seq AS (SELECT doc_id, count(*) AS occ FROM toks2 WHERE tok = 'the' GROUP BY 1), "
+        "seq_lens AS (SELECT doc_id, count(*) AS slen FROM toks2 GROUP BY 1) "
+        "SELECT (SELECT CAST(coalesce(sum(occ), 0) AS BIGINT) FROM per_seq) AS the_frequency, "
+        "CAST(ROUND((SELECT count(*) FROM per_seq) * 1000000.0 / "
+        "(SELECT count(*) FROM docs2)) AS BIGINT) AS the_fraction_e6, "
+        "(SELECT CAST(coalesce(min(occ), 0) AS BIGINT) FROM per_seq) AS the_min_per_seq, "
+        "(SELECT CAST(coalesce(max(occ), 0) AS BIGINT) FROM per_seq) AS the_max_per_seq, "
+        "(SELECT CAST(min(slen) AS BIGINT) FROM seq_lens) AS min_seq_len, "
+        "(SELECT CAST(max(slen) AS BIGINT) FROM seq_lens) AS max_seq_len"
+    )
+
+
+def q_booldomain_violations(spark, sf_dir):
+    """Bool-domain rule through the full engine+validate path: l_linenumber
+    declared boolean (violates, max > 1); a derived 0/1 flag stays clean."""
+    from data_validation_spark.schema import BoolDomain, FeatureSpec, Schema
+    from data_validation_spark.validate.rules import validate_statistics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linenumber", (F.col("l_quantity") > 25).cast("long").alias("flag")
+    )
+    stats = compute_statistics(li, StatsOptions())
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="l_linenumber", bool_domain=BoolDomain()),
+            FeatureSpec(name="flag", bool_domain=BoolDomain()),
+        ]
+    )
+    r = validate_statistics(stats, schema)
+    rows = sorted(
+        (a.feature, a.type.value, int(a.measurement)) for a in r.anomalies
+    )
+    return spark.createDataFrame(
+        rows, "feature string, anomaly_type string, measurement bigint"
+    )
+
+
+def _booldomain_sql():
+    return (
+        "SELECT 'l_linenumber' AS feature, 'BOOL_TYPE_BIG_INT' AS anomaly_type, "
+        "CAST(max(l_linenumber) AS BIGINT) AS measurement FROM lineitem"
+    )
+
+
+def q_floatdomain_nan(spark, sf_dir):
+    """Float-domain NaN/inf rule via engine stats: derive deterministic NaN /
+    +inf values from events, validate disallow_nan/disallow_inf."""
+    from data_validation_spark.schema import FeatureSpec, FloatDomain, Schema
+    from data_validation_spark.validate.rules import validate_statistics
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("value") > 900), float("nan")
+        )
+        .when((F.col("event_type") == "view") & (F.col("value") > 950), float("inf"))
+        .otherwise(F.col("value"))
+        .alias("v2")
+    )
+    stats = compute_statistics(ev, StatsOptions())
+    n = stats.default_slice().feature("v2").numeric
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="v2",
+                float_domain=FloatDomain(disallow_nan=True, disallow_inf=True),
+            )
+        ]
+    )
+    r = validate_statistics(stats, schema)
+    types = {a.type.value for a in r.anomalies}
+    return spark.createDataFrame(
+        [
+            (
+                n.num_nan,
+                n.num_pos_inf,
+                int("FLOAT_TYPE_HAS_NAN" in types),
+                int("FLOAT_TYPE_HAS_INF" in types),
+            )
+        ],
+        "num_nan bigint, num_pos_inf bigint, has_nan_anomaly bigint, has_inf_anomaly bigint",
+    )
+
+
+def _floatdomain_sql():
+    return (
+        "WITH v AS (SELECT CASE WHEN event_type = 'click' AND value > 900 THEN 'nan'::DOUBLE "
+        "WHEN event_type = 'view' AND value > 950 THEN 'infinity'::DOUBLE "
+        "ELSE value END AS v2 FROM events) "
+        "SELECT CAST(sum(CASE WHEN isnan(v2) THEN 1 ELSE 0 END) AS BIGINT) AS num_nan, "
+        "CAST(sum(CASE WHEN isinf(v2) AND v2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS num_pos_inf, "
+        "CAST(CASE WHEN sum(CASE WHEN isnan(v2) THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END "
+        "AS BIGINT) AS has_nan_anomaly, "
+        "CAST(CASE WHEN sum(CASE WHEN isinf(v2) AND v2 > 0 THEN 1 ELSE 0 END) > 0 THEN 1 "
+        "ELSE 0 END AS BIGINT) AS has_inf_anomaly FROM v"
+    )
+
+
+def q_dataset_constraints_check(spark, sf_dir):
+    """Dataset-level example-count constraints (dataset_constraints_util)."""
+    from data_validation_spark.schema import DatasetConstraints, Schema
+    from data_validation_spark.validate.rules import validate_statistics
+
+    orders = _t(spark, sf_dir, "orders")
+    stats = compute_statistics(orders.select("o_orderkey"), StatsOptions())
+    n = stats.default_slice().num_examples
+    # min above the actual count → LOW fires; max below → HIGH fires.
+    schema_low = Schema(dataset_constraints=DatasetConstraints(min_examples_count=n + 1))
+    schema_high = Schema(dataset_constraints=DatasetConstraints(max_examples_count=n - 1))
+    from data_validation_spark.schema import FeatureSpec
+
+    schema_ok = Schema(
+        feature=[FeatureSpec(name="o_orderkey")],
+        dataset_constraints=DatasetConstraints(min_examples_count=1, max_examples_count=n),
+    )
+    r_low = validate_statistics(stats, schema_low)
+    r_high = validate_statistics(stats, schema_high)
+    r_ok = validate_statistics(stats, schema_ok)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                int("DATASET_LOW_NUM_EXAMPLES" in {a.type.value for a in r_low.anomalies}),
+                int("DATASET_HIGH_NUM_EXAMPLES" in {a.type.value for a in r_high.anomalies}),
+                int(r_ok.passed),
+            )
+        ],
+        "num_examples bigint, low_fires bigint, high_fires bigint, ok_passes bigint",
+    )
+
+
+def _dataset_constraints_sql():
+    return (
+        "SELECT count(*) AS num_examples, 1 AS low_fires, 1 AS high_fires, "
+        "1 AS ok_passes FROM orders"
+    )
+
+
+def q_drift_nad(spark, sf_dir):
+    """Normalized-absolute-difference drift of event_type between user-id
+    parity halves (the engine's NAD comparator math)."""
+    from data_validation_spark.validate.drift import normalized_absolute_difference
+
+    events = _t(spark, sf_dir, "events")
+    half = events.select(
+        "event_type", (F.pmod(F.col("user_id"), F.lit(2))).alias("h")
+    )
+    rows = half.groupBy("h", "event_type").count().collect()
+    c1 = {r["event_type"]: float(r["count"]) for r in rows if r["h"] == 0}
+    c2 = {r["event_type"]: float(r["count"]) for r in rows if r["h"] == 1}
+    _, nad = normalized_absolute_difference(c1, c2)
+    return spark.createDataFrame([(int(round(nad * 1e6)),)], "nad_e6 bigint")
+
+
+def _drift_nad_sql():
+    return (
+        "WITH c AS (SELECT event_type, user_id % 2 AS h, count(*) AS n "
+        "FROM events GROUP BY 1, 2), "
+        "t AS (SELECT sum(n) AS tot FROM c), "
+        "d AS (SELECT COALESCE(a.event_type, b.event_type) AS et, "
+        "ABS(COALESCE(a.n, 0) - COALESCE(b.n, 0)) * 1.0 / (SELECT tot FROM t) AS diff "
+        "FROM (SELECT * FROM c WHERE h = 0) a "
+        "FULL OUTER JOIN (SELECT * FROM c WHERE h = 1) b ON a.event_type = b.event_type) "
+        "SELECT CAST(ROUND(max(diff)*1000000) AS BIGINT) AS nad_e6 FROM d"
+    )
+
+
+def q_drift_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence of the event_type distribution between the
+    two time halves (categorical JSD, drift comparator math)."""
+    from data_validation_spark.validate.drift import jensen_shannon_divergence_counts
+
+    events = _t(spark, sf_dir, "events")
+    half = events.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "h1")
+        .otherwise("h2")
+        .alias("half"),
+    )
+    rows = half.groupBy("half", "event_type").count().collect()
+    c1 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h1"}
+    c2 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h2"}
+    jsd = jensen_shannon_divergence_counts(c1, c2)
+    return spark.createDataFrame([(int(round(jsd * 1e6)),)], "jsd_e6 bigint")
+
+
+def _drift_jsd_sql():
+    return (
+        "WITH c AS (SELECT event_type, "
+        "CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS half, "
+        "count(*) AS n FROM events GROUP BY 1, 2), "
+        "t AS (SELECT half, sum(n) AS tot FROM c GROUP BY 1), "
+        "p AS (SELECT c.event_type, c.half, c.n * 1.0 / t.tot AS p FROM c JOIN t USING (half)), "
+        "j AS (SELECT COALESCE(a.event_type, b.event_type) AS et, "
+        "COALESCE(a.p, 0) AS p, COALESCE(b.p, 0) AS q FROM "
+        "(SELECT * FROM p WHERE half = 'h1') a FULL OUTER JOIN "
+        "(SELECT * FROM p WHERE half = 'h2') b ON a.event_type = b.event_type) "
+        "SELECT CAST(ROUND(sum("
+        "CASE WHEN p > 0 THEN 0.5 * p * log2(2 * p / (p + q)) ELSE 0 END + "
+        "CASE WHEN q > 0 THEN 0.5 * q * log2(2 * q / (p + q)) ELSE 0 END"
+        ")*1000000) AS BIGINT) AS jsd_e6 FROM j"
+    )
+
+
+def q_weighted_stats(spark, sf_dir):
+    """Weighted stats through the engine's weight-column path: weighted mean/
+    std of l_extendedprice and the weighted top returnflag (ranked by
+    weighted count)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    stats = compute_statistics(
+        li.select("l_returnflag", "l_extendedprice", F.col("l_quantity").alias("w")),
+        StatsOptions(weight_column="w", categorical_features={"l_returnflag"}),
+    )
+    ds = stats.default_slice()
+    n = ds.feature("l_extendedprice").numeric
+    s = ds.feature("l_returnflag").string
+    top_label, top_wcount = s.top_values[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(round(n.weighted_mean * 1e6)),
+                int(round(n.weighted_std_dev * 1e4)),
+                top_label,
+                int(round(top_wcount)),
+            )
+        ],
+        "wmean_e6 bigint, wstd_e4 bigint, top_flag string, top_flag_wcount bigint",
+    )
+
+
+def _weighted_stats_sql():
+    return (
+        "SELECT CAST(ROUND(sum(l_extendedprice*l_quantity)/sum(l_quantity)*1000000) "
+        "AS BIGINT) AS wmean_e6, "
+        "CAST(ROUND(sqrt(sum(l_quantity*l_extendedprice*l_extendedprice)/sum(l_quantity) "
+        "- (sum(l_extendedprice*l_quantity)/sum(l_quantity))^2)*10000) AS BIGINT) AS wstd_e4, "
+        "(SELECT l_returnflag FROM lineitem GROUP BY 1 "
+        "ORDER BY sum(l_quantity) DESC, l_returnflag DESC LIMIT 1) AS top_flag, "
+        "(SELECT CAST(ROUND(sum(l_quantity)) AS BIGINT) FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY sum(l_quantity) DESC, l_returnflag DESC LIMIT 1) AS top_flag_wcount "
+        "FROM lineitem"
+    )
+
+
+def q_empty_values(spark, sf_dir):
+    """Empty-value counter (empty_value_counter_generator parity) over
+    deterministically-derived sentinel values."""
+    from data_validation_spark.stats.sparse import empty_value_counts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") % 10 == 3, "").otherwise(F.col("text")).alias("text2"),
+        F.when(F.col("doc_id") % 7 == 0, -1).otherwise(F.col("doc_id")).alias("id2"),
+        F.when(
+            F.col("n_chars") % 5 == 1, F.array().cast("array<string>")
+        ).otherwise(F.split(F.col("lang"), ",")).alias("arr2"),
+    )
+    c = empty_value_counts(docs)
+    return spark.createDataFrame(
+        [(c["text2"], c["id2"], c["arr2"])],
+        "empty_strings bigint, minus_one_ints bigint, empty_lists bigint",
+    )
+
+
+def _empty_values_sql():
+    return (
+        "SELECT CAST(sum(CASE WHEN n_chars % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS empty_strings, "
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS minus_one_ints, "
+        "CAST(sum(CASE WHEN n_chars % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS empty_lists "
+        "FROM documents"
+    )
+
+
+def q_sparse_stats(spark, sf_dir):
+    """Sparse-feature stats (missing counts + index/value length diffs) over
+    per-order linenumber/quantity arrays."""
+    from data_validation_spark.stats.sparse import sparse_feature_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("idx")
+    )
+    sdf = g.select(
+        "idx", F.filter(F.col("idx"), lambda x: x <= 3).alias("val")
+    )
+    s = sparse_feature_stats(sdf, "idx", "val")
+    return spark.createDataFrame(
+        [
+            (
+                s["missing_value"],
+                s["missing_index"],
+                int(s["min_length_diff"]),
+                int(s["max_length_diff"]),
+            )
+        ],
+        "missing_value bigint, missing_index bigint, min_length_diff bigint, "
+        "max_length_diff bigint",
+    )
+
+
+def _sparse_stats_sql():
+    return (
+        "WITH g AS (SELECT l_orderkey, "
+        "sum(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS d "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT CAST(0 AS BIGINT) AS missing_value, CAST(0 AS BIGINT) AS missing_index, "
+        "CAST(min(d) AS BIGINT) AS min_length_diff, CAST(max(d) AS BIGINT) AS max_length_diff "
+        "FROM g"
+    )
+
+
+def q_infer_schema_roundtrip(spark, sf_dir):
+    """Schema inference round-trip: infer from orders stats, emit the inferred
+    properties, and assert the inferred schema validates its own stats."""
+    from data_validation_spark.validate.infer import infer_schema
+    from data_validation_spark.validate.rules import validate_statistics
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+    stats = compute_statistics(
+        orders, StatsOptions(categorical_features={"o_orderstatus"})
+    )
+    schema = infer_schema(stats)
+    st = schema.get_feature("o_orderstatus")
+    tp = schema.get_feature("o_totalprice")
+    self_clean = validate_statistics(stats, schema).passed
+    return spark.createDataFrame(
+        [
+            (
+                tp.type.value,
+                st.type.value,
+                ",".join(sorted(st.string_domain.value)) if st.string_domain else "",
+                int(round((st.presence.min_fraction or 0.0) * 1e6)),
+                int(self_clean),
+            )
+        ],
+        "totalprice_type string, status_type string, status_domain string, "
+        "status_min_fraction_e6 bigint, self_validates bigint",
+    )
+
+
+def _infer_schema_sql():
+    return (
+        "SELECT 'FLOAT' AS totalprice_type, 'BYTES' AS status_type, "
+        "(SELECT string_agg(s, ',' ORDER BY s) FROM "
+        "(SELECT DISTINCT o_orderstatus AS s FROM orders)) AS status_domain, "
+        "CAST(CASE WHEN count(*) = count(o_orderstatus) THEN 1000000 ELSE 0 END AS BIGINT) "
+        "AS status_min_fraction_e6, 1 AS self_validates FROM orders"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
@@ -1067,6 +1449,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_verdict": q_images_verdict,
         "minhash_dedup": q_minhash_dedup,
         "sketch_stats": q_sketch_stats,
+        "nl_token_stats": q_nl_token_stats,
+        "booldomain_violations": q_booldomain_violations,
+        "floatdomain_nan": q_floatdomain_nan,
+        "dataset_constraints_check": q_dataset_constraints_check,
+        "drift_nad": q_drift_nad,
+        "drift_jsd": q_drift_jsd,
+        "weighted_stats": q_weighted_stats,
+        "empty_values": q_empty_values,
+        "sparse_stats": q_sparse_stats,
+        "infer_schema_roundtrip": q_infer_schema_roundtrip,
     }
 
 
@@ -1117,6 +1509,16 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3ish": _q3_sql(),
         "rollup_orders": _rollup_sql(),
         "pivot_returnflag": _pivot_sql(),
+        "nl_token_stats": _nl_token_stats_sql(),
+        "booldomain_violations": _booldomain_sql(),
+        "floatdomain_nan": _floatdomain_sql(),
+        "dataset_constraints_check": _dataset_constraints_sql(),
+        "drift_nad": _drift_nad_sql(),
+        "drift_jsd": _drift_jsd_sql(),
+        "weighted_stats": _weighted_stats_sql(),
+        "empty_values": _empty_values_sql(),
+        "sparse_stats": _sparse_stats_sql(),
+        "infer_schema_roundtrip": _infer_schema_sql(),
         # images_profile / images_verdict / minhash_dedup / sketch_stats:
         # non-SQL-expressible (synthesized input / sketches / LSH) → rows-only.
     }

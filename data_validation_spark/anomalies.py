@@ -75,6 +75,14 @@ class AnomalyType(str, Enum):
     MAX_IMAGE_BYTE_SIZE_EXCEEDED = "MAX_IMAGE_BYTE_SIZE_EXCEEDED"
     # NL domain
     FEATURE_COVERAGE_TOO_LOW = "FEATURE_COVERAGE_TOO_LOW"
+    FEATURE_COVERAGE_TOO_SHORT_AVG_TOKEN_LENGTH = (
+        "FEATURE_COVERAGE_TOO_SHORT_AVG_TOKEN_LENGTH"
+    )
+    SEQUENCE_VALUE_TOO_SMALL_FRACTION = "SEQUENCE_VALUE_TOO_SMALL_FRACTION"
+    SEQUENCE_VALUE_TOO_LARGE_FRACTION = "SEQUENCE_VALUE_TOO_LARGE_FRACTION"
+    SEQUENCE_VALUE_TOO_FEW_OCCURRENCES = "SEQUENCE_VALUE_TOO_FEW_OCCURRENCES"
+    SEQUENCE_VALUE_TOO_MANY_OCCURRENCES = "SEQUENCE_VALUE_TOO_MANY_OCCURRENCES"
+    STATS_NOT_AVAILABLE = "STATS_NOT_AVAILABLE"
     # Sparse / weighted features
     SPARSE_FEATURE_MISSING_VALUE = "SPARSE_FEATURE_MISSING_VALUE"
     SPARSE_FEATURE_MISSING_INDEX = "SPARSE_FEATURE_MISSING_INDEX"

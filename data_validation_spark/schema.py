@@ -91,8 +91,26 @@ class ImageDomain:
 
 
 @dataclass
+class TokenConstraint:
+    """Per-token sequence constraints (TFMD ``SequenceValueConstraints``,
+    checked in ``natural_language_domain_util.cc:76-142``)."""
+
+    value: Optional[str] = None  # the token (string form)
+    min_fraction_of_sequences: Optional[float] = None
+    max_fraction_of_sequences: Optional[float] = None
+    min_per_sequence: Optional[int] = None
+    max_per_sequence: Optional[int] = None
+
+
+@dataclass
 class NaturalLanguageDomain:
-    coverage_min: Optional[float] = None
+    coverage_min: Optional[float] = None  # legacy alias of min_coverage
+    min_coverage: Optional[float] = None
+    min_avg_token_length: Optional[float] = None
+    token_constraints: list[TokenConstraint] = field(default_factory=list)
+
+    def effective_min_coverage(self) -> Optional[float]:
+        return self.min_coverage if self.min_coverage is not None else self.coverage_min
 
 
 @dataclass
@@ -309,6 +327,7 @@ _NESTED = {
     (FeatureSpec, "bool_domain"): BoolDomain,
     (FeatureSpec, "image_domain"): ImageDomain,
     (FeatureSpec, "natural_language_domain"): NaturalLanguageDomain,
+    (NaturalLanguageDomain, "token_constraints"): TokenConstraint,
     (FeatureSpec, "time_domain"): TimeDomain,
     (FeatureSpec, "unique_constraints"): UniqueConstraints,
     (FeatureSpec, "distribution_constraints"): DistributionConstraints,

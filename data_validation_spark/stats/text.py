@@ -173,6 +173,209 @@ def vocab_token_stats(
     }
 
 
+# ------------------------------------------------- NL token-level statistics
+def compute_nl_statistics(
+    df: DataFrame,
+    text_col: str,
+    vocab: Optional[DataFrame] = None,
+    vocab_col: str = "token",
+    constrained_tokens: Optional[list[str]] = None,
+    oov_tokens: Optional[set[str]] = None,
+    sequence_length_excluded_tokens: Optional[set[str]] = None,
+    num_histogram_buckets: int = 10,
+    num_quantiles_histogram_buckets: int = 10,
+    num_rank_histogram_buckets: int = 100,
+) -> dict:
+    """Schema-driven NL statistics — the reference's
+    ``natural_language_stats_generator.py`` re-expressed as one exploded-token
+    DataFrame plan (posexplode → broadcast vocab join → aggregates), no
+    per-row Python anywhere.
+
+    Returns an ``nl_statistics`` dict with: feature_coverage,
+    avg_token_length, min/max_sequence_length, sequence_length /
+    token_length quantile histograms, token rank histogram, per-token
+    statistics for ``constrained_tokens`` (frequency, fraction_of_sequences,
+    per-sequence min/max/avg, normalized-position histogram), and the 5
+    lowest-coverage / lowest-avg-token-length reported sequences.
+    """
+    oov_tokens = oov_tokens or set()
+    excluded = sequence_length_excluded_tokens or set()
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    seqs = df.select(
+        F.monotonically_increasing_id().alias("__sid"),
+        toks.alias("__toks"),
+    ).where(F.col("__toks").isNotNull())
+    num_examples = seqs.count()
+    if num_examples == 0:
+        return {"num_examples": 0, "feature_coverage": 0.0, "avg_token_length": 0.0}
+
+    tokens = seqs.select(
+        "__sid",
+        F.size("__toks").alias("__slen"),
+        F.posexplode("__toks").alias("__pos", "tok"),
+    )
+    if vocab is not None:
+        v = F.broadcast(
+            vocab.select(F.col(vocab_col).alias("tok"))
+            .dropDuplicates(["tok"])
+            .withColumn("__iv", F.lit(1))
+        )
+        tokens = tokens.join(v, "tok", "left").withColumn(
+            "__in_vocab", F.coalesce(F.col("__iv"), F.lit(0))
+        )
+    else:
+        # No vocabulary: every token is in-vocab unless listed OOV
+        # (reference semantics for string tokens without a vocab path).
+        oov_arr = (
+            F.array(*[F.lit(t) for t in sorted(oov_tokens)]) if oov_tokens else None
+        )
+        iv = (
+            F.when(F.array_contains(oov_arr, F.col("tok")), 0).otherwise(1)
+            if oov_arr is not None
+            else F.lit(1)
+        )
+        tokens = tokens.withColumn("__in_vocab", iv)
+    tokens = tokens.cache()
+
+    qs = [i / num_quantiles_histogram_buckets for i in range(num_quantiles_histogram_buckets + 1)]
+    ivl = F.when(F.col("__in_vocab") == 1, F.length("tok"))
+    cov_row = tokens.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("__in_vocab").alias("in_vocab"),
+        F.avg(ivl).alias("avg_tok_len"),
+        F.percentile_approx(ivl.cast("double"), qs, 10000).alias("tok_len_q"),
+    ).collect()[0]
+    total = int(cov_row["total"] or 0)
+    in_vocab = int(cov_row["in_vocab"] or 0)
+
+    # Per-sequence rollup: effective length (minus excluded tokens), coverage,
+    # avg in-vocab token length → sequence-length stats + reported sequences.
+    n_excl = (
+        F.sum(F.when(F.col("tok").isin(*excluded), 1).otherwise(0))
+        if excluded
+        else F.lit(0)
+    )
+    per_seq = tokens.groupBy("__sid").agg(
+        (F.first("__slen") - n_excl).alias("eff_len"),
+        (F.sum("__in_vocab") / F.count(F.lit(1))).alias("coverage"),
+        F.avg(ivl).alias("avg_tok_len"),
+    )
+    seq_row = per_seq.agg(
+        F.min("eff_len").alias("minlen"),
+        F.max("eff_len").alias("maxlen"),
+        F.percentile_approx(F.col("eff_len").cast("double"), qs, 10000).alias("len_q"),
+    ).collect()[0]
+
+    # Reported sequences: 5 lowest by coverage, 5 lowest by avg token length
+    # (TakeOrderedAndProject — a distributed top-k, not a global sort).
+    def _bottom5(order_col):
+        ids = [r["__sid"] for r in per_seq.orderBy(F.col(order_col).asc_nulls_last(), "__sid").limit(5).collect()]
+        if not ids:
+            return []
+        rows = seqs.where(F.col("__sid").isin(ids)).select("__sid", "__toks").collect()
+        by_id = {r["__sid"]: list(r["__toks"]) for r in rows}
+        return [by_id[i] for i in ids if i in by_id]
+
+    # Token rank histogram: salted two-phase exact top-k on token frequency.
+    from pyspark.sql import Window
+
+    salts = 16
+    counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+        "salt", F.pmod(F.xxhash64("tok"), F.lit(salts))
+    )
+    wa = Window.partitionBy("salt").orderBy(F.desc("cnt"), F.desc("tok"))
+    wb = Window.orderBy(F.desc("cnt"), F.desc("tok"))
+    top_rows = (
+        counts.withColumn("r", F.row_number().over(wa))
+        .where(F.col("r") <= num_rank_histogram_buckets)
+        .withColumn("r2", F.row_number().over(wb))
+        .where(F.col("r2") <= num_rank_histogram_buckets)
+        .select("r2", "tok", "cnt")
+        .collect()
+    )
+
+    # Per-token statistics for schema-constrained tokens (small set).
+    token_statistics = {}
+    if constrained_tokens:
+        ct = tokens.where(F.col("tok").isin(*constrained_tokens))
+        pos_bucket = F.least(
+            F.floor(F.col("__pos") / F.col("__slen") * num_histogram_buckets),
+            F.lit(num_histogram_buckets - 1),
+        ).cast("int")
+        per_tok_seq = ct.groupBy("tok", "__sid").agg(F.count(F.lit(1)).alias("occ"))
+        tok_rows = per_tok_seq.groupBy("tok").agg(
+            F.sum("occ").alias("frequency"),
+            F.count(F.lit(1)).alias("num_sequences"),
+            F.min("occ").alias("min_per_seq"),
+            F.max("occ").alias("max_per_seq"),
+            F.avg("occ").alias("avg_per_seq"),
+        ).collect()
+        pos_rows = (
+            ct.groupBy("tok", pos_bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        pos_hist: dict[str, dict[int, int]] = {}
+        for r in pos_rows:
+            pos_hist.setdefault(r["tok"], {})[int(r["bucket"])] = int(r["n"])
+        for r in tok_rows:
+            token_statistics[r["tok"]] = {
+                "frequency": int(r["frequency"]),
+                "fraction_of_sequences": r["num_sequences"] / num_examples,
+                "per_sequence_min_frequency": int(r["min_per_seq"]),
+                "per_sequence_max_frequency": int(r["max_per_seq"]),
+                "per_sequence_avg_frequency": float(r["avg_per_seq"]),
+                "positions": pos_hist.get(r["tok"], {}),
+            }
+        for t in constrained_tokens:
+            if t not in token_statistics:
+                token_statistics[t] = {
+                    "frequency": 0,
+                    "fraction_of_sequences": 0.0,
+                    "per_sequence_min_frequency": 0,
+                    "per_sequence_max_frequency": 0,
+                    "per_sequence_avg_frequency": 0.0,
+                    "positions": {},
+                }
+
+    tokens.unpersist()
+    return {
+        "num_examples": num_examples,
+        "feature_coverage": in_vocab / total if total else 0.0,
+        "avg_token_length": float(cov_row["avg_tok_len"] or 0.0),
+        "token_length_quantiles": list(cov_row["tok_len_q"] or []),
+        "min_sequence_length": int(seq_row["minlen"] or 0),
+        "max_sequence_length": int(seq_row["maxlen"] or 0),
+        "sequence_length_quantiles": list(seq_row["len_q"] or []),
+        "rank_histogram": [
+            {"rank": r["r2"], "label": r["tok"], "sample_count": int(r["cnt"])}
+            for r in top_rows
+        ],
+        "token_statistics": token_statistics,
+        "reported_sequences": (
+            [" ".join(s) for s in _bottom5("coverage")]
+            + [" ".join(s) for s in _bottom5("avg_tok_len")]
+        ),
+    }
+
+
+def attach_nl_token_stats(
+    stats: DatasetStatsList, df: DataFrame, text_col: str, **kwargs
+) -> dict:
+    """Compute ``compute_nl_statistics`` and stamp the result as the
+    ``nl_statistics`` custom stat (the reference's custom-stat channel that
+    ``UpdateNaturalLanguageDomain`` reads)."""
+    nl = compute_nl_statistics(df, text_col, **kwargs)
+    for sl in stats.slices:
+        fs = sl.features.get(text_col)
+        if fs is not None:
+            fs.custom["nl_statistics"] = nl
+            fs.custom["nl_coverage"] = nl.get("feature_coverage")
+    return nl
+
+
 # ------------------------------------------------------- NL domain inference
 def attach_nl_stats(
     stats: DatasetStatsList,

@@ -753,21 +753,140 @@ def _check_image_domain(fs, spec, sk, out):
 
 
 def _check_nl_domain(fs, spec, sk, out):
+    """NL domain constraints (``natural_language_domain_util.cc:48-142``):
+    coverage + avg-token-length thresholds and per-token sequence
+    constraints, evaluated against the ``nl_statistics`` custom stat."""
     if spec.natural_language_domain is None:
         return
     d = spec.natural_language_domain
-    if d.coverage_min is not None:
+    nl = fs.custom.get("nl_statistics")
+    min_cov = d.effective_min_coverage()
+    has_constraints = (
+        min_cov is not None
+        or d.min_avg_token_length is not None
+        or bool(d.token_constraints)
+    )
+    if nl is None:
+        # Back-compat: a bare coverage number may exist without full nl stats.
         cov = fs.custom.get("nl_coverage")
-        if cov is not None and cov < d.coverage_min:
+        if cov is not None and min_cov is not None:
+            nl = {"feature_coverage": cov}
+        elif has_constraints:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.STATS_NOT_AVAILABLE,
+                    "Natural language stats are not computed.",
+                    "Constraints specified in natural language domain cannot be "
+                    "verified because natural language stats have not been computed.",
+                    sk,
+                )
+            )
+            return
+        else:
+            return
+    if min_cov is not None:
+        cov = nl.get("feature_coverage")
+        if cov is not None and cov < min_cov:
             out.anomalies.append(
                 _anom(
                     spec.name,
                     AnomalyType.FEATURE_COVERAGE_TOO_LOW,
-                    "Low feature coverage",
-                    f"Natural-language coverage {cov:.6g} below {d.coverage_min}.",
+                    "Feature coverage is too low.",
+                    f"Fraction of tokens in the vocabulary: {cov:.6g} is lower "
+                    f"than the threshold set in the Schema: {min_cov}.",
                     sk,
                     measurement=cov,
-                    threshold=d.coverage_min,
+                    threshold=min_cov,
+                )
+            )
+    if d.min_avg_token_length is not None:
+        atl = nl.get("avg_token_length")
+        if atl is not None and atl < d.min_avg_token_length:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.FEATURE_COVERAGE_TOO_SHORT_AVG_TOKEN_LENGTH,
+                    "Average token length is too short.",
+                    f"Average token length is: {atl:.6g} which is lower than the "
+                    f"threshold set in the Schema: {d.min_avg_token_length}.",
+                    sk,
+                    measurement=atl,
+                    threshold=d.min_avg_token_length,
+                )
+            )
+    token_stats = nl.get("token_statistics", {})
+    for tc in d.token_constraints:
+        ts = token_stats.get(tc.value)
+        if ts is None:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.STATS_NOT_AVAILABLE,
+                    "Natural language stats are not computed.",
+                    f"Token constraints for value: {tc.value} cannot be "
+                    "verified because its token statistics were not computed.",
+                    sk,
+                )
+            )
+            continue
+        frac = ts.get("fraction_of_sequences", 0.0)
+        if tc.min_fraction_of_sequences is not None and frac < tc.min_fraction_of_sequences:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.SEQUENCE_VALUE_TOO_SMALL_FRACTION,
+                    "Value occurs in too small a fraction of sequences.",
+                    f"Fraction of sequences with value: {tc.value} is: {frac:.6g} "
+                    f"which is lower than the threshold set in the Schema: "
+                    f"{tc.min_fraction_of_sequences}.",
+                    sk,
+                    measurement=frac,
+                    threshold=tc.min_fraction_of_sequences,
+                )
+            )
+        if tc.max_fraction_of_sequences is not None and frac > tc.max_fraction_of_sequences:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.SEQUENCE_VALUE_TOO_LARGE_FRACTION,
+                    "Value occurs in too large a fraction of sequences.",
+                    f"Fraction of sequences with value: {tc.value} is: {frac:.6g} "
+                    f"which is higher than the threshold set in the Schema: "
+                    f"{tc.max_fraction_of_sequences}.",
+                    sk,
+                    measurement=frac,
+                    threshold=tc.max_fraction_of_sequences,
+                )
+            )
+        mn = ts.get("per_sequence_min_frequency", 0)
+        if tc.min_per_sequence is not None and mn < tc.min_per_sequence:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.SEQUENCE_VALUE_TOO_FEW_OCCURRENCES,
+                    "Value has too few per-sequence occurrences.",
+                    f"Value: {tc.value} occurs at least: {mn} times within a "
+                    f"sequence, which is lower than the threshold set in the "
+                    f"Schema: {tc.min_per_sequence}.",
+                    sk,
+                    measurement=float(mn),
+                    threshold=float(tc.min_per_sequence),
+                )
+            )
+        mx = ts.get("per_sequence_max_frequency", 0)
+        if tc.max_per_sequence is not None and mx > tc.max_per_sequence:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.SEQUENCE_VALUE_TOO_MANY_OCCURRENCES,
+                    "Value has too many per-sequence occurrences.",
+                    f"Value: {tc.value} occurs at most: {mx} times within a "
+                    f"sequence, which is higher than the threshold set in the "
+                    f"Schema: {tc.max_per_sequence}.",
+                    sk,
+                    measurement=float(mx),
+                    threshold=float(tc.max_per_sequence),
                 )
             )
 

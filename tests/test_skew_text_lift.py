@@ -243,3 +243,87 @@ def test_kraskov_knn_mi(spark):
     summary = estimated_knn_mutual_information(df, "x", "y", num_partitions=4)
     assert summary["num_partitions"] == 4
     assert summary["mean"] == pytest.approx(0.511, abs=0.15)
+
+
+def test_nl_token_stats_and_constraints(spark):
+    from data_validation_spark.anomalies import AnomalyType as AT
+    from data_validation_spark.schema import (
+        FeatureSpec,
+        NaturalLanguageDomain,
+        Schema,
+        TokenConstraint,
+    )
+    from data_validation_spark.stats.text import attach_nl_token_stats
+    from data_validation_spark.validate.rules import validate_statistics
+
+    rows = [("the cat sat on the mat",), ("the dog ran",), ("xyzzy qwerty",)]
+    df = spark.createDataFrame(rows, "text string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",), ("dog",), ("ran",)],
+        "token string",
+    )
+    stats = compute_statistics(df)
+    nl = attach_nl_token_stats(
+        stats, df, "text", vocab=vocab, constrained_tokens=["the", "xyzzy"]
+    )
+    assert nl["feature_coverage"] == pytest.approx(9 / 11)
+    ts = nl["token_statistics"]["the"]
+    assert ts["frequency"] == 3
+    assert ts["fraction_of_sequences"] == pytest.approx(2 / 3)
+    assert ts["per_sequence_max_frequency"] == 2
+    assert nl["min_sequence_length"] == 2 and nl["max_sequence_length"] == 6
+    assert nl["rank_histogram"][0]["label"] == "the"
+
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="text",
+                natural_language_domain=NaturalLanguageDomain(
+                    min_coverage=0.9,
+                    min_avg_token_length=3.0,
+                    token_constraints=[
+                        TokenConstraint(value="the", min_fraction_of_sequences=0.9),
+                        TokenConstraint(value="xyzzy", max_fraction_of_sequences=0.1),
+                        TokenConstraint(value="the", max_per_sequence=1),
+                        TokenConstraint(value="the", min_per_sequence=2),
+                    ],
+                ),
+            )
+        ]
+    )
+    r = validate_statistics(stats, schema)
+    got = {a.type for a in r.anomalies}
+    assert got == {
+        AT.FEATURE_COVERAGE_TOO_LOW,
+        AT.FEATURE_COVERAGE_TOO_SHORT_AVG_TOKEN_LENGTH,
+        AT.SEQUENCE_VALUE_TOO_SMALL_FRACTION,
+        AT.SEQUENCE_VALUE_TOO_LARGE_FRACTION,
+        AT.SEQUENCE_VALUE_TOO_MANY_OCCURRENCES,
+        AT.SEQUENCE_VALUE_TOO_FEW_OCCURRENCES,
+    }
+
+
+def test_nl_constraints_stats_not_available(spark):
+    from data_validation_spark.anomalies import AnomalyType as AT
+    from data_validation_spark.schema import (
+        FeatureSpec,
+        NaturalLanguageDomain,
+        Schema,
+        TokenConstraint,
+    )
+    from data_validation_spark.validate.rules import validate_statistics
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    stats = compute_statistics(df)  # no NL stats attached
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="text",
+                natural_language_domain=NaturalLanguageDomain(
+                    token_constraints=[TokenConstraint(value="hello", min_per_sequence=1)]
+                ),
+            )
+        ]
+    )
+    r = validate_statistics(stats, schema)
+    assert {a.type for a in r.anomalies} == {AT.STATS_NOT_AVAILABLE}
