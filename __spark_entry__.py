@@ -1024,6 +1024,52 @@ def q_sketch_stats(spark, sf_dir):
     )
 
 
+def q_slice_multi(spark, sf_dir):
+    """Two simultaneous slicers (every event_type; click × user-bucket) through
+    the engine's multi-slicer path (slicing_util.py parity)."""
+    from data_validation_spark.stats.slicing import SliceSpec
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(3)).alias("ub"), "value"
+    )
+    stats = compute_statistics(
+        ev,
+        StatsOptions(
+            slice_specs=[
+                SliceSpec({"event_type": None}),
+                SliceSpec({"event_type": ["click"], "ub": None}),
+            ]
+        ),
+    )
+    rows = sorted(
+        (
+            s.slice_key,
+            s.num_examples,
+            int(round(s.feature("value").numeric.mean * 1e6)),
+        )
+        for s in stats.slices
+    )
+    return spark.createDataFrame(
+        rows, "slice_key string, num_examples bigint, mean_value_e6 bigint"
+    )
+
+
+def _slice_multi_sql():
+    return (
+        "WITH base AS (SELECT event_type, user_id % 3 AS ub, value FROM events), "
+        "u AS ("
+        "SELECT 'All Examples' AS slice_key, count(*) AS n, avg(value) AS m FROM base "
+        "UNION ALL "
+        "SELECT 'event_type_' || event_type, count(*), avg(value) FROM base "
+        "WHERE event_type IS NOT NULL GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'event_type_click_ub_' || CAST(ub AS VARCHAR), count(*), avg(value) "
+        "FROM base WHERE event_type = 'click' AND ub IS NOT NULL GROUP BY ub) "
+        "SELECT slice_key, CAST(n AS BIGINT) AS num_examples, "
+        "CAST(ROUND(m*1000000) AS BIGINT) AS mean_value_e6 FROM u ORDER BY slice_key"
+    )
+
+
 def q_nl_token_stats(spark, sf_dir):
     """NL token-level stats (natural_language_stats_generator parity): stats
     for the constrained token 'the' + sequence-length extremes."""
@@ -1449,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_verdict": q_images_verdict,
         "minhash_dedup": q_minhash_dedup,
         "sketch_stats": q_sketch_stats,
+        "slice_multi": q_slice_multi,
         "nl_token_stats": q_nl_token_stats,
         "booldomain_violations": q_booldomain_violations,
         "floatdomain_nan": q_floatdomain_nan,
@@ -1509,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3ish": _q3_sql(),
         "rollup_orders": _rollup_sql(),
         "pivot_returnflag": _pivot_sql(),
+        "slice_multi": _slice_multi_sql(),
         "nl_token_stats": _nl_token_stats_sql(),
         "booldomain_violations": _booldomain_sql(),
         "floatdomain_nan": _floatdomain_sql(),

@@ -62,15 +62,23 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
     if options.sample_rate is not None and options.sample_rate < 1.0:
         df = df.sample(fraction=options.sample_rate, seed=42)
 
-    slice_col = (
-        F.col(options.slice_column).cast("string")
-        if options.slice_column
-        else F.lit(options.default_slice_key)
-    )
+    if options.slice_specs:
+        # Multi-slicer / value-set slicing: explode rows into every slice they
+        # belong to (one expression + one explode; slicing_util.py parity).
+        from data_validation_spark.stats.slicing import apply_slicing
+
+        df = apply_slicing(df, options.slice_specs, options.default_slice_key)
+        slice_col = F.col("__slice_key__")
+    else:
+        slice_col = (
+            F.col(options.slice_column).cast("string")
+            if options.slice_column
+            else F.lit(options.default_slice_key)
+        )
     stat_cols = [
         f.name
         for f in df.schema.fields
-        if f.name not in (options.weight_column, options.slice_column)
+        if f.name not in (options.weight_column, options.slice_column, "__slice_key__")
     ]
     plans = E.classify_columns(
         df.select(*stat_cols).schema, options.categorical_features

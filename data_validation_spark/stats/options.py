@@ -40,6 +40,11 @@ class StatsOptions:
     # Slicing: group stats by this column's value; None = single default slice.
     slice_column: Optional[str] = None
     default_slice_key: str = "All Examples"
+    # Multi-slicer / value-set slicing (slicing_util.py:48-300 parity): a list
+    # of SliceSpec objects run simultaneously; rows explode into every slice
+    # they belong to, plus the default slice. Mutually exclusive with
+    # slice_column (slice_specs wins when both are set).
+    slice_specs: list = field(default_factory=list)
 
     # Binary columns whose magic-byte format histogram is fused into the wide
     # aggregation pass (no separate scan of the binary column).

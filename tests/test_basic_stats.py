@@ -191,3 +191,40 @@ def test_nested_valency_per_level(spark):
 
     back = DatasetStatsList.from_json(stats.to_json())
     assert back.default_slice().feature("a").common.min_max_num_values() == [(1, 2), (1, 3)]
+
+
+def test_multi_slicer_value_sets(spark):
+    from data_validation_spark.stats.slicing import SliceSpec
+
+    rows = [
+        ("click", 1, ["a", "b"]),
+        ("view", 1, ["a"]),
+        ("click", 2, ["b", "b"]),   # duplicate element → one slice key
+        (None, 2, []),              # null slice feature → only default slice
+    ]
+    df = spark.createDataFrame(rows, "et string, bucket long, tags array<string>")
+    stats = compute_statistics(
+        df,
+        StatsOptions(
+            slice_specs=[
+                SliceSpec({"et": None}),                      # every value
+                SliceSpec({"et": ["click"], "bucket": None}), # value-set × all
+                SliceSpec({"tags": None}),                    # multivalent
+            ]
+        ),
+    )
+    keys = {s.slice_key for s in stats.slices}
+    assert keys == {
+        "All Examples",
+        "et_click",
+        "et_view",
+        "bucket_1_et_click",
+        "bucket_2_et_click",
+        "tags_a",
+        "tags_b",
+    }
+    by = {s.slice_key: s for s in stats.slices}
+    assert by["All Examples"].num_examples == 4
+    assert by["et_click"].num_examples == 2
+    assert by["bucket_1_et_click"].num_examples == 1
+    assert by["tags_b"].num_examples == 2  # dedup within row
