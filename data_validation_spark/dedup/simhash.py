@@ -37,43 +37,43 @@ def simhash64(text: str) -> int:
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, fingerprint) — fully JVM-side SimHash.
+    """(id, fingerprint) — one Arrow pass, batch-vectorized numpy.
 
-    Token hashes are ``xxhash64(token)``; per-bit votes are one ``aggregate``
-    fold over the token array (each token contributes ±1 per bit via a
-    bitwise AND against a literal power-of-two array — no shift-by-column
-    needed); the fingerprint ORs together the powers of two whose vote is
-    positive. Empty/whitespace-only text fingerprints to 0. No Python runs
-    per row, so the pass stays inside whole-stage codegen.
+    Per batch: pandas C string split → ``pd.util.hash_array`` (SipHash, C)
+    word hashes → per-bit ±1 votes via ``np.unpackbits`` + ``np.add.reduceat``
+    per row → fingerprint as the sum of the positive-vote powers of two. No
+    per-row or per-token Python anywhere (a Catalyst higher-order-function
+    formulation was measured slower — HOF lambdas are interpreted, not
+    codegen'd). Empty/whitespace-only text fingerprints to 0.
     """
-    # Literal array of the 64 bit masks (bit 63 is the sign bit as a long).
-    pow2 = F.array(
-        *[
-            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-            for b in range(64)
-        ]
+    from itertools import chain
+
+    from data_validation_spark.util import ensure_min_partitions
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pow2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            word_lists = pdf[text_col].fillna("").str.split()
+            lens = word_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+            n = len(lens)
+            flat = list(chain.from_iterable(word_lists))
+            fps = np.zeros(n, dtype=np.int64)
+            if flat:
+                H = pd.util.hash_array(np.asarray(flat, dtype=object))
+                bits = np.unpackbits(H.view(np.uint8).reshape(-1, 8), axis=1)
+                votes_pm = 2 * bits.astype(np.int32) - 1  # (S, 64) of ±1
+                off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=off[1:])
+                nonempty = lens > 0
+                votes = np.add.reduceat(votes_pm, off[:-1][nonempty], axis=0)
+                fp_vals = ((votes > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1)
+                fps[nonempty] = fp_vals.view(np.int64)
+            yield pd.DataFrame({"id": pdf[id_col], "fingerprint": fps})
+
+    src = ensure_min_partitions(df.select(F.col(id_col).alias(id_col), text_col))
+    return src.mapInPandas(
+        run, f"id {df.schema[id_col].dataType.simpleString()}, fingerprint long"
     )
-    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0)
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            pow2,
-            lambda v, p: v
-            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        ),
-    )
-    fp = F.aggregate(
-        F.zip_with(
-            votes, pow2, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a.bitwiseOR(x),
-    )
-    fp = F.when(F.size(hashes) == 0, F.lit(0).cast("long")).otherwise(fp)
-    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
 
 
 def simhash_near_dups(

@@ -13,6 +13,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+
+
+def iceberg_conf(warehouse: str, catalog: str = "local") -> dict:
+    """Spark conf wiring a local Hadoop-catalog Iceberg warehouse.
+
+    Usage (cluster or local; needs network / a jar cache for the runtime):
+
+        spark = get_spark(extra_conf={
+            "spark.jars.packages": ICEBERG_PACKAGE,
+            **iceberg_conf("/path/warehouse"),
+        })
+        df = read_iceberg(spark, "local.db.images")
+
+    or with spark-submit:
+
+        spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \\
+            --py-files dist/data_validation_spark.zip tools/run_validation.py \\
+            --format iceberg --input local.db.images ...
+
+    The sandbox image ships no Iceberg jar, so tests exercise identical
+    partition-pruning semantics over hive-partitioned parquet (see
+    tests/test_plans.py); the engine code paths are format-agnostic.
+    """
+    return {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "data_validation_spark",
     master: str | None = None,

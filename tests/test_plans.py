@@ -86,3 +86,24 @@ def test_embedding_topk_broadcasts_query(spark, sf_dir):
     df = m.q_embedding_topk(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """The checkpoint ledger's per-partition read must reach PartitionFilters
+    (not a post-scan filter): identical semantics for hive-partitioned parquet
+    and Iceberg identity partitions — the Iceberg jar is absent in this
+    sandbox, so the hive layout stands in (sources.py seam)."""
+    src = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS day", "id * 2 AS v"
+    )
+    path = str(tmp_path / "parts")
+    src.write.partitionBy("day").mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    one = df.where(F.col("day") == 2)
+    plan = plan_of(one.select("v"))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "day" in m.group(1), plan  # predicate reached the partition filter
+    assert one.count() == 250
+    # cast-to-string equality must NOT be used for partition reads (it can
+    # defeat pruning); the native-typed predicate is what run_validation uses.

@@ -77,7 +77,11 @@ def main() -> int:
         def read_part(label: str):
             v = by_label[label]
             c = F.col(args.partition_col)
-            return df.where(c.isNull() if v is None else c.cast("string") == str(v))
+            # Native-typed equality: a cast-to-string comparison would defeat
+            # partition pruning on hive/Iceberg-partitioned tables (the
+            # predicate must be on the raw partition column to reach
+            # PartitionFilters). Asserted by tests/test_plans.py.
+            return df.where(c.isNull() if v is None else c == v)
 
         recs = run_partitioned(
             spark,
