@@ -1316,7 +1316,7 @@ def q_weighted_stats(spark, sf_dir):
     ds = stats.default_slice()
     n = ds.feature("l_extendedprice").numeric
     s = ds.feature("l_returnflag").string
-    top_label, top_wcount = s.top_values[0]
+    top_label, top_wcount = s.weighted_top_values[0]
     return spark.createDataFrame(
         [
             (

@@ -162,6 +162,18 @@ def _merge_feature(a: FeatureStats, b: FeatureStats) -> FeatureStats:
             ],
             invalid_utf8_count=a.string.invalid_utf8_count + b.string.invalid_utf8_count,
         )
+        if a.string.weighted_rank_histogram and b.string.weighted_rank_histogram:
+            wcounts: dict[str, float] = {}
+            for s in (a.string, b.string):
+                for bk in s.weighted_rank_histogram:
+                    wcounts[bk.label] = wcounts.get(bk.label, 0.0) + bk.sample_count
+            wranked = sorted(
+                wcounts.items(), key=lambda kv: (-kv[1], tuple(-c for c in kv[0].encode()))
+            )
+            out.string.weighted_top_values = [(v, c) for v, c in wranked[:n_top]]
+            out.string.weighted_rank_histogram = [
+                RankBucket(i + 1, i + 1, v, c) for i, (v, c) in enumerate(wranked[:n_rank])
+            ]
     elif a.string or b.string:
         out.string = a.string or b.string
     if a.bytes and b.bytes:

@@ -119,7 +119,7 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         wide_f = pool.submit(wide_job)
         long_f = pool.submit(long_job)
         wide_rows = wide_f.result()
-        topk_data, uniq_data, arr_data = long_f.result()
+        topk_data, uniq_data, arr_data, wtopk_data = long_f.result()
 
     if not wide_rows:
         # Placeholder-for-empty-input parity (stats_impl.py:141-158).
@@ -128,7 +128,9 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
     # ---- assembly ----------------------------------------------------------
     slices = []
     for row in wide_rows:
-        slices.append(_assemble_slice(row, plans, options, topk_data, uniq_data, arr_data))
+        slices.append(
+            _assemble_slice(row, plans, options, topk_data, uniq_data, arr_data, wtopk_data)
+        )
     slices.sort(key=lambda s: s.slice_key)
     return DatasetStatsList(slices)
 
@@ -144,8 +146,9 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
     topk_data: dict = {}
     uniq_data: dict = {}
     arr_data: dict = {}
+    wtopk_data: dict = {}
     if long_df is None:
-        return topk_data, uniq_data, arr_data
+        return topk_data, uniq_data, arr_data, wtopk_data
 
     any_topk = any(p.categorical for p in plans)
     any_arr = any(p.numeric and p.nest_depth > 0 for p in plans)
@@ -167,38 +170,55 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
         # values so their sizes sum to the exact unique count.
         salts = 16
         salt = F.pmod(F.xxhash64("str_value"), F.lit(salts))
-        # Rank by weighted frequency when a weight column is configured (the
-        # reference's weighted top-k orders by weighted counts); tie-break
-        # parity: larger value wins.
-        rank_col = "wcnt" if options.weight_column else "cnt"
+        # With a weight column the reference emits BOTH an unweighted top-k
+        # (string_stats.top_values) and a weighted one ranked by weighted
+        # frequency (weighted_string_stats) — so rank by both orderings in
+        # the same pass (same shuffle partitioning, two sorts) and keep any
+        # row in either top-k. Tie-break parity: larger value wins.
+        weighted = bool(options.weight_column)
         wa = Window.partitionBy("slice_key", "feature", "salt").orderBy(
-            F.desc(rank_col), F.desc("str_value")
+            F.desc("cnt"), F.desc("str_value")
         )
         wa_cnt = Window.partitionBy("slice_key", "feature", "salt")
-        local = (
-            counts.withColumn("salt", salt)
-            .withColumn("r", F.row_number().over(wa))
-            .withColumn("u", F.count(F.lit(1)).over(wa_cnt))
-            .where(F.col("r") <= k)
+        local = counts.withColumn("salt", salt).withColumn(
+            "r", F.row_number().over(wa)
         )
+        keep = F.col("r") <= k
+        if weighted:
+            wa_w = Window.partitionBy("slice_key", "feature", "salt").orderBy(
+                F.desc("wcnt"), F.desc("str_value")
+            )
+            local = local.withColumn("rw", F.row_number().over(wa_w))
+            keep = keep | (F.col("rw") <= k)
+        local = local.withColumn("u", F.count(F.lit(1)).over(wa_cnt)).where(keep)
         wb = Window.partitionBy("slice_key", "feature").orderBy(
-            F.desc(rank_col), F.desc("str_value")
+            F.desc("cnt"), F.desc("str_value")
         )
         wb_all = Window.partitionBy("slice_key", "feature")
-        top_rows = (
-            local.withColumn("rank", F.row_number().over(wb))
-            .withColumn(
-                "unique",
-                F.sum(F.when(F.col("r") == 1, F.col("u")).otherwise(0)).over(wb_all),
-            )
-            .where(F.col("rank") <= k)
-            .collect()
+        final = local.withColumn("rank", F.row_number().over(wb)).withColumn(
+            "unique",
+            F.sum(F.when(F.col("r") == 1, F.col("u")).otherwise(0)).over(wb_all),
         )
-        for r in top_rows:
-            topk_data.setdefault((r["slice_key"], r["feature"]), []).append(
-                (r["rank"], r["str_value"], r["cnt"], r["wcnt"])
+        if weighted:
+            wb_w = Window.partitionBy("slice_key", "feature").orderBy(
+                F.desc("wcnt"), F.desc("str_value")
             )
-            uniq_data[(r["slice_key"], r["feature"])] = r["unique"]
+            final = final.withColumn("wrank", F.row_number().over(wb_w))
+            final = final.where((F.col("rank") <= k) | (F.col("wrank") <= k))
+        else:
+            final = final.where(F.col("rank") <= k)
+        top_rows = final.collect()
+        for r in top_rows:
+            key = (r["slice_key"], r["feature"])
+            if r["rank"] <= k:
+                topk_data.setdefault(key, []).append(
+                    (r["rank"], r["str_value"], r["cnt"], r["wcnt"])
+                )
+            if weighted and r["wrank"] <= k:
+                wtopk_data.setdefault(key, []).append(
+                    (r["wrank"], r["str_value"], r["cnt"], r["wcnt"])
+                )
+            uniq_data[key] = r["unique"]
 
     if any_arr:
         qs = [i / _QUANTILE_CUTS for i in range(_QUANTILE_CUTS + 1)]
@@ -225,10 +245,12 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
         for r in arr_rows:
             arr_data[(r["slice_key"], r["feature"])] = r.asDict()
 
-    return topk_data, uniq_data, arr_data
+    return topk_data, uniq_data, arr_data, wtopk_data
 
 
-def _assemble_slice(row, plans, options: StatsOptions, topk_data, uniq_data, arr_data):
+def _assemble_slice(
+    row, plans, options: StatsOptions, topk_data, uniq_data, arr_data, wtopk_data=None
+):
     rd = row.asDict()
     slice_key = rd["slice_key"]
     num_examples = rd["num_examples"]
@@ -239,7 +261,8 @@ def _assemble_slice(row, plans, options: StatsOptions, topk_data, uniq_data, arr
     )
     for p in plans:
         ds.features[p.name] = _assemble_feature(
-            p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data
+            p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data,
+            wtopk_data or {},
         )
     return ds
 
@@ -249,7 +272,9 @@ def _g(rd, p, stat, default=None):
     return default if v is None else v
 
 
-def _assemble_feature(p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data):
+def _assemble_feature(
+    p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data, wtopk_data=None
+):
     fs = FeatureStats(name=p.name, type=p.stats_type)
     if p.source_type and p.source_type not in ("LONG", "DOUBLE", "STRING", "BINARY"):
         fs.custom["source_type"] = p.source_type
@@ -367,14 +392,24 @@ def _assemble_feature(p, rd, num_examples, slice_key, options, topk_data, uniq_d
         st = StringStats(avg_length=_g(rd, p, "avglen", 0.0) or 0.0)
         st.unique = int(uniq_data.get(key, 0))
         entries = sorted(topk_data.get(key, []))
-        weighted = bool(options.weight_column)
         st.top_values = [
-            (v, float(wc if weighted else c)) for (_, v, c, wc) in entries[: options.num_top_values]
+            (v, float(c)) for (_, v, c, _wc) in entries[: options.num_top_values]
         ]
         st.rank_histogram = [
-            RankBucket(r, r, v, float(wc if weighted else c))
-            for (r, v, c, wc) in entries[: options.num_rank_histogram_buckets]
+            RankBucket(r, r, v, float(c))
+            for (r, v, c, _wc) in entries[: options.num_rank_histogram_buckets]
         ]
+        if options.weight_column and wtopk_data is not None:
+            # weighted_string_stats parity: a second top-k ranked by weighted
+            # frequency, reporting weighted counts.
+            wentries = sorted(wtopk_data.get(key, []))
+            st.weighted_top_values = [
+                (v, float(wc)) for (_, v, _c, wc) in wentries[: options.num_top_values]
+            ]
+            st.weighted_rank_histogram = [
+                RankBucket(r, r, v, float(wc))
+                for (r, v, _c, wc) in wentries[: options.num_rank_histogram_buckets]
+            ]
         fs.string = st
         return fs
 

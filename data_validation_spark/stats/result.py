@@ -118,6 +118,10 @@ class StringStats:
     rank_histogram: list[RankBucket] = field(default_factory=list)
     invalid_utf8_count: int = 0
     unique_is_exact: bool = True
+    # Weighted variants (the reference's weighted_string_stats): present only
+    # when a weight column was configured; ranked by weighted frequency.
+    weighted_top_values: Optional[list[tuple[str, float]]] = None
+    weighted_rank_histogram: Optional[list[RankBucket]] = None
 
     def value_counts(self) -> dict[str, float]:
         """label → count map from the rank histogram (the reference's
@@ -238,6 +242,8 @@ def _dec(o: Any) -> Any:
         obj = cls(**kwargs)
         if isinstance(obj, StringStats):
             obj.top_values = [tuple(t) for t in obj.top_values]
+            if obj.weighted_top_values is not None:
+                obj.weighted_top_values = [tuple(t) for t in obj.weighted_top_values]
         return obj
     if isinstance(o, list):
         return [_dec(v) for v in o]

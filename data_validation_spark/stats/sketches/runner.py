@@ -88,13 +88,15 @@ _PARTIAL_DDL = "slice_key string, feature string, acc binary"
 
 
 def run_sketch_pass(df, plans, slice_col, options):
-    """Returns (topk_data, uniq_data, arr_data) with the same shapes as the
-    exact long pass (see engine._run_long_pass)."""
+    """Returns (topk_data, uniq_data, arr_data, wtopk_data) with the same
+    shapes as the exact long pass (see engine._run_long_pass). Sketch mode
+    tracks weighted counts inside the CMS accumulator, so the weighted top-k
+    reuses topk_data ordering (approximate path; exact mode emits both)."""
     long_df = E.long_format(
         df, plans, slice_col, options.weight_column, include_scalar_numeric=True
     )
     if long_df is None:
-        return {}, {}, {}
+        return {}, {}, {}, {}
 
     opts = options
 
@@ -168,7 +170,7 @@ def run_sketch_pass(df, plans, slice_col, options):
                 "fincnt": acc.fincnt,
                 "quants": quants,
             }
-    return topk_data, uniq_data, arr_data
+    return topk_data, uniq_data, arr_data, dict(topk_data)
 
 
 def _merge_group_keep(pdf: pd.DataFrame) -> pd.DataFrame:

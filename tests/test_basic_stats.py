@@ -228,3 +228,15 @@ def test_multi_slicer_value_sets(spark):
     assert by["et_click"].num_examples == 2
     assert by["bucket_1_et_click"].num_examples == 1
     assert by["tags_b"].num_examples == 2  # dedup within row
+
+
+def test_weighted_and_unweighted_topk(spark):
+    # 'b' wins unweighted (3 rows vs 2) but 'a' wins weighted (20 vs 3).
+    rows = [("a", 10.0), ("a", 10.0), ("b", 1.0), ("b", 1.0), ("b", 1.0)]
+    df = spark.createDataFrame(rows, "s string, w double")
+    stats = compute_statistics(df, StatsOptions(weight_column="w"))
+    st = stats.default_slice().feature("s").string
+    assert st.top_values[0] == ("b", 3.0)           # unweighted ranking/counts
+    assert st.weighted_top_values[0] == ("a", 20.0)  # weighted ranking/counts
+    assert [b.label for b in st.rank_histogram] == ["b", "a"]
+    assert [b.label for b in st.weighted_rank_histogram] == ["a", "b"]

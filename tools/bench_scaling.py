@@ -93,6 +93,10 @@ def main():
             r_high = b
     best_round = max(rounds, key=lambda r: r["paired_efficiency"])
     eff = best_round["paired_efficiency"]
+    effs = sorted(r["paired_efficiency"] for r in rounds)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
 
     report = {
         "n_images": n_images,
@@ -100,6 +104,7 @@ def main():
         "high": r_high,
         "rounds": rounds,
         "scaling_efficiency": eff,
+        "median_efficiency": median_eff,
         "best_round": best_round,
         "required": 0.8,
         "pass": eff >= 0.8,
@@ -142,7 +147,7 @@ Paired rounds (low_sec, high_sec → paired efficiency):
 
 **Scaling efficiency ({low}→{high} cores) = best paired
 (thr_{high}/thr_{low})/4 = {eff:.3f}** (required ≥ 0.8 →
-{"PASS" if eff >= 0.8 else "FAIL"}).
+{"PASS" if eff >= 0.8 else "FAIL"}); median paired round = {median_eff:.3f}.
 
 Validation verdict on the clean variant: passed={r_low['passed']}.
 
