@@ -41,17 +41,12 @@ class CountMinTopK:
 
     @staticmethod
     def _hash(values: list[str]) -> np.ndarray:
-        import zlib
+        # Batch SipHash via pandas' C hasher — deterministic (fixed default
+        # key) and vectorized over the whole distinct-value list, replacing a
+        # per-value Python crc32 loop.
+        import pandas as pd
 
-        # crc32 pair → 64-bit; deterministic, fast enough per distinct value
-        return np.array(
-            [
-                (zlib.crc32(v.encode("utf-8", "surrogatepass")) << 32)
-                | zlib.crc32(v.encode("utf-8", "surrogatepass"), 0xABCD1234)
-                for v in values
-            ],
-            dtype=np.uint64,
-        )
+        return pd.util.hash_array(np.asarray(values, dtype=object))
 
     def add_counts(self, values: list[str], counts: np.ndarray) -> None:
         """Pre-aggregated insert (group duplicates before calling — the

@@ -82,3 +82,122 @@ def windowed_event_counts(
         .groupBy(F.window(ts_col, window).alias("w"), key_col)
         .agg(*aggs)
     )
+
+
+# ------------------------------------------------- custom stateful operators
+def streaming_dedup_first_seen(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    state_ttl_minutes: Optional[int] = None,
+) -> DataFrame:
+    """Stateful exact streaming dedup: emit each key's FIRST occurrence only.
+
+    ``applyInPandasWithState`` keeps one boolean per key; late duplicates are
+    suppressed across micro-batches (unlike ``dropDuplicates`` within a batch
+    alone). With ``state_ttl_minutes`` the key's state expires via processing-
+    time timeout, bounding state size — the standard at-scale trade: exact
+    dedup within the TTL horizon, re-admittance after.
+
+    Output: (key, first_ts, n_dups_suppressed_so_far emitted at first sight=0).
+    """
+    import pandas as pd  # noqa: F401  (used inside the worker closure)
+
+    out_schema = "key string, first_ts timestamp"
+    state_schema = "seen boolean"
+    timeout = "ProcessingTimeTimeout" if state_ttl_minutes else "NoTimeout"
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        for pdf in pdf_iter:
+            if not state.exists and len(pdf):
+                m = pdf[ts_col].min()
+                first = m if first is None else min(first, m)
+        if not state.exists and first is not None:
+            state.update((True,))
+            if state_ttl_minutes:
+                state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+            import pandas as pd
+
+            yield pd.DataFrame({"key": [key[0]], "first_ts": [first]})
+
+    src = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(key_col).cast("string").alias("k"), F.col(ts_col).alias(ts_col)
+    )
+    return src.groupBy("k").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming sessionization: per-user sessions closed after
+    ``gap_minutes`` of event-time silence, emitted on processing-time timeout.
+
+    State per user: (session_start, last_ts, n_events). Each batch folds its
+    (sorted) events into the open session, splitting when the gap exceeds the
+    threshold; completed sessions are emitted immediately, the open one on
+    timeout. This is the ``applyInPandasWithState`` shape the batch
+    ``sessionization`` query mirrors (lag + cumulative sum), kept incremental
+    here so 10^12-row streams never re-scan history.
+
+    Output: (user, session_start, session_end, n_events).
+    """
+    out_schema = "user string, session_start timestamp, session_end timestamp, n_events long"
+    state_schema = "session_start timestamp, last_ts timestamp, n_events long"
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user": [key[0]],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.append(pdf[ts_col])
+        if not ts_all:
+            return
+        ts = pd.concat(ts_all).sort_values().reset_index(drop=True)
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts.iloc[0], ts.iloc[0], 0
+        done_rows = []
+        for t in ts:
+            if (t - last).total_seconds() > gap_s:
+                done_rows.append((key[0], start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_s * 1000)
+        if done_rows:
+            yield pd.DataFrame(
+                done_rows, columns=["user", "session_start", "session_end", "n_events"]
+            )
+
+    src = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(user_col).cast("string").alias("u"), F.col(ts_col).alias(ts_col)
+    )
+    return src.groupBy("u").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
+    )

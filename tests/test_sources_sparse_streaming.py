@@ -139,3 +139,74 @@ def test_streaming_windowed_counts(spark, tmp_path):
         q.stop()
     assert out[("click", 0)] == 2
     assert out[("view", 5)] == 1
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    from data_validation_spark.streaming import streaming_dedup_first_seen
+
+    src = str(tmp_path / "dedup_src")
+    rows = [
+        ("2024-01-01 00:01:00", "a"),
+        ("2024-01-01 00:02:00", "a"),  # duplicate within batch
+        ("2024-01-01 00:03:00", "b"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, k string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k"
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+    out = streaming_dedup_first_seen(stream, "k", "ts")
+    q = out.writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try:
+        q.processAllAvailable()
+        # a cross-batch duplicate + one new key
+        df2 = spark.createDataFrame(
+            [("2024-01-01 00:04:00", "a"), ("2024-01-01 00:05:00", "c")],
+            "ts_s string, k string",
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k")
+        df2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["key"]: r["first_ts"].minute for r in spark.sql("select * from dd").collect()}
+    finally:
+        q.stop()
+    assert got == {"a": 1, "b": 3, "c": 5}  # 'a' emitted once, at first sight
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    from data_validation_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        ("2024-01-01 00:00:00", "u1"),
+        ("2024-01-01 00:10:00", "u1"),
+        ("2024-01-01 02:00:00", "u1"),  # > 30 min gap → first session closes
+        ("2024-01-01 00:05:00", "u2"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, u string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "u"
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, u string").parquet(src)
+    out = streaming_sessionize(stream, "u", "ts", gap_minutes=30)
+    q = out.writeStream.outputMode("append").format("memory").queryName("ss").start()
+    try:
+        # ProcessingTimeTimeout keeps scheduling state-cleanup batches, so
+        # processAllAvailable never idles — poll the sink with a deadline.
+        import time
+
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline and not got:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = [
+                (r["user"], r["session_start"].minute, r["session_end"].minute, r["n_events"])
+                for r in spark.sql("select * from ss").collect()
+            ]
+            if not got:
+                time.sleep(1)
+    finally:
+        q.stop()
+    # the completed u1 session (00:00-00:10, 2 events) is emitted in-batch;
+    # open sessions (u1 @02:00, u2) wait on the processing-time timeout.
+    assert got == [("u1", 0, 10, 2)]
