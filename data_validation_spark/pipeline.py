@@ -135,6 +135,25 @@ def validate_images(
         # format histogram is fused into the wide agg (options.image_columns);
         # the bytes column is scanned once for all its stats.
         s = compute_statistics(df, options)
+        # Schema-driven NL stats (caption columns): computed only when the
+        # schema declares NL-domain constraints, so the NL rule never hits
+        # STATS_NOT_AVAILABLE for a column we could have profiled.
+        from data_validation_spark.stats.text import attach_nl_token_stats
+
+        for spec in schema.feature:
+            d = spec.natural_language_domain
+            if d is None or spec.name not in df.columns:
+                continue
+            has_constraints = (
+                d.effective_min_coverage() is not None
+                or d.min_avg_token_length is not None
+                or bool(d.token_constraints)
+            )
+            if has_constraints:
+                tokens = [tc.value for tc in d.token_constraints if tc.value]
+                attach_nl_token_stats(
+                    s, df, spec.name, constrained_tokens=tokens or None
+                )
         p = prev_stats
         if p is None and prev_df is not None:
             p = compute_statistics(prev_df, options)

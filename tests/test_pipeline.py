@@ -62,3 +62,34 @@ def test_drift_vs_prev_variant(spark):
     m = {x.metric: x.value for x in r.anomalies.drift_skew_info}
     assert m["L_INFTY"] == pytest.approx(0.3, abs=0.08)
     assert "JENSEN_SHANNON_DIVERGENCE" in m
+
+
+def test_pipeline_nl_constraints_on_caption(spark):
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.pipeline import default_image_schema, validate_images
+    from data_validation_spark.schema import NaturalLanguageDomain, TokenConstraint
+
+    df = images_df(spark, 300, "clean")
+    schema = default_image_schema()
+    cap = schema.get_feature("caption")
+    assert cap is not None
+    # synthetic captions are random wNNNN tokens: cap a never-appearing token
+    # at ≤10% of sequences (passes, fraction is 0) — exercising the wiring.
+    cap.natural_language_domain = NaturalLanguageDomain(
+        min_coverage=None,
+        token_constraints=[
+            TokenConstraint(value="zzz_never", max_fraction_of_sequences=0.1),
+        ],
+    )
+    r = validate_images(spark, df, schema)
+    nl = r.stats.default_slice().feature("caption").custom.get("nl_statistics")
+    assert nl is not None and "zzz_never" in nl["token_statistics"]
+    assert nl["token_statistics"]["zzz_never"]["fraction_of_sequences"] == 0.0
+    assert r.anomalies.passed
+    # now an impossible constraint → SEQUENCE_VALUE_TOO_SMALL_FRACTION
+    cap.natural_language_domain.token_constraints = [
+        TokenConstraint(value="zzz_never", min_fraction_of_sequences=0.5)
+    ]
+    r2 = validate_images(spark, df, schema)
+    types = {a.type.value for a in r2.anomalies.anomalies}
+    assert "SEQUENCE_VALUE_TOO_SMALL_FRACTION" in types
