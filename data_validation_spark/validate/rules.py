@@ -137,8 +137,44 @@ def _resolve_severities(
 
 def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
     """Custom-stat-driven sparse/weighted feature checks
-    (``anomalies/schema.cc:1197-1292``)."""
+    (``anomalies/schema.cc:1197-1292``), plus the name-collision precedence
+    of ``schema.cc:226-269``: a weighted feature colliding with a regular or
+    sparse feature of the same name → WEIGHTED_FEATURE_NAME_COLLISION; a
+    sparse feature colliding with a regular feature →
+    SPARSE_FEATURE_NAME_COLLISION (the colliding pair is skipped for the
+    per-feature checks, as the reference deprecates both)."""
+    feature_names = {f.name for f in schema.feature if not f.deprecated}
+    sparse_names = {s.name for s in schema.sparse_feature}
+    collided: set[str] = set()
+    for wf in schema.weighted_feature:
+        if wf.name in feature_names or wf.name in sparse_names:
+            collided.add(wf.name)
+            out.anomalies.append(
+                _anom(
+                    wf.name,
+                    AnomalyType.WEIGHTED_FEATURE_NAME_COLLISION,
+                    "Weighted feature name collision",
+                    "Weighted feature name collision.",
+                    ds.slice_key,
+                )
+            )
     for sf in schema.sparse_feature:
+        if sf.name in collided:
+            continue
+        if sf.name in feature_names:
+            collided.add(sf.name)
+            out.anomalies.append(
+                _anom(
+                    sf.name,
+                    AnomalyType.SPARSE_FEATURE_NAME_COLLISION,
+                    "Sparse feature name collision",
+                    "Sparse feature name collision.",
+                    ds.slice_key,
+                )
+            )
+    for sf in schema.sparse_feature:
+        if sf.name in collided:
+            continue
         fs = ds.feature(sf.name)
         s = fs.custom.get("sparse_feature_stats") if fs else None
         if s is None:
@@ -177,6 +213,8 @@ def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
                 )
             )
     for wf in schema.weighted_feature:
+        if wf.name in collided:
+            continue
         fs = ds.feature(wf.name)
         s = fs.custom.get("weighted_feature_stats") if fs else None
         if s is None:

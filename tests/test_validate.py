@@ -607,3 +607,28 @@ def test_float_domain_on_string_feature():
     assert validate_statistics(ok, schema).passed
     bad = make_stats([_string_feature("s", {"1.5": 3.0, "xyz": 2.0})])
     assert AT.FLOAT_TYPE_STRING_NOT_FLOAT in types(validate_statistics(bad, schema), "s")
+
+
+def test_sparse_weighted_name_collision():
+    from data_validation_spark.schema import SparseFeature, WeightedFeature
+
+    stats = make_stats([make_feature("x"), make_feature("y")])
+    schema = Schema(
+        feature=[FeatureSpec(name="x"), FeatureSpec(name="y")],
+        sparse_feature=[SparseFeature(name="x", index_feature="i", value_feature="v")],
+        weighted_feature=[WeightedFeature(name="y", feature="f", weight_feature="w")],
+    )
+    r = validate_statistics(stats, schema)
+    assert AT.SPARSE_FEATURE_NAME_COLLISION in types(r, "x")
+    assert AT.WEIGHTED_FEATURE_NAME_COLLISION in types(r, "y")
+    # weighted collision with a SPARSE feature of the same name also fires
+    schema2 = Schema(
+        sparse_feature=[SparseFeature(name="z", index_feature="i", value_feature="v")],
+        weighted_feature=[WeightedFeature(name="z", feature="f", weight_feature="w")],
+    )
+    r2 = validate_statistics(make_stats([make_feature("a")]), schema2)
+    got = types(r2, "z")
+    assert AT.WEIGHTED_FEATURE_NAME_COLLISION in got
+    # per the reference precedence the colliding pair is deprecated: no
+    # SPARSE_FEATURE_NAME_COLLISION double-report for the same name
+    assert AT.SPARSE_FEATURE_NAME_COLLISION not in got
