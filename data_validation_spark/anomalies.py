@@ -70,6 +70,9 @@ class AnomalyType(str, Enum):
     INVALID_SCHEMA_SPECIFICATION = "INVALID_SCHEMA_SPECIFICATION"
     DOMAIN_INVALID_FOR_TYPE = "DOMAIN_INVALID_FOR_TYPE"
     VALUE_NESTEDNESS_MISMATCH = "VALUE_NESTEDNESS_MISMATCH"
+    FEATURE_MISSING_NAME = "FEATURE_MISSING_NAME"
+    FEATURE_MISSING_TYPE = "FEATURE_MISSING_TYPE"
+    SEMANTIC_DOMAIN_UPDATE = "SEMANTIC_DOMAIN_UPDATE"
     # Image domain
     LOW_SUPPORTED_IMAGE_FRACTION = "LOW_SUPPORTED_IMAGE_FRACTION"
     MAX_IMAGE_BYTE_SIZE_EXCEEDED = "MAX_IMAGE_BYTE_SIZE_EXCEEDED"

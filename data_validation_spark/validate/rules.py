@@ -98,6 +98,7 @@ def validate_statistics(
     for spec in schema.feature:
         if spec.deprecated or not schema.feature_in_environment(spec, environment):
             continue
+        _check_schema_hygiene(spec, ds, out)
         fs = ds.feature(spec.name)
         if fs is None:
             if spec.is_required():
@@ -133,6 +134,60 @@ def _resolve_severities(
             a.severity = severity_overrides[a.type]
         elif new_features_are_warnings and a.type == AnomalyType.SCHEMA_NEW_COLUMN:
             a.severity = Severity.WARNING
+
+
+def _has_domain(spec: FeatureSpec) -> bool:
+    return any(
+        getattr(spec, f) is not None
+        for f in (
+            "int_domain",
+            "float_domain",
+            "string_domain",
+            "bool_domain",
+            "image_domain",
+            "natural_language_domain",
+            "time_domain",
+        )
+    ) or bool(spec.domain)
+
+
+def _check_schema_hygiene(spec: FeatureSpec, ds, out: Anomalies) -> None:
+    """Schema self-checks (``schema.cc:735-768``): unnamed features, features
+    with a domain but no declared type, negative presence fractions."""
+    sk = ds.slice_key
+    if not spec.name:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.FEATURE_MISSING_NAME,
+                "Feature missing name",
+                "unspecified name (maybe meant to be the empty string): find "
+                "name rather than deprecating.",
+                sk,
+            )
+        )
+        return
+    if spec.type is None and (spec.domain or spec.string_domain is not None):
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.FEATURE_MISSING_TYPE,
+                "Feature missing type",
+                "unspecified type: inferring the type to be BYTES, given the "
+                "domain specified.",
+                sk,
+            )
+        )
+    if spec.presence and spec.presence.min_fraction < 0.0:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.INVALID_SCHEMA_SPECIFICATION,
+                "Invalid schema specification",
+                "min_fraction should not be negative: clear is equal to zero",
+                sk,
+            )
+        )
 
 
 def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
@@ -360,6 +415,20 @@ def validate_feature(
 
     # ---- derived features (schema.cc:1171-1194) ------------------------------
     _check_derived_feature(fs, spec, sk, out)
+
+    # ---- semantic-domain update (schema.cc:1120-1129) ------------------------
+    # domain_info custom stat on a feature whose schema has NO domain set →
+    # best-effort semantic update, reported as an anomaly.
+    if not _has_domain(spec) and fs.custom.get("domain_info"):
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.SEMANTIC_DOMAIN_UPDATE,
+                "Updated semantic domain",
+                f"Updated semantic domain for feature: {spec.name}",
+                sk,
+            )
+        )
 
     # ---- domains ------------------------------------------------------------
     _check_int_domain(fs, spec, sk, out)

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from data_validation_spark.anomalies import AnomalyType as AT
 from data_validation_spark.schema import (
+    FeatureType,
     FeatureSpec,
     IntDomain,
     Presence,
@@ -30,7 +31,8 @@ def test_validate_instance_clean():
         feature=[
             FeatureSpec(name="w", int_domain=IntDomain(min=1, max=100),
                         presence=Presence(min_count=1)),
-            FeatureSpec(name="fmt", string_domain=StringDomain(value=["png", "jpeg"])),
+            FeatureSpec(name="fmt", type=FeatureType.BYTES,
+                        string_domain=StringDomain(value=["png", "jpeg"])),
         ]
     )
     assert validate_instance({"w": 50, "fmt": "png"}, schema).passed
@@ -41,7 +43,8 @@ def test_validate_instance_violations():
         feature=[
             FeatureSpec(name="w", int_domain=IntDomain(min=1, max=100),
                         presence=Presence(min_count=1)),
-            FeatureSpec(name="fmt", string_domain=StringDomain(value=["png", "jpeg"])),
+            FeatureSpec(name="fmt", type=FeatureType.BYTES,
+                        string_domain=StringDomain(value=["png", "jpeg"])),
         ]
     )
     r = validate_instance({"w": -5, "fmt": "tiff"}, schema)

@@ -341,6 +341,7 @@ def test_string_domain_off_values():
         feature=[
             FeatureSpec(
                 name="fmt",
+                type=FeatureType.BYTES,
                 string_domain=StringDomain(value=["png", "jpeg"], min_domain_mass=0.95),
             )
         ]
@@ -357,7 +358,7 @@ def test_string_domain_off_values():
 def test_string_domain_shared():
     stats = make_stats([_string_feature("fmt", {"png": 1.0, "bad": 9.0})])
     schema = Schema(
-        feature=[FeatureSpec(name="fmt", domain="formats")],
+        feature=[FeatureSpec(name="fmt", type=FeatureType.BYTES, domain="formats")],
         string_domain=[StringDomain(name="formats", value=["png"])],
     )
     assert AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES in types(validate_statistics(stats, schema))
@@ -365,7 +366,11 @@ def test_string_domain_shared():
 
 def test_invalid_utf8():
     stats = make_stats([_string_feature("s", {"a": 5.0}, invalid_utf8=3)])
-    schema = Schema(feature=[FeatureSpec(name="s", string_domain=StringDomain(value=["a"]))])
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="s", type=FeatureType.BYTES, string_domain=StringDomain(value=["a"]))
+        ]
+    )
     assert AT.ENUM_TYPE_INVALID_UTF8 in types(validate_statistics(stats, schema), "s")
 
 
@@ -632,3 +637,35 @@ def test_sparse_weighted_name_collision():
     # per the reference precedence the colliding pair is deprecated: no
     # SPARSE_FEATURE_NAME_COLLISION double-report for the same name
     assert AT.SPARSE_FEATURE_NAME_COLLISION not in got
+
+
+def test_schema_hygiene_reasons():
+    stats = make_stats([make_feature("a")])
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="a"),
+            FeatureSpec(name="", presence=Presence(min_count=1)),
+            FeatureSpec(name="d", domain="shared", presence=Presence(min_fraction=-0.5)),
+        ]
+    )
+    r = validate_statistics(stats, schema)
+    assert AT.FEATURE_MISSING_NAME in types(r, "")
+    got_d = types(r, "d")
+    assert AT.FEATURE_MISSING_TYPE in got_d
+    assert AT.INVALID_SCHEMA_SPECIFICATION in got_d
+
+
+def test_semantic_domain_update():
+    f = make_feature("cap", type_="STRING", string=StringStats(unique=5))
+    f.custom["domain_info"] = "natural_language_domain {}"
+    stats = make_stats([f])
+    # schema has NO domain on 'cap' → best-effort semantic update reported
+    schema = Schema(feature=[FeatureSpec(name="cap")])
+    assert AT.SEMANTIC_DOMAIN_UPDATE in types(validate_statistics(stats, schema), "cap")
+    # with a domain already set, no update
+    from data_validation_spark.schema import NaturalLanguageDomain
+
+    schema2 = Schema(
+        feature=[FeatureSpec(name="cap", natural_language_domain=NaturalLanguageDomain())]
+    )
+    assert AT.SEMANTIC_DOMAIN_UPDATE not in types(validate_statistics(stats, schema2), "cap")
