@@ -266,15 +266,19 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
     """Build the long-format frame ``(slice_key, feature, str_value, num_value,
     weight)`` feeding top-k/uniques and array-element numeric stats.
 
-    One unionByName of per-column projections → Catalyst prunes the scan to the
-    needed columns per branch; downstream is a single groupBy shuffle keyed by
-    (slice, feature, value) — the analogue of the reference's explode +
-    CombinePerKey (``top_k_uniques_stats_generator.py:106-336``).
+    ONE scan: every participating column stacks into a per-row array of
+    ``(feature, str_value, num_value)`` structs which a single ``explode``
+    flattens — the analogue of the reference's explode + CombinePerKey
+    (``top_k_uniques_stats_generator.py:106-336``). A unionByName of
+    per-column projections would read the same total column bytes (Catalyst
+    prunes each branch) but pays scan setup (footers, row-group init, task
+    scheduling) once PER FEATURE — at 100 TB that's N scan fan-outs instead
+    of one. Downstream is a single groupBy shuffle keyed by
+    (slice, feature, value).
     """
-    from functools import reduce
-
-    parts = []
     w = (F.col(weight_column).cast("double") if weight_column else F.lit(1.0)).alias("weight")
+    struct_t = "struct<feature:string,str_value:string,num_value:double>"
+    arrays = []
     for p in plans:
         if p.stats_type in (STRUCT, UNKNOWN, BYTES):
             continue
@@ -282,33 +286,39 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
         needs_numeric = p.numeric and (p.nest_depth > 0 or include_scalar_numeric)
         if not (needs_topk or needs_numeric):
             continue
-        base = F.col(p.name)
-        if p.nest_depth > 0:
-            flat = base
-            for _ in range(p.nest_depth - 1):
-                flat = F.flatten(flat)
-            val = F.explode(flat).alias("v")
-            proj = df.select(slice_col.alias("slice_key"), val, w)
-        else:
-            proj = df.select(slice_col.alias("slice_key"), _value_col(p).alias("v"), w).where(
-                F.col("v").isNotNull()
-            )
-        sv = F.col("v").cast("string") if needs_topk else F.lit(None).cast("string")
-        if needs_numeric:
-            nv = F.col("v").cast("double")
-            if p.is_float:
-                nv = F.when(~F.isnan(F.col("v").cast("double")), F.col("v").cast("double"))
-        else:
-            nv = F.lit(None).cast("double")
-        parts.append(
-            proj.select(
-                "slice_key",
+
+        def entry(v, p=p, needs_topk=needs_topk, needs_numeric=needs_numeric):
+            sv = v.cast("string") if needs_topk else F.lit(None).cast("string")
+            if needs_numeric:
+                nv = v.cast("double")
+                if p.is_float:
+                    nv = F.when(~F.isnan(nv), nv)
+            else:
+                nv = F.lit(None).cast("double")
+            return F.struct(
                 F.lit(p.name).alias("feature"),
                 sv.alias("str_value"),
                 nv.alias("num_value"),
-                "weight",
             )
-        )
-    if not parts:
+
+        if p.nest_depth > 0:
+            flat = F.col(p.name)
+            for _ in range(p.nest_depth - 1):
+                flat = F.flatten(flat)
+            arr = F.when(flat.isNotNull(), F.transform(flat, lambda x: entry(x)))
+        else:
+            v = _value_col(p)
+            arr = F.when(v.isNotNull(), F.array(entry(v)))
+        arrays.append(F.coalesce(arr, F.array().cast(f"array<{struct_t}>")))
+    if not arrays:
         return None
-    return reduce(lambda x, y: x.unionByName(y), parts)
+    stacked = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    return df.select(
+        slice_col.alias("slice_key"), F.explode(stacked).alias("e"), w
+    ).select(
+        "slice_key",
+        F.col("e.feature").alias("feature"),
+        F.col("e.str_value").alias("str_value"),
+        F.col("e.num_value").alias("num_value"),
+        "weight",
+    )
