@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "windowed_counts",
     "minhash_dedup",
     "sketch_stats",
+    # round 2 additions (new keys — prior-round comparability preserved)
+    "slice_multi",
+    "nl_token_stats",
+    "simhash_docs",
 ]
 
 

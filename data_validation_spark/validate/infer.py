@@ -91,6 +91,42 @@ def _infer_feature(
     return spec
 
 
+def _apply_domain_info(spec: FeatureSpec, fs: FeatureStats) -> None:
+    """Attach the semantic domain named by the ``domain_info`` custom stat
+    (BestEffortUpdateCustomDomain role)."""
+    info = str(fs.custom.get("domain_info") or "")
+    if "image_domain" in info and spec.image_domain is None:
+        spec.image_domain = ImageDomain()
+    elif "natural_language_domain" in info and spec.natural_language_domain is None:
+        from data_validation_spark.schema import NaturalLanguageDomain
+
+        spec.natural_language_domain = NaturalLanguageDomain()
+    elif "bool_domain" in info and spec.bool_domain is None:
+        spec.bool_domain = BoolDomain()
+
+
+def _relax_token_constraints(spec: FeatureSpec, fs: FeatureStats) -> None:
+    """Relax each violated token constraint to its observed statistic (the
+    reference's constraint->set_* fix semantics)."""
+    nl = fs.custom.get("nl_statistics") or {}
+    token_stats = nl.get("token_statistics", {})
+    for tc in spec.natural_language_domain.token_constraints:
+        ts = token_stats.get(tc.value)
+        if ts is None:
+            continue
+        frac = ts.get("fraction_of_sequences", 0.0)
+        if tc.min_fraction_of_sequences is not None and frac < tc.min_fraction_of_sequences:
+            tc.min_fraction_of_sequences = frac
+        if tc.max_fraction_of_sequences is not None and frac > tc.max_fraction_of_sequences:
+            tc.max_fraction_of_sequences = frac
+        mn = ts.get("per_sequence_min_frequency", 0)
+        if tc.min_per_sequence is not None and mn < tc.min_per_sequence:
+            tc.min_per_sequence = mn
+        mx = ts.get("per_sequence_max_frequency", 0)
+        if tc.max_per_sequence is not None and mx > tc.max_per_sequence:
+            tc.max_per_sequence = mx
+
+
 def update_schema(schema: Schema, statistics: DatasetStatsList) -> Schema:
     """Return a copy of ``schema`` relaxed so ``statistics`` validates cleanly —
     the reference's fix-proposal semantics (each anomaly implies a schema edit).
@@ -125,9 +161,55 @@ def update_schema(schema: Schema, statistics: DatasetStatsList) -> Schema:
         elif t == "UNEXPECTED_DATA_TYPE" and fs is not None:
             spec.type = _STATS_TO_SCHEMA_TYPE.get(fs.type, spec.type)
         elif t == "FEATURE_TYPE_LOW_NUMBER_VALUES" and fs is not None:
-            spec.value_count.min = fs.common.min_num_values
+            mmv = fs.common.min_max_num_values()
+            if spec.value_count is not None:
+                spec.value_count.min = mmv[0][0] or None
+            elif spec.value_counts is not None and len(spec.value_counts) == len(mmv):
+                for vc, (lo, _) in zip(spec.value_counts, mmv):
+                    if vc.min is not None and lo < vc.min:
+                        vc.min = lo or None  # observed 0 → clear (reference)
         elif t == "FEATURE_TYPE_HIGH_NUMBER_VALUES" and fs is not None:
-            spec.value_count.max = fs.common.max_num_values
+            mmv = fs.common.min_max_num_values()
+            if spec.value_count is not None:
+                spec.value_count.max = mmv[0][1]
+            elif spec.value_counts is not None and len(spec.value_counts) == len(mmv):
+                for vc, (_, hi) in zip(spec.value_counts, mmv):
+                    if vc.max is not None and hi > vc.max:
+                        vc.max = hi
+        elif t == "VALUE_NESTEDNESS_MISMATCH" and fs is not None:
+            # Reference fix (feature_util.cc InitValueCount after clearing):
+            # replace the wrong-shape constraint with per-level value_counts.
+            spec.value_count = None
+            spec.value_counts = [
+                ValueCount(min=lo or None, max=hi)
+                for lo, hi in fs.common.min_max_num_values()
+            ]
+        elif t == "FEATURE_MISSING_TYPE":
+            spec.type = FeatureType.BYTES
+        elif t == "INVALID_SCHEMA_SPECIFICATION" and spec.presence is not None:
+            if spec.presence.min_fraction < 0.0:
+                spec.presence.min_fraction = 0.0
+        elif t == "DERIVED_FEATURE_INVALID_SOURCE" and fs is not None:
+            spec.validation_derived_source = fs.custom.get("validation_derived_source")
+            spec.lifecycle_stage = "VALIDATION_DERIVED"
+        elif t == "DERIVED_FEATURE_BAD_LIFECYCLE":
+            spec.lifecycle_stage = "VALIDATION_DERIVED"
+        elif t == "SEMANTIC_DOMAIN_UPDATE" and fs is not None:
+            _apply_domain_info(spec, fs)
+        elif t == "FEATURE_COVERAGE_TOO_LOW" and spec.natural_language_domain:
+            spec.natural_language_domain.min_coverage = a.measurement
+            spec.natural_language_domain.coverage_min = None
+        elif (
+            t == "FEATURE_COVERAGE_TOO_SHORT_AVG_TOKEN_LENGTH"
+            and spec.natural_language_domain
+        ):
+            spec.natural_language_domain.min_avg_token_length = a.measurement
+        elif t.startswith("SEQUENCE_VALUE_") and spec.natural_language_domain and fs is not None:
+            _relax_token_constraints(spec, fs)
+        elif t == "STATS_NOT_AVAILABLE":
+            # Constraints unverifiable without NL stats — reference clears the
+            # domain (natural_language_domain_util.cc:169-181).
+            spec.natural_language_domain = None
         elif t == "INVALID_FEATURE_SHAPE" and fs is not None:
             spec.shape = None
             spec.value_count = ValueCount(

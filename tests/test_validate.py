@@ -669,3 +669,60 @@ def test_semantic_domain_update():
         feature=[FeatureSpec(name="cap", natural_language_domain=NaturalLanguageDomain())]
     )
     assert AT.SEMANTIC_DOMAIN_UPDATE not in types(validate_statistics(stats, schema2), "cap")
+
+
+def test_update_schema_fixes_new_reasons():
+    from data_validation_spark.schema import NaturalLanguageDomain, TokenConstraint
+
+    # nestedness mismatch → per-level value_counts installed
+    stats = make_stats([_nested_feature("a", [(1, 2), (0, 9)])])
+    schema = Schema(feature=[FeatureSpec(name="a", value_count=ValueCount(min=1, max=3))])
+    fixed = update_schema(schema, stats)
+    spec = fixed.get_feature("a")
+    assert spec.value_count is None
+    assert [(vc.min, vc.max) for vc in spec.value_counts] == [(1, 2), (None, 9)]
+    assert validate_statistics(stats, fixed).passed
+
+    # derived feature → source + lifecycle installed
+    f = make_feature("d")
+    f.custom["validation_derived_source"] = "src"
+    stats2 = make_stats([f])
+    fixed2 = update_schema(Schema(feature=[FeatureSpec(name="d")]), stats2)
+    d = fixed2.get_feature("d")
+    assert d.validation_derived_source == "src"
+    assert d.lifecycle_stage == "VALIDATION_DERIVED"
+    assert validate_statistics(stats2, fixed2).passed
+
+    # NL token constraint relaxed to the observed fraction
+    f3 = make_feature("t", type_="STRING", string=StringStats(unique=3))
+    f3.custom["nl_statistics"] = {
+        "feature_coverage": 0.4,
+        "avg_token_length": 2.0,
+        "token_statistics": {
+            "the": {
+                "fraction_of_sequences": 0.2,
+                "per_sequence_min_frequency": 1,
+                "per_sequence_max_frequency": 4,
+            }
+        },
+    }
+    schema3 = Schema(
+        feature=[
+            FeatureSpec(
+                name="t",
+                natural_language_domain=NaturalLanguageDomain(
+                    min_coverage=0.9,
+                    token_constraints=[
+                        TokenConstraint(value="the", min_fraction_of_sequences=0.8,
+                                        max_per_sequence=2)
+                    ],
+                ),
+            )
+        ]
+    )
+    fixed3 = update_schema(schema3, stats := make_stats([f3]))
+    d3 = fixed3.get_feature("t").natural_language_domain
+    assert d3.min_coverage == pytest.approx(0.4)
+    assert d3.token_constraints[0].min_fraction_of_sequences == pytest.approx(0.2)
+    assert d3.token_constraints[0].max_per_sequence == 4
+    assert validate_statistics(stats, fixed3).passed
