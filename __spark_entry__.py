@@ -935,6 +935,25 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return pairs.agg(F.count(F.lit(1)).alias("near_dup_pairs"))
 
 
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Brute-force cosine near-dup pairs (threshold 0.9) — the exact baseline
+    the LSH variant approximates, oracle-checked."""
+    from data_validation_spark.dedup.embedding import cosine_pairs_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_bruteforce(emb, "vec_id", "embedding", threshold=0.9)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def _embedding_neardup_sql():
+    return (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9 "
+        "ORDER BY id_a, id_b"
+    )
+
+
 def q_langid_docs(spark, sf_dir):
     """Stopword-vote language ID distribution (rows-only)."""
     from data_validation_spark.stats.text import language_id
@@ -1489,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "simhash_docs": q_simhash_docs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "langid_docs": q_langid_docs,
         "similarity_ivf": q_similarity_ivf,
         "images_profile": q_images_profile,
@@ -1557,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": _rollup_sql(),
         "pivot_returnflag": _pivot_sql(),
         "slice_multi": _slice_multi_sql(),
+        "embedding_neardup_exact": _embedding_neardup_sql(),
         "nl_token_stats": _nl_token_stats_sql(),
         "booldomain_violations": _booldomain_sql(),
         "floatdomain_nan": _floatdomain_sql(),
