@@ -967,6 +967,39 @@ def q_langid_docs(spark, sf_dir):
     )
 
 
+def _langid_sql():
+    # Mirrors stats/text._STOPWORDS + the first-wins tie-break (vote counts
+    # are distinct-word matches; best language needs votes > runner-up in
+    # insertion order en, de, fr, es; zero votes → 'und').
+    from data_validation_spark.stats.text import _STOPWORDS
+
+    langs = list(_STOPWORDS)  # insertion order = tie-break priority
+    vote_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        vote_cols.append(
+            f"(SELECT count(DISTINCT tok) FROM unnest(string_split_regex(lower(trim(text)), "
+            f"'\\s+')) AS t(tok) WHERE tok IN ({words})) AS v_{lang}"
+        )
+    order_cases = " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(langs)
+    )
+    best = (
+        "CASE (SELECT i FROM (SELECT unnest(["
+        + ", ".join(f"v_{lang}" for lang in langs)
+        + "]) AS v, unnest(range(" + str(len(langs)) + ")) AS i) "
+        "WHERE v = greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ") "
+        "ORDER BY i LIMIT 1) " + order_cases + " END"
+    )
+    return (
+        "WITH votes AS (SELECT " + ", ".join(vote_cols) + " FROM documents), "
+        "pred AS (SELECT CASE WHEN greatest("
+        + ", ".join(f"v_{lang}" for lang in langs)
+        + ") = 0 THEN 'und' ELSE " + best + " END AS lang_pred FROM votes) "
+        "SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1 ORDER BY 1"
+    )
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF approximate NN vs brute force recall check (rows-only)."""
     from data_validation_spark.similarity import cosine_topk_bruteforce, cosine_topk_ivf
@@ -1578,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_returnflag": _pivot_sql(),
         "slice_multi": _slice_multi_sql(),
         "embedding_neardup_exact": _embedding_neardup_sql(),
+        "langid_docs": _langid_sql(),
         "nl_token_stats": _nl_token_stats_sql(),
         "booldomain_violations": _booldomain_sql(),
         "floatdomain_nan": _floatdomain_sql(),
