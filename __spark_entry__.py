@@ -935,6 +935,52 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return pairs.agg(F.count(F.lit(1)).alias("near_dup_pairs"))
 
 
+def q_ngram_jaccard_allpairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard over all pairs of a deterministic subset —
+    the hash-free core of verify_jaccard, oracle-checked."""
+    from data_validation_spark.dedup.minhash import shingle_array
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_array(F.col("text"), 3)).alias("sh"),
+        )
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    un = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(un > 0, F.size(F.array_intersect("sh_a", "sh_b")) / un.cast("double")).otherwise(0.0)
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("j"))
+        .where(F.col("j") >= 0.2)
+        .select("id_a", "id_b", _e6(F.col("j")).alias("jaccard_e6"))
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _ngram_jaccard_sql():
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS words "
+        "FROM documents WHERE doc_id % 10 = 0), "
+        "d AS (SELECT doc_id, list_distinct(CASE "
+        "WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1), "
+        "i -> array_to_string(words[i:i+2], ' ')) "
+        "WHEN len(words) >= 1 THEN [array_to_string(words, ' ')] "
+        "ELSE [] END) AS sh FROM w), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CASE WHEN len(list_distinct(a.sh || b.sh)) > 0 THEN "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) "
+        "ELSE 0 END AS j FROM d a, d b WHERE a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, CAST(ROUND(j*1000000) AS BIGINT) AS jaccard_e6 "
+        "FROM p WHERE j >= 0.2 ORDER BY id_a, id_b"
+    )
+
+
 def q_embedding_neardup_exact(spark, sf_dir):
     """Brute-force cosine near-dup pairs (threshold 0.9) — the exact baseline
     the LSH variant approximates, oracle-checked."""
@@ -1542,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "embedding_neardup_exact": q_embedding_neardup_exact,
+        "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
         "langid_docs": q_langid_docs,
         "similarity_ivf": q_similarity_ivf,
         "images_profile": q_images_profile,
@@ -1612,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "slice_multi": _slice_multi_sql(),
         "embedding_neardup_exact": _embedding_neardup_sql(),
         "langid_docs": _langid_sql(),
+        "ngram_jaccard_allpairs": _ngram_jaccard_sql(),
         "nl_token_stats": _nl_token_stats_sql(),
         "booldomain_violations": _booldomain_sql(),
         "floatdomain_nan": _floatdomain_sql(),
