@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(spark: SparkSession, path: str, columns: Optional[list[str]] = None) -> DataFrame:
@@ -88,3 +89,48 @@ def iceberg_partitions(spark: SparkSession, table: str) -> list[str]:
 def write_violations(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Violation-rows sink (skew-results sink role)."""
     df.write.mode(mode).parquet(path)
+
+
+# ------------------------------------------------------- bucketed co-location
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed + sorted on ``bucket_col``.
+
+    The 100 TB posture for repeated referential/equality checks against a
+    parent table too big to broadcast: bucket BOTH sides once on the join key
+    and every subsequent join is a zero-shuffle sort-merge join (each bucket
+    pair joins locally). One-time bucketed write cost, amortized across every
+    validation run that joins on the key. Plan-asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def check_referential_bucketed(
+    spark: SparkSession, child_table: str, child_key: str,
+    parent_table: str, parent_key: str,
+) -> DataFrame:
+    """Referential orphan check over two pre-bucketed tables — the join keys
+    are co-located, so no exchange is needed on either side."""
+    child = spark.table(child_table)
+    parent = spark.table(parent_table).select(F.col(parent_key).alias("__pk"))
+    orphans = child.join(
+        parent, on=child[child_key] == parent["__pk"], how="left_anti"
+    )
+    return orphans.select(
+        F.col(child_key).cast("string").alias("row_key"),
+        F.lit(child_key).alias("feature"),
+        F.lit("REFERENTIAL_ORPHAN").alias("anomaly_type"),
+        F.lit("no matching parent key").alias("detail"),
+    )

@@ -107,3 +107,31 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path):
     assert one.count() == 250
     # cast-to-string equality must NOT be used for partition reads (it can
     # defeat pruning); the native-typed predicate is what run_validation uses.
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Pre-bucketed referential check: both sides bucketed+sorted on the key
+    → the anti-join plan has NO shuffle (Exchange) — the amortized posture
+    for parent tables too large to broadcast."""
+    from data_validation_spark.sources import (
+        check_referential_bucketed,
+        write_bucketed_table,
+    )
+
+    child = spark.range(0, 5000).selectExpr("id AS user_id", "id * 2 AS v")
+    parent = spark.range(0, 4000).selectExpr("id AS c_custkey")
+    spark.sql("DROP TABLE IF EXISTS bt_child")
+    spark.sql("DROP TABLE IF EXISTS bt_parent")
+    write_bucketed_table(child, "bt_child", "user_id", num_buckets=8)
+    write_bucketed_table(parent, "bt_parent", "c_custkey", num_buckets=8)
+    try:
+        # force the sort-merge path (broadcast would hide the bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        v = check_referential_bucketed(spark, "bt_child", "user_id", "bt_parent", "c_custkey")
+        plan = plan_of(v)
+        assert "Exchange" not in plan, plan
+        assert v.count() == 1000  # ids 4000..4999 are orphans
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_child")
+        spark.sql("DROP TABLE IF EXISTS bt_parent")
