@@ -288,7 +288,17 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
             continue
 
         def entry(v, p=p, needs_topk=needs_topk, needs_numeric=needs_numeric):
-            sv = v.cast("string") if needs_topk else F.lit(None).cast("string")
+            if needs_topk:
+                sv = v.cast("string")
+                # Reference top-k placeholder for oversized values
+                # (top_k_uniques_sketch_stats_generator.py:211-222,
+                # constants.py:37): values >1024 bytes collapse to one token
+                # so a few huge strings can't bloat the value shuffle.
+                sv = F.when(
+                    F.octet_length(sv) > 1024, F.lit("__LARGE_BYTES__")
+                ).otherwise(sv)
+            else:
+                sv = F.lit(None).cast("string")
             if needs_numeric:
                 nv = v.cast("double")
                 if p.is_float:

@@ -240,3 +240,13 @@ def test_weighted_and_unweighted_topk(spark):
     assert st.weighted_top_values[0] == ("a", 20.0)  # weighted ranking/counts
     assert [b.label for b in st.rank_histogram] == ["b", "a"]
     assert [b.label for b in st.weighted_rank_histogram] == ["a", "b"]
+
+
+def test_topk_large_bytes_placeholder(spark):
+    big = "x" * 2000
+    rows = [(big,), (big,), ("small",)]
+    df = spark.createDataFrame(rows, "s string")
+    stats = compute_statistics(df)
+    st = stats.default_slice().feature("s").string
+    assert st.top_values[0] == ("__LARGE_BYTES__", 2.0)
+    assert ("small", 1.0) in st.top_values
