@@ -125,6 +125,15 @@ GLOBAL_ONLY_ANOMALY_TYPES = frozenset(
         AnomalyType.DATASET_LOW_NUM_EXAMPLES,
         AnomalyType.DATASET_HIGH_NUM_EXAMPLES,
         AnomalyType.LOW_SUPPORTED_IMAGE_FRACTION,
+        # NL / coverage constraints need corpus-level statistics — a single
+        # example can neither compute coverage nor fraction-of-sequences.
+        AnomalyType.FEATURE_COVERAGE_TOO_LOW,
+        AnomalyType.FEATURE_COVERAGE_TOO_SHORT_AVG_TOKEN_LENGTH,
+        AnomalyType.SEQUENCE_VALUE_TOO_SMALL_FRACTION,
+        AnomalyType.SEQUENCE_VALUE_TOO_LARGE_FRACTION,
+        AnomalyType.SEQUENCE_VALUE_TOO_FEW_OCCURRENCES,
+        AnomalyType.SEQUENCE_VALUE_TOO_MANY_OCCURRENCES,
+        AnomalyType.STATS_NOT_AVAILABLE,
     }
 )
 
