@@ -30,6 +30,14 @@ cores = {cores}
 spark = get_spark("scal", master=f"local[{{cores}}]", shuffle_partitions=cores)
 df = spark.read.parquet({path!r})
 n = df.count()  # warm FS cache / JIT scan path
+# Warm-up pass on a 2% sample: whole-stage-codegen compilation of the ~100-
+# expression wide agg, Python worker pool spin-up, and shuffle infra are
+# one-time per-JVM costs a steady-state cluster does not pay per job; without
+# this they land as a parallelism-independent constant that understates
+# scaling efficiency.
+validate_images(spark, df.sample(fraction=0.02, seed=1), default_image_schema(),
+                options=StatsOptions(categorical_features={{"fmt"}}),
+                check_pixels=True, pixel_sample_rate=0.25)
 best = None
 for _ in range({runs}):
     t0 = time.time()
