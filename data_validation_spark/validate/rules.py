@@ -1099,10 +1099,24 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
                     )
 
 
+def _drift_counts(st):
+    """Value-count map for drift metrics: weighted when the run carried a
+    weight column (the reference's by_weight view), else unweighted."""
+    if st.weighted_rank_histogram:
+        return {b.label: b.sample_count for b in st.weighted_rank_histogram}
+    return st.value_counts()
+
+
 def _linf(fs, ofs) -> Optional[float]:
     if fs.string is None or ofs.string is None:
         return None
-    _, val = drift_metrics.linfty_distance(fs.string.value_counts(), ofs.string.value_counts())
+    # weighted maps only when BOTH sides carry them (mixed runs fall back to
+    # unweighted so the comparison stays apples-to-apples)
+    if fs.string.weighted_rank_histogram and ofs.string.weighted_rank_histogram:
+        a, b = _drift_counts(fs.string), _drift_counts(ofs.string)
+    else:
+        a, b = fs.string.value_counts(), ofs.string.value_counts()
+    _, val = drift_metrics.linfty_distance(a, b)
     return val
 
 

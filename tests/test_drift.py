@@ -104,3 +104,27 @@ def test_jsd_mismatched_total_ranges():
     h1 = H([(0, 10, 100)])
     h2 = H([(0, 5, 50), (5, 10, 50)])
     assert jensen_shannon_divergence_histograms(h1, h2) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_linf_uses_weighted_counts_when_present():
+    from data_validation_spark.stats.result import RankBucket, StringStats
+    from data_validation_spark.validate.rules import _linf
+    from tests.test_validate import make_feature
+
+    def sf(counts, wcounts=None):
+        st = StringStats(
+            rank_histogram=[RankBucket(i + 1, i + 1, k, v) for i, (k, v) in enumerate(counts.items())]
+        )
+        if wcounts is not None:
+            st.weighted_rank_histogram = [
+                RankBucket(i + 1, i + 1, k, v) for i, (k, v) in enumerate(wcounts.items())
+            ]
+        return make_feature("f", type_="STRING", string=st)
+
+    # unweighted counts identical, weighted differ → weighted drives the metric
+    a = sf({"x": 5.0, "y": 5.0}, {"x": 9.0, "y": 1.0})
+    b = sf({"x": 5.0, "y": 5.0}, {"x": 1.0, "y": 9.0})
+    assert _linf(a, b) == pytest.approx(0.8)
+    # one side unweighted → falls back to unweighted maps
+    c = sf({"x": 5.0, "y": 5.0})
+    assert _linf(a, c) == pytest.approx(0.0)
