@@ -184,10 +184,23 @@ class FeatureSpec:
     # ("VALIDATION_DERIVED" expected when derived).
     validation_derived_source: Optional[str] = None
     lifecycle_stage: Optional[str] = None
+    # Nested-struct children (TFMD StructDomain, schema.cc:154-156,629-682):
+    # child specs address fields of a struct column; at validation time they
+    # flatten to dotted paths ("parent.child"), matching the engine's stats
+    # naming for StructType columns.
+    struct_domain: Optional["StructDomain"] = None
 
     def is_required(self) -> bool:
         p = self.presence
         return bool(p and (p.min_count > 0 or p.min_fraction > 0))
+
+
+@dataclass
+class StructDomain:
+    """Nested-feature container (TFMD StructDomain): child constraints for a
+    struct column's fields."""
+
+    feature: list["FeatureSpec"] = field(default_factory=list)
 
 
 @dataclass
@@ -320,6 +333,8 @@ _NESTED = {
     (FeatureSpec, "presence"): Presence,
     (FeatureSpec, "value_count"): ValueCount,
     (FeatureSpec, "value_counts"): ValueCount,
+    (FeatureSpec, "struct_domain"): StructDomain,
+    (StructDomain, "feature"): FeatureSpec,
     (FeatureSpec, "shape"): FixedShape,
     (FeatureSpec, "int_domain"): IntDomain,
     (FeatureSpec, "float_domain"): FloatDomain,

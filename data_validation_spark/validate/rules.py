@@ -60,6 +60,7 @@ def validate_statistics(
     new-features flag downgrades SCHEMA_NEW_COLUMN to WARNING, and explicit
     per-reason overrides win over both.
     """
+    schema = _flatten_struct_domains(schema)
     ds = statistics.default_slice()
     out = Anomalies()
     if ds is None or ds.num_examples == 0:
@@ -118,6 +119,32 @@ def validate_statistics(
     _check_sparse_weighted(ds, schema, out)
     _resolve_severities(out, severity_overrides, new_features_are_warnings)
     return out
+
+
+def _flatten_struct_domains(schema: Schema) -> Schema:
+    """Expand struct_domain children into dotted-path feature specs
+    (schema.cc:154-156,511-524): a child of struct feature ``p`` validates as
+    ``p.child`` — the engine's stats naming for StructType columns. Per the
+    reference's documented quirk, a required child is checked even when the
+    parent itself is optional/missing."""
+    if not any(f.struct_domain for f in schema.feature):
+        return schema
+    new = schema.copy()
+    flat: list[FeatureSpec] = []
+
+    def expand(spec: FeatureSpec, prefix: str = "") -> None:
+        spec.name = prefix + spec.name
+        sd = spec.struct_domain
+        spec.struct_domain = None
+        flat.append(spec)
+        if sd:
+            for child in sd.feature:
+                expand(child, spec.name + ".")
+
+    for f in new.feature:
+        expand(f)
+    new.feature = flat
+    return new
 
 
 def _resolve_severities(

@@ -250,3 +250,46 @@ def test_topk_large_bytes_placeholder(spark):
     st = stats.default_slice().feature("s").string
     assert st.top_values[0] == ("__LARGE_BYTES__", 2.0)
     assert ("small", 1.0) in st.top_values
+
+
+def test_struct_domain_validates_children(spark):
+    from data_validation_spark.schema import (
+        FeatureSpec,
+        FeatureType,
+        IntDomain,
+        Presence,
+        Schema,
+        StructDomain,
+    )
+    from data_validation_spark.validate.rules import validate_statistics
+    from data_validation_spark.anomalies import AnomalyType as AT
+
+    rows = [((1, "a"),), ((2, "b"),), ((99, "c"),)]
+    df = spark.createDataFrame(rows, "s struct<x: long, label: string>")
+    stats = compute_statistics(df)
+    assert stats.default_slice().feature("s.x") is not None  # engine emits dotted paths
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="s",
+                type=FeatureType.STRUCT,
+                struct_domain=StructDomain(
+                    feature=[
+                        FeatureSpec(
+                            name="x",
+                            type=FeatureType.INT,
+                            presence=Presence(min_count=1),
+                            int_domain=IntDomain(min=0, max=10),
+                        ),
+                        FeatureSpec(name="label", type=FeatureType.BYTES),
+                        FeatureSpec(name="gone", presence=Presence(min_count=1)),
+                    ]
+                ),
+            )
+        ]
+    )
+    r = validate_statistics(stats, schema)
+    got = {(a.feature, a.type) for a in r.anomalies}
+    assert ("s.x", AT.INT_TYPE_BIG_INT) in got       # 99 > 10 via dotted path
+    assert ("s.gone", AT.SCHEMA_MISSING_COLUMN) in got
+    assert not any(f == "s.label" for f, _ in got)
