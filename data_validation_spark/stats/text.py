@@ -241,14 +241,6 @@ def compute_nl_statistics(
 
     qs = [i / num_quantiles_histogram_buckets for i in range(num_quantiles_histogram_buckets + 1)]
     ivl = F.when(F.col("__in_vocab") == 1, F.length("tok"))
-    cov_row = tokens.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum("__in_vocab").alias("in_vocab"),
-        F.avg(ivl).alias("avg_tok_len"),
-        F.percentile_approx(ivl.cast("double"), qs, 10000).alias("tok_len_q"),
-    ).collect()[0]
-    total = int(cov_row["total"] or 0)
-    in_vocab = int(cov_row["in_vocab"] or 0)
 
     # Per-sequence rollup: effective length (minus excluded tokens), coverage,
     # avg in-vocab token length → sequence-length stats + reported sequences.
@@ -262,11 +254,6 @@ def compute_nl_statistics(
         (F.sum("__in_vocab") / F.count(F.lit(1))).alias("coverage"),
         F.avg(ivl).alias("avg_tok_len"),
     )
-    seq_row = per_seq.agg(
-        F.min("eff_len").alias("minlen"),
-        F.max("eff_len").alias("maxlen"),
-        F.percentile_approx(F.col("eff_len").cast("double"), qs, 10000).alias("len_q"),
-    ).collect()[0]
 
     # Reported sequences: 5 lowest by coverage, 5 lowest by avg token length
     # (TakeOrderedAndProject — a distributed top-k, not a global sort).
@@ -287,36 +274,73 @@ def compute_nl_statistics(
     )
     wa = Window.partitionBy("salt").orderBy(F.desc("cnt"), F.desc("tok"))
     wb = Window.orderBy(F.desc("cnt"), F.desc("tok"))
-    top_rows = (
+    top_df = (
         counts.withColumn("r", F.row_number().over(wa))
         .where(F.col("r") <= num_rank_histogram_buckets)
         .withColumn("r2", F.row_number().over(wb))
         .where(F.col("r2") <= num_rank_histogram_buckets)
         .select("r2", "tok", "cnt")
-        .collect()
     )
+
+    # Submit the independent job graphs concurrently (coverage agg, sequence
+    # rollup, rank top-k, reported sequences, per-token stats) — they share
+    # the cached `tokens` frame, and overlapping them hides each job's fixed
+    # scheduling cost (same pattern as the engine's wide/long submission).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        cov_f = pool.submit(
+            lambda: tokens.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum("__in_vocab").alias("in_vocab"),
+                F.avg(ivl).alias("avg_tok_len"),
+                F.percentile_approx(ivl.cast("double"), qs, 10000).alias("tok_len_q"),
+            ).collect()[0]
+        )
+        seq_f = pool.submit(
+            lambda: per_seq.agg(
+                F.min("eff_len").alias("minlen"),
+                F.max("eff_len").alias("maxlen"),
+                F.percentile_approx(F.col("eff_len").cast("double"), qs, 10000).alias("len_q"),
+            ).collect()[0]
+        )
+        top_f = pool.submit(top_df.collect)
+        b5cov_f = pool.submit(_bottom5, "coverage")
+        b5atl_f = pool.submit(_bottom5, "avg_tok_len")
+        tok_f = pos_f = None
+        if constrained_tokens:
+            ct = tokens.where(F.col("tok").isin(*constrained_tokens))
+            pos_bucket = F.least(
+                F.floor(F.col("__pos") / F.col("__slen") * num_histogram_buckets),
+                F.lit(num_histogram_buckets - 1),
+            ).cast("int")
+            per_tok_seq = ct.groupBy("tok", "__sid").agg(F.count(F.lit(1)).alias("occ"))
+            tok_f = pool.submit(
+                per_tok_seq.groupBy("tok").agg(
+                    F.sum("occ").alias("frequency"),
+                    F.count(F.lit(1)).alias("num_sequences"),
+                    F.min("occ").alias("min_per_seq"),
+                    F.max("occ").alias("max_per_seq"),
+                    F.avg("occ").alias("avg_per_seq"),
+                ).collect
+            )
+            pos_f = pool.submit(
+                ct.groupBy("tok", pos_bucket.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect
+            )
+        cov_row = cov_f.result()
+        seq_row = seq_f.result()
+        top_rows = top_f.result()
+        b5cov, b5atl = b5cov_f.result(), b5atl_f.result()
+    total = int(cov_row["total"] or 0)
+    in_vocab = int(cov_row["in_vocab"] or 0)
 
     # Per-token statistics for schema-constrained tokens (small set).
     token_statistics = {}
     if constrained_tokens:
-        ct = tokens.where(F.col("tok").isin(*constrained_tokens))
-        pos_bucket = F.least(
-            F.floor(F.col("__pos") / F.col("__slen") * num_histogram_buckets),
-            F.lit(num_histogram_buckets - 1),
-        ).cast("int")
-        per_tok_seq = ct.groupBy("tok", "__sid").agg(F.count(F.lit(1)).alias("occ"))
-        tok_rows = per_tok_seq.groupBy("tok").agg(
-            F.sum("occ").alias("frequency"),
-            F.count(F.lit(1)).alias("num_sequences"),
-            F.min("occ").alias("min_per_seq"),
-            F.max("occ").alias("max_per_seq"),
-            F.avg("occ").alias("avg_per_seq"),
-        ).collect()
-        pos_rows = (
-            ct.groupBy("tok", pos_bucket.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        tok_rows = tok_f.result()
+        pos_rows = pos_f.result()
         pos_hist: dict[str, dict[int, int]] = {}
         for r in pos_rows:
             pos_hist.setdefault(r["tok"], {})[int(r["bucket"])] = int(r["n"])
@@ -355,8 +379,7 @@ def compute_nl_statistics(
         ],
         "token_statistics": token_statistics,
         "reported_sequences": (
-            [" ".join(s) for s in _bottom5("coverage")]
-            + [" ".join(s) for s in _bottom5("avg_tok_len")]
+            [" ".join(s) for s in b5cov] + [" ".join(s) for s in b5atl]
         ),
     }
 
