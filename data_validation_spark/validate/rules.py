@@ -121,6 +121,89 @@ def validate_statistics(
     return out
 
 
+def validate_corresponding_slices(
+    statistics: DatasetStatsList,
+    schema: Schema,
+    environment: Optional[str] = None,
+    previous_statistics: Optional[DatasetStatsList] = None,
+    serving_statistics: Optional[DatasetStatsList] = None,
+    **kwargs,
+) -> Anomalies:
+    """Validate each slice against the CORRESPONDING slice of the control
+    statistics (reference ``validation_api.py:910-958``): sliced stats flatten
+    into one unsliced artifact with ``slice(<key>)::feature`` names, the
+    schema replicates per slice key, and normal validation runs once.
+    DatasetConstraints apply to the overall (default) slice only.
+    """
+    keys: set[str] = set()
+    statistics, k = _flatten_sliced(statistics)
+    keys |= k
+    if previous_statistics is not None:
+        previous_statistics, k = _flatten_sliced(previous_statistics)
+        keys |= k
+    if serving_statistics is not None:
+        serving_statistics, k = _flatten_sliced(serving_statistics)
+        keys |= k
+    schema = _replicate_schema_for_slices(schema, keys)
+    return validate_statistics(
+        statistics,
+        schema,
+        environment=environment,
+        previous_statistics=previous_statistics,
+        serving_statistics=serving_statistics,
+        **kwargs,
+    )
+
+
+def _prepend_slice_name(slice_name: str, name: str) -> str:
+    return f"slice({slice_name})::{name}"
+
+
+def _flatten_sliced(stats: DatasetStatsList) -> tuple[DatasetStatsList, set[str]]:
+    import copy as _copy
+
+    default = stats.default_slice()
+    if default is None:
+        raise ValueError("Missing default slice")
+    flat = DatasetStats(
+        slice_key=default.slice_key,
+        num_examples=default.num_examples,
+        weighted_num_examples=default.weighted_num_examples,
+    )
+    keys: set[str] = set()
+    for sl in stats.slices:
+        keys.add(sl.slice_key)
+        for name, fs in sl.features.items():
+            copied = _copy.deepcopy(fs)
+            copied.name = _prepend_slice_name(sl.slice_key, name)
+            flat.features[copied.name] = copied
+    return DatasetStatsList([flat]), keys
+
+
+def _replicate_schema_for_slices(schema: Schema, slice_names: set[str]) -> Schema:
+    import copy as _copy
+
+    out = Schema(
+        string_domain=list(schema.string_domain),
+        dataset_constraints=schema.dataset_constraints,
+        default_environment=list(schema.default_environment),
+    )
+    for slice_name in sorted(slice_names):
+        for f in schema.feature:
+            nf = _copy.deepcopy(f)
+            nf.name = _prepend_slice_name(slice_name, f.name)
+            out.feature.append(nf)
+        for sf in schema.sparse_feature:
+            nsf = _copy.deepcopy(sf)
+            nsf.name = _prepend_slice_name(slice_name, sf.name)
+            out.sparse_feature.append(nsf)
+        for wf in schema.weighted_feature:
+            nwf = _copy.deepcopy(wf)
+            nwf.name = _prepend_slice_name(slice_name, wf.name)
+            out.weighted_feature.append(nwf)
+    return out
+
+
 def _flatten_struct_domains(schema: Schema) -> Schema:
     """Expand struct_domain children into dotted-path feature specs
     (schema.cc:154-156,511-524): a child of struct feature ``p`` validates as

@@ -726,3 +726,39 @@ def test_update_schema_fixes_new_reasons():
     assert d3.token_constraints[0].min_fraction_of_sequences == pytest.approx(0.2)
     assert d3.token_constraints[0].max_per_sequence == 4
     assert validate_statistics(stats, fixed3).passed
+
+
+def test_validate_corresponding_slices():
+    """Port of the reference's test_distributional_anomaly_between_slices:
+    drift is evaluated slice-against-corresponding-slice."""
+    from data_validation_spark.validate.rules import validate_corresponding_slices
+
+    def sliced(v1_counts, v2_counts):
+        s_all = DatasetStats(slice_key="All Examples", num_examples=4)
+        s1 = DatasetStats(slice_key="slice1", num_examples=2)
+        s2 = DatasetStats(slice_key="slice2", num_examples=2)
+        s1.features["foo"] = _string_feature("foo", v1_counts)
+        s2.features["foo"] = _string_feature("foo", v2_counts)
+        s_all.features["foo"] = _string_feature(
+            "foo", {k: v1_counts.get(k, 0) + v2_counts.get(k, 0)
+                    for k in set(v1_counts) | set(v2_counts)}
+        )
+        return DatasetStatsList([s_all, s1, s2])
+
+    cur = sliced({"1": 1.0, "2": 1.0}, {"3": 1.0, "4": 1.0})
+    prev = sliced({"1": 1.0, "2": 1.0}, {"1": 1.0, "2": 1.0})
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="foo",
+                type=FeatureType.BYTES,
+                drift_comparator=DriftComparator(infinity_norm_threshold=0.3),
+            )
+        ]
+    )
+    r = validate_corresponding_slices(cur, schema, previous_statistics=prev)
+    drifted = {a.feature for a in r.anomalies
+               if a.type == AT.COMPARATOR_L_INFTY_HIGH}
+    # slice2's distribution flipped entirely (L∞ = 0.5 > 0.3); slice1 and the
+    # overall slice are within threshold
+    assert drifted == {"slice(slice2)::foo"}
