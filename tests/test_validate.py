@@ -762,3 +762,33 @@ def test_validate_corresponding_slices():
     # slice2's distribution flipped entirely (L∞ = 0.5 > 0.3); slice1 and the
     # overall slice are within threshold
     assert drifted == {"slice(slice2)::foo"}
+
+
+def test_annotated_enum_multi_reason_golden():
+    """Mirror of the reference's _annotated_enum_anomaly_info golden
+    (validation_api_test.py:1499-1515): an off-domain enum value combined with
+    L-infinity drift on the same feature rolls up to 'Multiple errors'."""
+    cur = make_stats(
+        [_string_feature("annotated_enum", {"a": 3.0, "b": 1.0})], num_examples=4
+    )
+    prev = make_stats([_string_feature("annotated_enum", {"a": 4.0})], num_examples=4)
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.BYTES,
+                string_domain=StringDomain(value=["a"]),
+                drift_comparator=DriftComparator(infinity_norm_threshold=0.01),
+            )
+        ]
+    )
+    r = validate_statistics(cur, schema, previous_statistics=prev)
+    got = types(r, "annotated_enum")
+    assert got == {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES, AT.COMPARATOR_L_INFTY_HIGH}
+    # L∞ = |0.25 - 0| = 0.25 on value 'b' (reference golden value)
+    linf = [m for m in r.drift_skew_info if m.metric == "L_INFTY"][0]
+    assert linf.value == pytest.approx(0.25)
+    info = r.feature_anomaly_info()["annotated_enum"]
+    assert info["type"] == AT.MULTIPLE_REASONS.value
+    assert info["short_description"] == "Multiple errors"
+    assert len(info["reasons"]) == 2
