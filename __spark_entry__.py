@@ -907,42 +907,187 @@ def _vocab_sql():
     )
 
 
-def q_ngram_jaccard_verify(spark, sf_dir):
-    """Exact word-3-gram Jaccard over LSH candidates (rows-only)."""
-    from data_validation_spark.dedup.minhash import minhash_lsh_candidates, verify_jaccard
+# --- deterministic near-dup planting -----------------------------------------
+# The synthetic documents/embeddings tables contain (almost) no near-dup pairs
+# at the thresholds the dedup operators target, which made the approximate
+# queries vacuously green. Each dedup query below plants deterministic
+# near-duplicates derived from the input itself — the SAME augmentation is
+# expressed in the DuckDB oracle SQL, so ground truth is computed by the
+# oracle, not assumed.
 
-    docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, "doc_id", "text")
-    verified = verify_jaccard(cand, docs, "doc_id", "text", threshold=0.5)
-    return verified.agg(F.count(F.lit(1)).alias("near_dup_pairs"))
+_PLANT_DOC_OFFSET = 10_000_000
+_PLANT_VEC_OFFSET = 1_000_000
+
+
+def _word_count_col():
+    return F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w) > 0))
+
+
+def _docs_augmented(spark, sf_dir):
+    """documents ∪ near-dup copies: every 10th doc with ≥20 words gets a copy
+    (id + 10M) with one appended word → word-3-gram Jaccard ≈0.9 vs its
+    source, far above the LSH miss region."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where((F.col("doc_id") % 10 == 0) & (_word_count_col() >= 20)).select(
+        (F.col("doc_id") + F.lit(_PLANT_DOC_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyzzy")).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def _docs_augmented_identical(spark, sf_dir):
+    """documents ∪ IDENTICAL-text copies of every 10th ≥20-word doc — for the
+    simhash check, where an identical fingerprint (Hamming 0) makes recall
+    deterministic regardless of document length."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where((F.col("doc_id") % 10 == 0) & (_word_count_col() >= 20)).select(
+        (F.col("doc_id") + F.lit(_PLANT_DOC_OFFSET)).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
+_AUG_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 10000000 AS doc_id, text || ' xyzzy' AS text FROM documents "
+    "WHERE doc_id % 10 = 0 AND "
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) >= 20"
+)
+
+_PLANTED_DOC_COUNT_SQL = (
+    "SELECT count(*) AS planted_pairs FROM documents WHERE doc_id % 10 = 0 AND "
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) >= 20"
+)
+
+# exact word-3-gram Jaccard all-pairs over an id set, DuckDB side
+_JACCARD_PAIRS_SQL = (
+    "w AS (SELECT doc_id, "
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS words "
+    "FROM {src}), "
+    "d AS (SELECT doc_id, list_distinct(CASE "
+    "WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1), "
+    "i -> array_to_string(words[i:i+2], ' ')) "
+    "WHEN len(words) >= 1 THEN [array_to_string(words, ' ')] "
+    "ELSE [] END) AS sh FROM w), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CASE WHEN len(list_distinct(a.sh || b.sh)) > 0 THEN "
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) "
+    "ELSE 0 END AS j FROM d a, d b WHERE a.doc_id < b.doc_id)"
+)
+
+
+def _emb_augmented(spark, sf_dir):
+    """embeddings ∪ exact copies of every 20th vector (id + 1M): cosine = 1.0
+    pairs whose sign-LSH buckets collide in every band → deterministic truth."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(_PLANT_VEC_OFFSET)).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(planted)
+
+
+_AUG_EMB_SQL = (
+    "SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0"
+)
+
+
+def q_ngram_jaccard_verify(spark, sf_dir):
+    """verify_jaccard (the exact JVM array_intersect/union verify stage) fed a
+    deterministic candidate set — the %10∪planted subset crossJoin — so the
+    DuckDB oracle can compute the identical pair list."""
+    from data_validation_spark.dedup.minhash import verify_jaccard
+
+    aug = _docs_augmented(spark, sf_dir)
+    sub = aug.where(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= _PLANT_DOC_OFFSET)
+    )
+    ids = sub.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    verified = verify_jaccard(cand, sub, "doc_id", "text", threshold=0.5)
+    return verified.select(
+        "id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6")
+    ).orderBy("id_a", "id_b")
 
 
 def q_simhash_docs(spark, sf_dir):
-    """SimHash near-dup pairs within Hamming radius 3 (rows-only)."""
-    from data_validation_spark.dedup.simhash import simhash_near_dups
+    """SimHash near-dups over docs ∪ identical-text copies, self-verified two
+    ways: (1) every planted identical-text pair (Hamming 0 by construction)
+    must be found by the bucketed pass — the planted count is SQL-derivable;
+    (2) the bucketed pairs restricted to the %10∪planted subset must EQUAL
+    brute-force bit_count(xor) ≤ radius pairs over the same subset's
+    fingerprints (block-permutation guarantees recall 1 for ham ≤ blocks-1)."""
+    from data_validation_spark.dedup.simhash import simhash_fingerprints, simhash_near_dups
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_near_dups(docs, "doc_id", "text", radius=3)
-    return pairs.agg(F.count(F.lit(1)).alias("simhash_pairs"))
+    aug = _docs_augmented_identical(spark, sf_dir)
+    pairs = simhash_near_dups(aug, "doc_id", "text", radius=3).cache()
+
+    planted_found = (
+        pairs.where(F.col("id_b") - F.col("id_a") == _PLANT_DOC_OFFSET)
+        .where(F.col("id_b") >= _PLANT_DOC_OFFSET)
+        .count()
+    )
+
+    sub = aug.where(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= _PLANT_DOC_OFFSET)
+    )
+    fp = simhash_fingerprints(sub, "doc_id", "text").where(F.col("fingerprint") != 0)
+    fa = fp.select(F.col("id").alias("id_a"), F.col("fingerprint").alias("fa"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("fingerprint").alias("fb"))
+    exact_sub = {
+        (r["id_a"], r["id_b"])
+        for r in fa.crossJoin(fb)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr("bit_count(fa ^ fb) <= 3"))
+        .collect()
+    }
+    bucketed_sub = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.where(
+            ((F.col("id_a") % 10 == 0) | (F.col("id_a") >= _PLANT_DOC_OFFSET))
+            & ((F.col("id_b") % 10 == 0) | (F.col("id_b") >= _PLANT_DOC_OFFSET))
+        ).collect()
+    }
+    bucketed_sub = {(min(p), max(p)) for p in bucketed_sub}
+    pairs.unpersist()
+    # planted_pairs = the count the bucketed pass FOUND; the oracle emits the
+    # count the generator PLANTED — hash-equality is the recall-1 assertion.
+    return spark.createDataFrame(
+        [(planted_found, int(exact_sub == bucketed_sub))],
+        "planted_pairs bigint, subset_exact_match bigint",
+    )
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
-    """Random-hyperplane LSH near-dup pairs over embeddings (rows-only)."""
+    """Random-hyperplane LSH near-dup pairs over the augmented embeddings —
+    output is the full pair id list, oracle-checked against DuckDB's exact
+    cosine ≥ 0.9 all-pairs on the same augmented table."""
     from data_validation_spark.dedup.embedding import cosine_pairs_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_lsh(emb, "vec_id", "embedding", dim=64, threshold=0.9, bits=10)
-    return pairs.agg(F.count(F.lit(1)).alias("near_dup_pairs"))
+    aug = _emb_augmented(spark, sf_dir)
+    pairs = cosine_pairs_lsh(aug, "vec_id", "embedding", dim=64, threshold=0.9, bits=10)
+    return (
+        pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_ngram_jaccard_allpairs(spark, sf_dir):
-    """Exact word-3-gram Jaccard over all pairs of a deterministic subset —
-    the hash-free core of verify_jaccard, oracle-checked."""
+    """Exact word-3-gram Jaccard over all pairs of a deterministic subset of
+    the AUGMENTED docs (planted near-dups make this non-vacuous) — the
+    hash-free shingle+crossJoin expression path, oracle-checked."""
     from data_validation_spark.dedup.minhash import shingle_array
 
     docs = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 10 == 0)
+        _docs_augmented(spark, sf_dir)
+        .where((F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= _PLANT_DOC_OFFSET))
         .select(
             "doc_id",
             F.array_distinct(shingle_array(F.col("text"), 3)).alias("sh"),
@@ -964,37 +1109,42 @@ def q_ngram_jaccard_allpairs(spark, sf_dir):
 
 def _ngram_jaccard_sql():
     return (
-        "WITH w AS (SELECT doc_id, "
-        "list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0) AS words "
-        "FROM documents WHERE doc_id % 10 = 0), "
-        "d AS (SELECT doc_id, list_distinct(CASE "
-        "WHEN len(words) >= 3 THEN list_transform(range(1, len(words) - 1), "
-        "i -> array_to_string(words[i:i+2], ' ')) "
-        "WHEN len(words) >= 1 THEN [array_to_string(words, ' ')] "
-        "ELSE [] END) AS sh FROM w), "
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-        "CASE WHEN len(list_distinct(a.sh || b.sh)) > 0 THEN "
-        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) "
-        "ELSE 0 END AS j FROM d a, d b WHERE a.doc_id < b.doc_id) "
-        "SELECT id_a, id_b, CAST(ROUND(j*1000000) AS BIGINT) AS jaccard_e6 "
+        "WITH aug AS (" + _AUG_DOCS_SQL + "), "
+        "sub AS (SELECT doc_id, text FROM aug "
+        "WHERE doc_id % 10 = 0 OR doc_id >= 10000000), "
+        + _JACCARD_PAIRS_SQL.format(src="sub")
+        + " SELECT id_a, id_b, CAST(ROUND(j*1000000) AS BIGINT) AS jaccard_e6 "
         "FROM p WHERE j >= 0.2 ORDER BY id_a, id_b"
     )
 
 
+def _ngram_jaccard_verify_sql():
+    return (
+        "WITH aug AS (" + _AUG_DOCS_SQL + "), "
+        "sub AS (SELECT doc_id, text FROM aug "
+        "WHERE doc_id % 10 = 0 OR doc_id >= 10000000), "
+        + _JACCARD_PAIRS_SQL.format(src="sub")
+        + " SELECT id_a, id_b, CAST(ROUND(j*1000000) AS BIGINT) AS jaccard_e6 "
+        "FROM p WHERE j >= 0.5 ORDER BY id_a, id_b"
+    )
+
+
 def q_embedding_neardup_exact(spark, sf_dir):
-    """Brute-force cosine near-dup pairs (threshold 0.9) — the exact baseline
-    the LSH variant approximates, oracle-checked."""
+    """Brute-force cosine near-dup pairs (threshold 0.9) over the augmented
+    embeddings — the exact baseline the LSH variant approximates,
+    oracle-checked and non-vacuous (planted copies guarantee pairs)."""
     from data_validation_spark.dedup.embedding import cosine_pairs_bruteforce
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_augmented(spark, sf_dir)
     pairs = cosine_pairs_bruteforce(emb, "vec_id", "embedding", threshold=0.9)
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 def _embedding_neardup_sql():
     return (
+        "WITH aug AS (" + _AUG_EMB_SQL + ") "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
-        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        "FROM aug a, aug b WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9 "
         "ORDER BY id_a, id_b"
     )
@@ -1047,11 +1197,22 @@ def _langid_sql():
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF approximate NN vs brute force recall check (rows-only)."""
+    """IVF approximate NN, self-verified: queries are planted-duplicate
+    vectors, so each query's top-10 must contain BOTH itself and its exact
+    copy (cosine 1.0 → same centroid → probed first: deterministic), and
+    recall vs brute force must clear a calibrated floor (measured 0.767-0.8
+    at nprobe=8/16 centroids on this data; random-vector neighbors spread
+    across clusters, so ~0.8 is the honest IVF ceiling here)."""
     from data_validation_spark.similarity import cosine_topk_bruteforce, cosine_topk_ivf
 
-    emb = _t(spark, sf_dir, "embeddings")
-    qs = [(int(r["vec_id"]), r["embedding"]) for r in emb.limit(3).collect()]
+    emb = _emb_augmented(spark, sf_dir)
+    qrows = (
+        emb.where((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < _PLANT_VEC_OFFSET))
+        .orderBy("vec_id")
+        .limit(3)
+        .collect()
+    )
+    qs = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
     exact = {
         (r["query_id"], r["id"])
         for r in cosine_topk_bruteforce(emb, "vec_id", "embedding", qs, k=10).collect()
@@ -1059,29 +1220,87 @@ def q_similarity_ivf(spark, sf_dir):
     approx = {
         (r["query_id"], r["id"])
         for r in cosine_topk_ivf(
-            emb, "vec_id", "embedding", qs, k=10, num_centroids=16, nprobe=4
+            emb, "vec_id", "embedding", qs, k=10, num_centroids=16, nprobe=8
         ).collect()
     }
     recall = len(exact & approx) / len(exact) if exact else 0.0
+    self_hits = sum(1 for (q, i) in approx if i == q)
+    dup_hits = sum(1 for (q, i) in approx if i == q + _PLANT_VEC_OFFSET)
     return spark.createDataFrame(
-        [(len(exact), len(approx), int(round(recall * 100)))],
-        "exact_results bigint, approx_results bigint, recall_pct bigint",
+        [(len(qs), 10, self_hits, dup_hits, int(recall >= 0.65))],
+        "n_queries bigint, k bigint, self_hits bigint, dup_hits bigint, recall_ok bigint",
     )
 
 
-# ------------------------------------------- rows-only (non-SQL-expressible) --
-def q_images_profile(spark, sf_dir):
-    """Full engine profile of the synthesized input_hint images table."""
-    from data_validation_spark.datagen import images_df
-    from data_validation_spark.stats.result import STATS_ROW_SCHEMA, stats_rows
+def _similarity_ivf_sql():
+    return (
+        "SELECT CAST(3 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k, "
+        "CAST(3 AS BIGINT) AS self_hits, CAST(3 AS BIGINT) AS dup_hits, "
+        "CAST(1 AS BIGINT) AS recall_ok"
+    )
 
-    n = 2000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 1000
-    df = images_df(spark, n, "clean")
+
+_IMAGES_TRUTH_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "images_truth_1000.parquet"
+)
+
+
+def q_images_profile(spark, sf_dir):
+    """Engine profile of the synthesized input_hint images table (n=1000,
+    clean variant), emitted as (stat, value) rows the DuckDB oracle recomputes
+    from a committed ground-truth fixture — tests/fixtures/
+    images_truth_1000.parquet holds the deterministic generator's per-row
+    metadata (image_id, w, h, fmt, caption length), regenerable from
+    datagen.images_df(1000, 'clean'). The sniffed format histogram (decoded
+    from the bytes column) must agree with the DECLARED fmt column counts —
+    an end-to-end check of the magic-byte sniffer against generation truth."""
+    from data_validation_spark.datagen import images_df
+
+    df = images_df(spark, 1000, "clean")
     stats = compute_statistics(
         df, StatsOptions(categorical_features={"fmt"}, image_columns={"bytes"})
     )
-    rows = stats_rows(stats)
-    return spark.createDataFrame(rows, STATS_ROW_SCHEMA)
+    ds = stats.default_slice()
+    w, h = ds.feature("w").numeric, ds.feature("h").numeric
+    cap = ds.feature("caption").string
+    fmt_counts = dict(ds.feature("fmt").string.top_values)
+    sniff = ds.feature("bytes").custom.get("image_format_histogram", {})
+    rows = [
+        ("num_examples", int(ds.num_examples)),
+        ("w_min", int(w.min)),
+        ("w_max", int(w.max)),
+        ("w_mean_e6", int(round(w.mean * 1e6))),
+        ("h_min", int(h.min)),
+        ("h_max", int(h.max)),
+        ("h_mean_e6", int(round(h.mean * 1e6))),
+        ("caption_avg_len_e6", int(round(cap.avg_length * 1e6))),
+    ]
+    for f in ("bmp", "gif", "jpeg", "png"):
+        rows.append((f"fmt_declared_{f}", int(fmt_counts.get(f, 0))))
+        rows.append((f"fmt_sniffed_{f}", int(sniff.get(f, 0))))
+    return spark.createDataFrame(rows, "stat string, value bigint").orderBy("stat")
+
+
+def _images_profile_sql():
+    t = f"read_parquet('{_IMAGES_TRUTH_PARQUET}')"
+    parts = [
+        f"SELECT 'num_examples' AS stat, count(*) AS value FROM {t}",
+        f"SELECT 'w_min', CAST(min(w) AS BIGINT) FROM {t}",
+        f"SELECT 'w_max', CAST(max(w) AS BIGINT) FROM {t}",
+        f"SELECT 'w_mean_e6', CAST(ROUND(avg(w)*1000000) AS BIGINT) FROM {t}",
+        f"SELECT 'h_min', CAST(min(h) AS BIGINT) FROM {t}",
+        f"SELECT 'h_max', CAST(max(h) AS BIGINT) FROM {t}",
+        f"SELECT 'h_mean_e6', CAST(ROUND(avg(h)*1000000) AS BIGINT) FROM {t}",
+        f"SELECT 'caption_avg_len_e6', CAST(ROUND(avg(caption_len)*1000000) AS BIGINT) FROM {t}",
+    ]
+    for f in ("bmp", "gif", "jpeg", "png"):
+        parts.append(
+            f"SELECT 'fmt_declared_{f}', count(*) FROM {t} WHERE fmt = '{f}'"
+        )
+        parts.append(
+            f"SELECT 'fmt_sniffed_{f}', count(*) FROM {t} WHERE fmt = '{f}'"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY stat"
 
 
 def q_images_verdict(spark, sf_dir):
@@ -1093,32 +1312,110 @@ def q_images_verdict(spark, sf_dir):
     df = images_df(spark, 1000, "dirty")
     prev = images_df(spark, 1000, "prev")
     result = validate_images(spark, df, default_image_schema(), prev_df=prev)
-    rows = [
+    rows = sorted(
         (a.feature, a.type.value, a.severity.value, a.slice_key)
         for a in result.anomalies.anomalies
-    ]
-    return spark.createDataFrame(rows, "feature string, type string, severity string, slice_key string")
+    )
+    return spark.createDataFrame(
+        rows, "feature string, type string, severity string, slice_key string"
+    )
+
+
+_IMAGES_VERDICT_GOLDEN = [
+    ("bytes", "LOW_SUPPORTED_IMAGE_FRACTION", "ERROR", "All Examples"),
+    ("fmt", "COMPARATOR_L_INFTY_HIGH", "ERROR", "All Examples"),
+    ("fmt", "ENUM_TYPE_UNEXPECTED_STRING_VALUES", "ERROR", "All Examples"),
+    ("fmt", "FEATURE_TYPE_LOW_FRACTION_PRESENT", "ERROR", "All Examples"),
+    ("w", "INT_TYPE_SMALL_INT", "ERROR", "All Examples"),
+]
+
+
+def _images_verdict_sql():
+    """Golden-values oracle: the dirty/prev image variants are DETERMINISTIC
+    (datagen.py seeds every row by index), so the anomaly set is a fixed
+    golden — any change to datagen, the stats engine, or the validation rules
+    that alters the verdict breaks this match. Regenerate by running
+    q_images_verdict and pasting its rows."""
+    rows = _IMAGES_VERDICT_GOLDEN
+    values = ", ".join(
+        "('{}', '{}', '{}', '{}')".format(*r) for r in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + values + ") "
+        "AS t(feature, type, severity, slice_key) ORDER BY 1, 2, 3, 4"
+    )
 
 
 def q_minhash_dedup(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs on documents (rows-only check)."""
-    from data_validation_spark.dedup.minhash import minhash_lsh_candidates
+    """Full MinHash-LSH + exact-Jaccard verify over the augmented documents.
+    Output = verified near-dup pairs (J ≥ 0.5) with BOTH endpoints in the
+    %10∪planted subset; the DuckDB oracle computes the exact all-pairs truth
+    on the same subset. Planted pairs sit at J≈0.9 where the 16-band/4-row
+    scheme's miss probability is ~4e-8 (and the signature hashing is seeded),
+    so LSH recall on the truth set is deterministically 1 — any machinery
+    regression (shingling, banding, bucket join, verify) breaks the match."""
+    from data_validation_spark.dedup.minhash import minhash_lsh_candidates, verify_jaccard
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
-    return pairs.agg(F.count(F.lit(1)).alias("candidate_pairs"))
+    aug = _docs_augmented(spark, sf_dir)
+    cand = minhash_lsh_candidates(aug, "doc_id", "text", num_hashes=64, bands=16)
+    verified = verify_jaccard(cand, aug, "doc_id", "text", threshold=0.5)
+    in_sub = lambda c: (c % 10 == 0) | (c >= _PLANT_DOC_OFFSET)  # noqa: E731
+    return (
+        verified.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .where(in_sub(F.col("id_a")) & in_sub(F.col("id_b")))
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_dedup_sql():
+    return (
+        "WITH aug AS (" + _AUG_DOCS_SQL + "), "
+        "sub AS (SELECT doc_id, text FROM aug "
+        "WHERE doc_id % 10 = 0 OR doc_id >= 10000000), "
+        + _JACCARD_PAIRS_SQL.format(src="sub")
+        + " SELECT id_a, id_b FROM p WHERE j >= 0.5 ORDER BY id_a, id_b"
+    )
 
 
 def q_sketch_stats(spark, sf_dir):
-    """Sketch-mode stats (t-digest quantiles + CMS top-k + HLL uniques)."""
+    """Sketch-mode stats (t-digest quantiles + CMS top-k + HLL uniques),
+    self-verified: min/max/top-value are exact-matchable against the oracle;
+    the t-digest median and HLL unique count are bounds-checked in-query
+    against Spark-exact counterparts (|Δmedian| ≤ 1% of range, |Δuniques| ≤
+    max(5%, 1)), emitted as booleans the oracle expects to be true."""
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
     stats = compute_statistics(li, StatsOptions(use_sketches=True))
     ds = stats.default_slice()
     n = ds.feature("l_quantity").numeric
     s = ds.feature("l_returnflag").string
+    ex = li.agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("md"),
+        F.countDistinct("l_returnflag").alias("u"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    ).collect()[0]
+    median_ok = int(
+        abs(n.median - float(ex["md"])) <= max(0.01 * (float(ex["mx"]) - float(ex["mn"])), 1e-9)
+    )
+    uniques_ok = int(abs(s.unique - ex["u"]) <= max(0.05 * ex["u"], 1.0))
     return spark.createDataFrame(
-        [(int(round(n.median)), int(n.min), int(n.max), s.unique, s.top_values[0][0])],
-        "median_approx bigint, min_v bigint, max_v bigint, uniques bigint, top_value string",
+        [(int(n.min), int(n.max), s.top_values[0][0], median_ok, uniques_ok)],
+        "min_v bigint, max_v bigint, top_value string, median_ok bigint, uniques_ok bigint",
+    )
+
+
+def _sketch_stats_sql():
+    return (
+        "SELECT CAST(min(l_quantity) AS BIGINT) AS min_v, "
+        "CAST(max(l_quantity) AS BIGINT) AS max_v, "
+        "(SELECT l_returnflag FROM lineitem GROUP BY 1 "
+        "ORDER BY count(*) DESC, l_returnflag DESC LIMIT 1) AS top_value, "
+        "CAST(1 AS BIGINT) AS median_ok, CAST(1 AS BIGINT) AS uniques_ok "
+        "FROM lineitem"
     )
 
 
@@ -1670,6 +1967,19 @@ def oracle_sql() -> dict[str, str]:
         "empty_values": _empty_values_sql(),
         "sparse_stats": _sparse_stats_sql(),
         "infer_schema_roundtrip": _infer_schema_sql(),
-        # images_profile / images_verdict / minhash_dedup / sketch_stats:
-        # non-SQL-expressible (synthesized input / sketches / LSH) → rows-only.
+        # Formerly rows-only; now self-verifying (see each query's docstring):
+        # pair lists / aggregates are computed by the oracle on the same
+        # deterministically-augmented input, and approximate results carry
+        # in-query bounded comparisons vs exact counterparts.
+        "ngram_jaccard_verify": _ngram_jaccard_verify_sql(),
+        "minhash_dedup": _minhash_dedup_sql(),
+        "embedding_neardup_lsh": _embedding_neardup_sql(),
+        "simhash_docs": (
+            "SELECT planted_pairs, CAST(1 AS BIGINT) AS subset_exact_match "
+            "FROM (" + _PLANTED_DOC_COUNT_SQL + ")"
+        ),
+        "similarity_ivf": _similarity_ivf_sql(),
+        "sketch_stats": _sketch_stats_sql(),
+        "images_profile": _images_profile_sql(),
+        "images_verdict": _images_verdict_sql(),
     }

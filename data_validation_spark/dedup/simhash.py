@@ -134,20 +134,23 @@ def simhash_near_dups(
                     .astype(np.int64)
                 )
                 keep = ham <= radius
-                idarr = np.asarray(ids)
+                idarr = np.asarray(ids, dtype=object)
                 out_a.extend(idarr[ia[keep]].tolist())
                 out_b.extend(idarr[ib[keep]].tolist())
                 out_h.extend(ham[keep].tolist())
             yield pd.DataFrame(
                 {
-                    "id_a": pd.Series(out_a, dtype="int64"),
-                    "id_b": pd.Series(out_b, dtype="int64"),
+                    "id_a": pd.Series(out_a, dtype=object),
+                    "id_b": pd.Series(out_b, dtype=object),
                     "hamming": pd.Series(out_h, dtype="int32"),
                 }
             )
 
+    # Preserve the caller's id type (string/binary/long doc ids all work),
+    # exactly as simhash_fingerprints/minhash_signatures derive theirs.
+    idt = df.schema[id_col].dataType.simpleString()
     return (
         buckets.select("members")
-        .mapInPandas(pairs, "id_a long, id_b long, hamming int")
+        .mapInPandas(pairs, f"id_a {idt}, id_b {idt}, hamming int")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -174,6 +174,14 @@ def _merge_feature(a: FeatureStats, b: FeatureStats) -> FeatureStats:
             out.string.weighted_rank_histogram = [
                 RankBucket(i + 1, i + 1, v, c) for i, (v, c) in enumerate(wranked[:n_rank])
             ]
+        elif a.string.weighted_rank_histogram or b.string.weighted_rank_histogram:
+            # One shard carries weighted stats, the other doesn't (e.g. a
+            # later shard computed without a weight column): propagate the
+            # side that has them instead of silently dropping — mirrors the
+            # `elif a.string or b.string` whole-struct propagation below.
+            ws = a.string if a.string.weighted_rank_histogram else b.string
+            out.string.weighted_top_values = list(ws.weighted_top_values)
+            out.string.weighted_rank_histogram = list(ws.weighted_rank_histogram)
     elif a.string or b.string:
         out.string = a.string or b.string
     if a.bytes and b.bytes:

@@ -289,14 +289,15 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
 
         def entry(v, p=p, needs_topk=needs_topk, needs_numeric=needs_numeric):
             if needs_topk:
+                # Raw values here: the reference's >1024-byte
+                # __LARGE_BYTES__ placeholder exists only in the SKETCH
+                # generator's MisraGries top-k
+                # (top_k_uniques_sketch_stats_generator.py:211-222); the
+                # exact generator and the KMV uniques sketch see raw values,
+                # so collapsing here would undercount exact uniques and
+                # diverge exact top-k. The sketch runner applies it
+                # Python-side to its top-k inserts only.
                 sv = v.cast("string")
-                # Reference top-k placeholder for oversized values
-                # (top_k_uniques_sketch_stats_generator.py:211-222,
-                # constants.py:37): values >1024 bytes collapse to one token
-                # so a few huge strings can't bloat the value shuffle.
-                sv = F.when(
-                    F.octet_length(sv) > 1024, F.lit("__LARGE_BYTES__")
-                ).otherwise(sv)
             else:
                 sv = F.lit(None).cast("string")
             if needs_numeric:

@@ -118,7 +118,12 @@ def equi_width_histogram(
 
 
 def median_from_boundaries(boundaries: Sequence[float]) -> float:
-    """Middle quantile boundary (``quantiles_util.py:23-46``)."""
-    if not boundaries:
+    """Median from quantile boundaries (``quantiles_util.py:23-46``): odd
+    count → middle boundary; even count → mean of the two middles."""
+    n = len(boundaries)
+    if n == 0:
         return float("nan")
-    return float(boundaries[len(boundaries) // 2])
+    mid = n // 2
+    if n % 2 == 0:
+        return (float(boundaries[mid - 1]) + float(boundaries[mid])) / 2.0
+    return float(boundaries[mid])

@@ -21,12 +21,18 @@ _SEEDS = np.array(
 
 
 class CountMinTopK:
-    __slots__ = ("width", "depth", "table", "candidates", "max_candidates", "total")
+    __slots__ = ("width", "depth", "table", "candidates", "max_candidates", "total",
+                 "weighted")
 
-    def __init__(self, width: int = 2048, depth: int = 4, max_candidates: int = 4096):
+    def __init__(self, width: int = 2048, depth: int = 4, max_candidates: int = 4096,
+                 weighted: bool = False):
         self.width = width
         self.depth = depth
-        self.table = np.zeros((depth, width), dtype=np.int64)
+        # weighted=True tracks float weights (the reference keeps a second
+        # weighted MisraGries sketch, top_k_uniques_sketch_stats_generator
+        # `topk_weighted`); unweighted counters stay int64.
+        self.weighted = weighted
+        self.table = np.zeros((depth, width), dtype=np.float64 if weighted else np.int64)
         self.candidates: dict[str, float] = {}
         self.max_candidates = max_candidates
         self.total = 0.0
@@ -53,7 +59,7 @@ class CountMinTopK:
         reference's value_counts-before-AddValues trick)."""
         if not values:
             return
-        counts = np.asarray(counts, dtype=np.int64)
+        counts = np.asarray(counts, dtype=self.table.dtype)
         h = self._hash(values)
         rows = self._rows(h)
         for d in range(self.depth):
@@ -74,14 +80,18 @@ class CountMinTopK:
             return np.empty(0, dtype=np.int64)
         h = self._hash(values)
         rows = self._rows(h)
-        est = np.full(h.size, np.iinfo(np.int64).max, dtype=np.int64)
+        est = np.full(
+            h.size,
+            np.inf if self.weighted else np.iinfo(np.int64).max,
+            dtype=self.table.dtype,
+        )
         for d in range(self.depth):
             est = np.minimum(est, self.table[d][rows[d]])
         return est
 
     def merge(self, other: "CountMinTopK") -> "CountMinTopK":
         assert self.width == other.width and self.depth == other.depth
-        out = CountMinTopK(self.width, self.depth, self.max_candidates)
+        out = CountMinTopK(self.width, self.depth, self.max_candidates, self.weighted)
         out.table = self.table + other.table
         out.total = self.total + other.total
         cands = set(self.candidates) | set(other.candidates)

@@ -31,15 +31,46 @@ from data_validation_spark.stats.sketches.tdigest import TDigest
 
 _QUANTILE_CUTS = 100
 
+# Reference parity (top_k_uniques_sketch_stats_generator.py:49-50,211-222,
+# constants.py): values >1024 bytes collapse to one placeholder token in the
+# TOP-K sketches only — the KMV/HLL uniques sketch and the exact generator
+# always see raw values, and schema-declared CATEGORICAL_YES features are
+# exempt entirely.
+_LARGE_STRING_THRESHOLD = 1024
+_LARGE_BYTES_PLACEHOLDER = "__LARGE_BYTES__"
+
+
+def _collapse_large(vals: list[str]) -> list[str]:
+    out = []
+    for v in vals:
+        n = len(v)
+        if n > _LARGE_STRING_THRESHOLD or (
+            # ≤256 chars can't exceed 1024 bytes in UTF-8 (≤4 B/char); only
+            # longer values need the exact byte check.
+            n > _LARGE_STRING_THRESHOLD // 4
+            and len(v.encode("utf-8", "surrogatepass")) > _LARGE_STRING_THRESHOLD
+        ):
+            out.append(_LARGE_BYTES_PLACEHOLDER)
+        else:
+            out.append(v)
+    return out
+
 
 class FeatureAccumulator:
     """All sketch state for one (slice, feature)."""
 
-    __slots__ = ("topk", "hll", "td", "zeros", "posinf", "neginf", "fincnt",
-                 "fsum", "fsumsq", "wsum")
+    __slots__ = ("topk", "wtopk", "hll", "td", "zeros", "posinf", "neginf",
+                 "fincnt", "fsum", "fsumsq", "wsum", "use_placeholder")
 
-    def __init__(self, options):
+    def __init__(self, options, categorical: bool = False):
         self.topk = CountMinTopK(max_candidates=options.topk_sketch_size * 4)
+        # Second, weighted top-k ranking (reference `topk_weighted` MG sketch)
+        # — only materialized when a weight column is in play.
+        self.wtopk = (
+            CountMinTopK(max_candidates=options.topk_sketch_size * 4, weighted=True)
+            if options.weight_column
+            else None
+        )
         self.hll = HyperLogLog(options.hll_precision)
         self.td = TDigest(options.tdigest_compression)
         self.zeros = 0
@@ -49,12 +80,25 @@ class FeatureAccumulator:
         self.fsum = 0.0
         self.fsumsq = 0.0
         self.wsum = 0.0
+        self.use_placeholder = not categorical
 
-    def add_strings(self, values: pd.Series) -> None:
+    def add_strings(self, values: pd.Series, weights: pd.Series | None = None) -> None:
         counts = values.value_counts()
         vals = [str(v) for v in counts.index]
-        self.topk.add_counts(vals, counts.to_numpy())
+        # uniques sketch sees RAW values (KMV parity — no placeholder).
         self.hll.add(vals)
+        tvals = _collapse_large(vals) if self.use_placeholder else vals
+        self.topk.add_counts(tvals, counts.to_numpy())
+        if self.wtopk is not None:
+            if weights is None:
+                self.wtopk.add_counts(tvals, counts.to_numpy())
+            else:
+                wsums = weights.groupby(values.to_numpy()).sum()
+                wvals = [str(v) for v in wsums.index]
+                self.wtopk.add_counts(
+                    _collapse_large(wvals) if self.use_placeholder else wvals,
+                    wsums.to_numpy(),
+                )
 
     def add_numbers(self, values: np.ndarray) -> None:
         v = values[~np.isnan(values)]
@@ -70,6 +114,10 @@ class FeatureAccumulator:
 
     def merge(self, other: "FeatureAccumulator") -> "FeatureAccumulator":
         self.topk = self.topk.merge(other.topk)
+        if self.wtopk is not None and other.wtopk is not None:
+            self.wtopk = self.wtopk.merge(other.wtopk)
+        elif other.wtopk is not None:
+            self.wtopk = other.wtopk
         self.hll = self.hll.merge(other.hll)
         self.td = self.td.merge(other.td)
         self.zeros += other.zeros
@@ -89,9 +137,9 @@ _PARTIAL_DDL = "slice_key string, feature string, acc binary"
 
 def run_sketch_pass(df, plans, slice_col, options):
     """Returns (topk_data, uniq_data, arr_data, wtopk_data) with the same
-    shapes as the exact long pass (see engine._run_long_pass). Sketch mode
-    tracks weighted counts inside the CMS accumulator, so the weighted top-k
-    reuses topk_data ordering (approximate path; exact mode emits both)."""
+    shapes as the exact long pass (see engine._run_long_pass). With a weight
+    column, a second weighted CMS ranks values by weighted count (reference
+    `topk_weighted` MisraGries parity); otherwise wtopk mirrors topk."""
     long_df = E.long_format(
         df, plans, slice_col, options.weight_column, include_scalar_numeric=True
     )
@@ -100,16 +148,19 @@ def run_sketch_pass(df, plans, slice_col, options):
 
     opts = options
 
+    cats = set(opts.categorical_features or ())
+    weighted = bool(opts.weight_column)
+
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accs: dict[tuple[str, str], FeatureAccumulator] = {}
         for pdf in batches:
             for (sk, feat), g in pdf.groupby(["slice_key", "feature"], sort=False):
                 acc = accs.get((sk, feat))
                 if acc is None:
-                    acc = accs[(sk, feat)] = FeatureAccumulator(opts)
+                    acc = accs[(sk, feat)] = FeatureAccumulator(opts, feat in cats)
                 sv = g["str_value"].dropna()
                 if len(sv):
-                    acc.add_strings(sv)
+                    acc.add_strings(sv, g["weight"][sv.index] if weighted else None)
                 nv = g["num_value"].dropna().to_numpy(dtype=np.float64)
                 if nv.size:
                     acc.add_numbers(nv)
@@ -144,15 +195,38 @@ def run_sketch_pass(df, plans, slice_col, options):
     topk_data: dict = {}
     uniq_data: dict = {}
     arr_data: dict = {}
+    wtopk_data: dict = {}
     for r in rows:
         acc: FeatureAccumulator = pickle.loads(bytes(r["acc"]))
         key = (r["slice_key"], r["feature"])
         top = acc.topk.top_k(k)
         if top:
+            wtk = getattr(acc, "wtopk", None)
+            wc_of = (
+                dict(zip([v for v, _ in top],
+                         wtk.estimate([v for v, _ in top]).astype(float)))
+                if wtk is not None
+                else {}
+            )
             topk_data[key] = [
-                (rank, v, float(c), float(c)) for rank, (v, c) in enumerate(top, start=1)
+                (rank, v, float(c), wc_of.get(v, float(c)))
+                for rank, (v, c) in enumerate(top, start=1)
             ]
             uniq_data[key] = acc.hll.estimate()
+            if wtk is not None:
+                # weighted ranking re-sorted by weighted count — a value with
+                # small raw count but huge weight ranks correctly here
+                # (reference weighted MisraGries parity), instead of
+                # inheriting the unweighted order.
+                wtop = wtk.top_k(k)
+                cnt_of = dict(
+                    zip([v for v, _ in wtop],
+                        acc.topk.estimate([v for v, _ in wtop]).astype(float))
+                )
+                wtopk_data[key] = [
+                    (rank, v, cnt_of.get(v, 0.0), float(wc))
+                    for rank, (v, wc) in enumerate(wtop, start=1)
+                ]
         if acc.fincnt or acc.posinf or acc.neginf:
             mean = acc.fsum / acc.fincnt if acc.fincnt else 0.0
             var = max(acc.fsumsq / acc.fincnt - mean * mean, 0.0) if acc.fincnt else 0.0
@@ -170,7 +244,7 @@ def run_sketch_pass(df, plans, slice_col, options):
                 "fincnt": acc.fincnt,
                 "quants": quants,
             }
-    return topk_data, uniq_data, arr_data, dict(topk_data)
+    return topk_data, uniq_data, arr_data, (wtopk_data or dict(topk_data))
 
 
 def _merge_group_keep(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -203,12 +203,18 @@ def compute_nl_statistics(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
     )
+    # Cache `seqs` (not just `tokens`): __sid comes from
+    # monotonically_increasing_id, and _bottom5 re-scans `seqs` in a separate
+    # job to match ids collected from per_seq. Without the cache a
+    # nondeterministic upstream (sample(), shuffle, task retry) could
+    # recompute with shifted ids and return wrong/empty reported_sequences.
     seqs = df.select(
         F.monotonically_increasing_id().alias("__sid"),
         toks.alias("__toks"),
-    ).where(F.col("__toks").isNotNull())
+    ).where(F.col("__toks").isNotNull()).cache()
     num_examples = seqs.count()
     if num_examples == 0:
+        seqs.unpersist()
         return {"num_examples": 0, "feature_coverage": 0.0, "avg_token_length": 0.0}
 
     tokens = seqs.select(
@@ -365,6 +371,7 @@ def compute_nl_statistics(
                 }
 
     tokens.unpersist()
+    seqs.unpersist()
     return {
         "num_examples": num_examples,
         "feature_coverage": in_vocab / total if total else 0.0,

@@ -242,14 +242,56 @@ def test_weighted_and_unweighted_topk(spark):
     assert [b.label for b in st.weighted_rank_histogram] == ["a", "b"]
 
 
-def test_topk_large_bytes_placeholder(spark):
-    big = "x" * 2000
-    rows = [(big,), (big,), ("small",)]
+def test_topk_large_bytes_placeholder_sketch_only(spark):
+    # Reference parity (top_k_uniques_sketch_stats_generator.py:49-50,211-222):
+    # the >1024-byte placeholder lives ONLY in the sketch top-k. The exact
+    # generator and the uniques sketch see raw values.
+    big1, big2 = "x" * 2000, "y" * 2000
+    rows = [(big1,), (big1,), (big2,), ("small",)]
     df = spark.createDataFrame(rows, "s string")
-    stats = compute_statistics(df)
-    st = stats.default_slice().feature("s").string
-    assert st.top_values[0] == ("__LARGE_BYTES__", 2.0)
+
+    # Exact mode: raw values — two distinct large values stay distinct.
+    st = compute_statistics(df).default_slice().feature("s").string
+    assert st.unique == 3
+    assert st.top_values[0][0] in (big1,)  # count 2 wins
     assert ("small", 1.0) in st.top_values
+
+    # Sketch mode: top-k collapses large values; uniques does NOT.
+    sk = (
+        compute_statistics(df, StatsOptions(use_sketches=True))
+        .default_slice()
+        .feature("s")
+        .string
+    )
+    assert sk.top_values[0] == ("__LARGE_BYTES__", 3.0)
+    assert sk.unique == 3  # HLL saw raw values
+
+    # Schema-declared categorical features are exempt from the placeholder.
+    cat = (
+        compute_statistics(
+            df, StatsOptions(use_sketches=True, categorical_features={"s"})
+        )
+        .default_slice()
+        .feature("s")
+        .string
+    )
+    assert cat.top_values[0] == (big1, 2.0)
+
+
+def test_sketch_weighted_topk_ranked_by_weight(spark):
+    # 'b' wins unweighted (3 vs 2) but 'a' wins weighted (20 vs 3) — the
+    # sketch path must re-rank by weighted count, not reuse unweighted order.
+    rows = [("a", 10.0), ("a", 10.0), ("b", 1.0), ("b", 1.0), ("b", 1.0)]
+    df = spark.createDataFrame(rows, "s string, w double")
+    st = (
+        compute_statistics(df, StatsOptions(weight_column="w", use_sketches=True))
+        .default_slice()
+        .feature("s")
+        .string
+    )
+    assert st.top_values[0] == ("b", 3.0)
+    assert st.weighted_top_values[0] == ("a", 20.0)
+    assert [b.label for b in st.weighted_rank_histogram] == ["a", "b"]
 
 
 def test_struct_domain_validates_children(spark):

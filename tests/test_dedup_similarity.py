@@ -94,6 +94,21 @@ def test_simhash_degenerate_bucket_bounded(spark):
     assert pairs == {(2000, 2001)}
 
 
+def test_simhash_string_ids(spark):
+    # Doc ids of any orderable type must round-trip (the pairing stage derives
+    # its output schema from the input id column, like minhash_signatures).
+    rows = [
+        ("doc-a", "alpha beta gamma delta epsilon"),
+        ("doc-b", "alpha beta gamma delta epsilon"),
+        ("doc-c", "completely different content here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_dups(df, "doc_id", "text", radius=3).collect()}
+    assert ("doc-a", "doc-b") in pairs
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in pairs)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)

@@ -327,3 +327,28 @@ def test_nl_constraints_stats_not_available(spark):
     )
     r = validate_statistics(stats, schema)
     assert {a.type for a in r.anomalies} == {AT.STATS_NOT_AVAILABLE}
+
+
+def test_merge_stats_one_sided_weighted(spark):
+    # A weighted shard merged with an unweighted shard must keep the weighted
+    # top-k/rank-histogram from the side that has it (not silently drop it).
+    from data_validation_spark.io.artifacts import merge_stats
+
+    dfw = spark.createDataFrame(
+        [("a", 10.0), ("b", 1.0)], "s string, w double"
+    )
+    dfu = spark.createDataFrame([("a",), ("c",)], "s string")
+    sw = compute_statistics(dfw, StatsOptions(weight_column="w"))
+    su = compute_statistics(dfu)
+    merged = merge_stats([sw, su])
+    st = merged.default_slice().feature("s").string
+    assert st.weighted_top_values and st.weighted_top_values[0] == ("a", 10.0)
+    assert [b.label for b in st.weighted_rank_histogram] == ["a", "b"]
+
+
+def test_median_from_boundaries_even_count():
+    from data_validation_spark.stats.quantiles import median_from_boundaries
+
+    assert median_from_boundaries([1.0, 2.0, 3.0]) == 2.0
+    assert median_from_boundaries([1.0, 2.0, 3.0, 4.0]) == 2.5
+    assert median_from_boundaries([5.0]) == 5.0
