@@ -29,6 +29,31 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 BMP_MAGIC = b"BM"
 
+# Native-codec seam: when the deploy image carries PIL (the reference decodes
+# via PIL too — image_stats_generator.py:226-399), use it for real
+# JPEG/GIF/PNG pixel decode; this sandbox lacks it, so the pure-Python
+# decoders below remain the tested fallback. Import is attempted once at
+# module load (workers import this module fresh, so each executor resolves
+# its own environment).
+try:  # pragma: no cover - not installed in this sandbox
+    import io as _io
+
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_native(data: bytes) -> Optional[np.ndarray]:  # pragma: no cover
+    """PIL decode → RGB uint8 array; None on any failure (e.g. our stub-JPEG
+    container, which is sniffable JFIF but has no scan data)."""
+    try:
+        with _PILImage.open(_io.BytesIO(data)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
 
 def sniff_format(data: Optional[bytes]) -> str:
     if not data:
@@ -288,6 +313,12 @@ def decode(data: Optional[bytes]) -> Optional[np.ndarray]:
     fmt = sniff_format(data)
     if fmt == "UNKNOWN":
         return None
+    if _HAVE_PIL:  # pragma: no cover - exercised only where PIL is installed
+        out = _decode_native(data)
+        if out is not None:
+            return out
+        # fall through: e.g. our zlib-payload stub-JPEG container, which PIL
+        # rejects but the pure decoder below understands
     return _DECODERS[fmt](data)
 
 

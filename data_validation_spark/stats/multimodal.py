@@ -146,19 +146,38 @@ def mp4_major_brand(data: bytes) -> Optional[str]:
 
 
 # ------------------------------------------------------------- decode stubs --
+try:  # pragma: no cover - not installed in this sandbox
+    import io as _io
+
+    import soundfile as _soundfile
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Decode audio payload → (int16 samples, rate). WAV is real; compressed
-    codecs are a STUB — wire a real decoder (ffmpeg/soundfile) here."""
+    codecs use soundfile/libsndfile when the deploy image carries it
+    (try-imported above), else raise at this clearly-marked seam."""
     fmt = sniff_media(data)
     if fmt == "wav":
         out = decode_wav(data)
         if out is None:
             raise ValueError("corrupt wav payload")
         return out
+    if _HAVE_SOUNDFILE:  # pragma: no cover - exercised only where installed
+        try:
+            samples, rate = _soundfile.read(_io.BytesIO(data), dtype="int16")
+            if samples.ndim > 1:
+                samples = samples[:, 0]
+            return samples.astype(np.int16), int(rate)
+        except Exception as exc:
+            raise ValueError(f"undecodable {fmt} payload: {exc}") from exc
     raise NotImplementedError(
-        f"STUB: no {fmt} decoder in this environment — integrate ffmpeg/"
-        "soundfile at this seam; the Spark plumbing (metadata pass, feature "
-        "pass, chunking) is format-agnostic and tested via WAV."
+        f"STUB: no {fmt} decoder in this environment — soundfile is "
+        "try-imported at this seam; the Spark plumbing (metadata pass, "
+        "feature pass, chunking) is format-agnostic and tested via WAV."
     )
 
 

@@ -141,14 +141,17 @@ def streaming_sessionize(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Stateful streaming sessionization: per-user sessions closed after
-    ``gap_minutes`` of event-time silence, emitted on processing-time timeout.
+    ``gap_minutes`` of event-time silence, expired by the WATERMARK
+    (EventTimeTimeout), so late-data handling is event-time-deterministic —
+    a session closes exactly when the watermark passes last_ts + gap, never
+    on a wall clock.
 
     State per user: (session_start, last_ts, n_events). Each batch folds its
     (sorted) events into the open session, splitting when the gap exceeds the
-    threshold; completed sessions are emitted immediately, the open one on
-    timeout. This is the ``applyInPandasWithState`` shape the batch
-    ``sessionization`` query mirrors (lag + cumulative sum), kept incremental
-    here so 10^12-row streams never re-scan history.
+    threshold; completed sessions are emitted immediately, the open one when
+    the event-time timeout fires. This is the ``applyInPandasWithState``
+    shape the batch ``sessionization`` query mirrors (lag + cumulative sum),
+    kept incremental here so 10^12-row streams never re-scan history.
 
     Output: (user, session_start, session_end, n_events).
     """
@@ -189,7 +192,11 @@ def streaming_sessionize(
             last = max(last, t)
             n += 1
         state.update((start, last, n))
-        state.setTimeoutDuration(gap_s * 1000)
+        # Event-time expiry: fire when the watermark passes last + gap. The
+        # timestamp must sit strictly above the current watermark, so clamp
+        # (a fully-late session expires on the very next batch).
+        timeout_ms = int(pd.Timestamp(last).value // 1_000_000) + gap_s * 1000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if done_rows:
             yield pd.DataFrame(
                 done_rows, columns=["user", "session_start", "session_end", "n_events"]
@@ -199,5 +206,5 @@ def streaming_sessionize(
         F.col(user_col).cast("string").alias("u"), F.col(ts_col).alias(ts_col)
     )
     return src.groupBy("u").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "ProcessingTimeTimeout"
+        fn, out_schema, state_schema, "append", "EventTimeTimeout"
     )

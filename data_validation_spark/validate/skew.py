@@ -74,16 +74,26 @@ def detect_feature_skew(
     b = base.select(fp.alias("__fp"), *features_to_compare)
     t = test.select(fp.alias("__fp"), *features_to_compare)
 
+    # ONE action for everything (duplicate-id counters included): each side
+    # pre-aggregates by fingerprint (map-side combined), the full-outer join
+    # then runs on already-__fp-partitioned inputs (no extra Exchange), and a
+    # single wide agg emits MatchStats + per-feature counts + dup counts.
+    # The reference skips duplicate-id examples from the comparison
+    # (feature_skew/feature_skew_detector.py semantics); here they survive as
+    # a single __bn>1 / __tn>1 row that only feeds the dup counters.
     if not allow_duplicate_identifiers:
-        # the reference skips duplicate-id examples; count them first
-        b_dups = b.groupBy("__fp").count().where(F.col("count") > 1)
-        t_dups = t.groupBy("__fp").count().where(F.col("count") > 1)
-        dup_b = b_dups.agg(F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
-        dup_t = t_dups.agg(F.coalesce(F.sum("count"), F.lit(0))).collect()[0][0]
-        b = b.join(F.broadcast(b_dups.select("__fp")), "__fp", "left_anti")
-        t = t.join(F.broadcast(t_dups.select("__fp")), "__fp", "left_anti")
+
+        def preagg(df):
+            return df.groupBy("__fp").agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.first(c).alias(c) for c in features_to_compare],
+            )
+
+        b2 = preagg(b).withColumnRenamed("__n", "__bn")
+        t2 = preagg(t).withColumnRenamed("__n", "__tn")
     else:
-        dup_b = dup_t = 0
+        b2 = b.withColumn("__bn", F.lit(1))
+        t2 = t.withColumn("__tn", F.lit(1))
 
     def cmp_col(c):
         bc, tc = F.col(f"b.{c}"), F.col(f"t.{c}")
@@ -91,27 +101,26 @@ def detect_feature_skew(
             bc, tc = F.round(bc, float_round_ndigits), F.round(tc, float_round_ndigits)
         return bc.eqNullSafe(tc)
 
-    # presence flags: full_outer keeps __fp non-null on both sides, so side
-    # participation is detected via explicit marker columns.
-    b2 = b.withColumn("__in_b", F.lit(1))
-    t2 = t.withColumn("__in_t", F.lit(1))
     joined = b2.alias("b").join(t2.alias("t"), "__fp", "full_outer")
+    # present-and-unique participation flags (null-safe: absent side → false)
+    in_b = F.coalesce(F.col("b.__bn") == 1, F.lit(False))
+    in_t = F.coalesce(F.col("t.__tn") == 1, F.lit(False))
+    both = in_b & in_t
 
     aggs = [
-        F.sum(F.coalesce(F.col("b.__in_b"), F.lit(0))).alias("n_base"),
-        F.sum(F.coalesce(F.col("t.__in_t"), F.lit(0))).alias("n_test"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(in_t, 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_pairs"),
+        F.sum(F.when(in_t & ~in_b, 1).otherwise(0)).alias("missing_base"),
+        F.sum(F.when(in_b & ~in_t, 1).otherwise(0)).alias("missing_test"),
         F.sum(
-            F.when(F.col("b.__in_b").isNotNull() & F.col("t.__in_t").isNotNull(), 1).otherwise(0)
-        ).alias("n_pairs"),
+            F.when(F.col("b.__bn") > 1, F.col("b.__bn")).otherwise(0)
+        ).alias("dup_b"),
         F.sum(
-            F.when(F.col("b.__in_b").isNull() & F.col("t.__in_t").isNotNull(), 1).otherwise(0)
-        ).alias("missing_base"),
-        F.sum(
-            F.when(F.col("t.__in_t").isNull() & F.col("b.__in_b").isNotNull(), 1).otherwise(0)
-        ).alias("missing_test"),
+            F.when(F.col("t.__tn") > 1, F.col("t.__tn")).otherwise(0)
+        ).alias("dup_t"),
     ]
     for c in features_to_compare:
-        both = F.col("b.__in_b").isNotNull() & F.col("t.__in_t").isNotNull()
         bc, tc = F.col(f"b.{c}"), F.col(f"t.{c}")
         aggs += [
             F.sum(F.when(both & bc.isNotNull(), 1).otherwise(0)).alias(f"{c}__bcount"),
@@ -139,8 +148,8 @@ def detect_feature_skew(
         ids_missing_in_base_count=int(row["missing_base"] or 0),
         ids_missing_in_test_count=int(row["missing_test"] or 0),
         matching_pairs_count=int(row["n_pairs"] or 0),
-        duplicate_id_count_base=int(dup_b),
-        duplicate_id_count_test=int(dup_t),
+        duplicate_id_count_base=int(row["dup_b"] or 0),
+        duplicate_id_count_test=int(row["dup_t"] or 0),
     )
     result = SkewResult(match_stats=ms)
     for c in features_to_compare:
@@ -159,11 +168,7 @@ def detect_feature_skew(
     if sample_size > 0:
         any_mismatch = None
         for c in features_to_compare:
-            cond = (
-                F.col("b.__in_b").isNotNull()
-                & F.col("t.__in_t").isNotNull()
-                & ~cmp_col(c)
-            )
+            cond = both & ~cmp_col(c)
             any_mismatch = cond if any_mismatch is None else (any_mismatch | cond)
         if any_mismatch is not None:
             result.sample_pairs = (

@@ -187,3 +187,22 @@ def test_pixel_integrity_corrupt(spark):
     details = {r["row_key"]: r["detail"] for r in v}
     assert "psnr" in details["img_000000000006"]
     assert details["img_000000000013"] == "undecodable payload"
+
+
+@pytest.mark.skipif(not codec._HAVE_PIL, reason="PIL not installed in this image")
+def test_native_codec_decode_roundtrip():  # pragma: no cover - needs PIL
+    # When the deploy image carries PIL, decode() must route through it and
+    # reproduce the exact pixels for the real formats (PNG/BMP are lossless).
+    rgb = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    for fmt in ("png", "bmp"):
+        out = codec.decode(codec.encode(fmt, rgb))
+        assert out is not None and np.array_equal(out, rgb)
+
+
+def test_decode_falls_back_to_pure_python_for_stub_jpeg():
+    # Our stub-JPEG container (zlib payload in APP15) is not a valid JPEG for
+    # native codecs — decode() must fall back to the pure-Python path and
+    # recover the exact pixels regardless of PIL availability.
+    rgb = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    out = codec.decode(codec.encode("jpeg", rgb))
+    assert out is not None and np.array_equal(out, rgb)

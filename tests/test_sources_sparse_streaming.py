@@ -187,26 +187,35 @@ def test_streaming_sessionize(spark, tmp_path):
     )
     df.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("ts timestamp, u string").parquet(src)
-    out = streaming_sessionize(stream, "u", "ts", gap_minutes=30)
+    out = streaming_sessionize(stream, "u", "ts", gap_minutes=30, watermark="1 hour")
     q = out.writeStream.outputMode("append").format("memory").queryName("ss").start()
-    try:
-        # ProcessingTimeTimeout keeps scheduling state-cleanup batches, so
-        # processAllAvailable never idles — poll the sink with a deadline.
-        import time
 
-        deadline = time.time() + 120
-        got = []
-        while time.time() < deadline and not got:
-            if q.exception():
-                raise AssertionError(str(q.exception()))
-            got = [
-                (r["user"], r["session_start"].minute, r["session_end"].minute, r["n_events"])
-                for r in spark.sql("select * from ss").collect()
-            ]
-            if not got:
-                time.sleep(1)
+    def sink():
+        if q.exception():
+            raise AssertionError(str(q.exception()))
+        return sorted(
+            (r["user"], r["session_start"].hour, r["session_start"].minute,
+             r["session_end"].minute, r["n_events"])
+            for r in spark.sql("select * from ss").collect()
+        )
+
+    try:
+        q.processAllAvailable()
+        # The completed u1 session (00:00-00:10, 2 events) splits in-batch.
+        # After batch 1 the watermark reaches 01:00 (max 02:00 − 1h) and the
+        # event-time timeout batch closes u2 (@00:05, timeout 00:35 < wm) —
+        # no wall-clock involved. u1's open session (@02:00, timeout 02:30)
+        # stays in state.
+        assert sink() == [("u1", 0, 0, 10, 2), ("u2", 0, 5, 5, 1)]
+
+        # EventTimeTimeout: advancing the WATERMARK (not the wall clock)
+        # closes the remaining session: data at 05:00 → wm 04:00 > 02:30.
+        late = spark.createDataFrame([("2024-01-01 05:00:00", "u3")], "ts_s string, u string")
+        late.select(F.col("ts_s").cast("timestamp").alias("ts"), "u").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = sink()
     finally:
         q.stop()
-    # the completed u1 session (00:00-00:10, 2 events) is emitted in-batch;
-    # open sessions (u1 @02:00, u2) wait on the processing-time timeout.
-    assert got == [("u1", 0, 10, 2)]
+    assert ("u1", 2, 0, 0, 1) in got  # u1 @02:00 closed by watermark advance
