@@ -51,8 +51,15 @@ def validate_statistics(
     previous_version_statistics: Optional[DatasetStatsList] = None,
     severity_overrides: Optional[dict[AnomalyType, Severity]] = None,
     new_features_are_warnings: bool = False,
+    features_needed: Optional[set] = None,
 ) -> Anomalies:
     """Validate the default slice of ``statistics`` against ``schema``.
+
+    ``features_needed`` mirrors the reference's ValidationOptions
+    (``schema_anomalies.cc:114-117`` ShouldCreateFeature): when given, a
+    column present in the data but absent from the schema is only reported
+    as SCHEMA_NEW_COLUMN if its name is in the set; other unknown columns
+    are ignored entirely.
 
     ``severity_overrides`` / ``new_features_are_warnings`` mirror the
     reference's ``FeatureStatisticsToProtoConfig`` severity resolution
@@ -82,9 +89,20 @@ def validate_statistics(
 
     _check_dataset_constraints(ds, schema, prev, prev_version, out)
 
-    schema_names = set(schema.feature_names())
+    # Logical sparse/weighted feature names are schema-known too: their stats
+    # rows carry the custom sparse/weighted stats and must not trip the
+    # new-column check (reference knows them as paths; cf.
+    # validation_api_test.py:1244 where 'weighted_feature' raises only the
+    # WEIGHTED_FEATURE_* reasons).
+    schema_names = (
+        set(schema.feature_names())
+        | {s.name for s in schema.sparse_feature}
+        | {w.name for w in schema.weighted_feature}
+    )
     for name, fs in sorted(ds.features.items()):
         if name not in schema_names:
+            if features_needed is not None and name not in features_needed:
+                continue
             out.anomalies.append(
                 Anomaly(
                     feature=name,
@@ -1136,7 +1154,7 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
             continue
         ofs = other.feature(spec.name)
         if comparator.infinity_norm_threshold is not None:
-            val = _linf(fs, ofs)
+            val, max_label = _linf(fs, ofs)
             if val is not None:
                 out.drift_skew_info.append(
                     DriftSkewMeasurement(
@@ -1144,15 +1162,22 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
                     )
                 )
                 if val > comparator.infinity_norm_threshold:
+                    # Wording parity with the reference golden
+                    # (feature_util.cc L-infty message; validation_api_test.py
+                    # _annotated_enum_anomaly_info / _bar_anomaly_info).
+                    sides = (
+                        "current and previous" if which == "drift"
+                        else "training and serving"
+                    )
                     out.anomalies.append(
                         _anom(
                             spec.name,
                             AnomalyType.COMPARATOR_L_INFTY_HIGH,
-                            "High Linfty distance between current and previous"
-                            if which == "drift"
-                            else "High Linfty distance between training and serving",
-                            f"The Linfty distance is {val:.6g}, above the threshold "
-                            f"{comparator.infinity_norm_threshold}.",
+                            f"High Linfty distance between {sides}",
+                            f"The Linfty distance between {sides} is {val:.6g} "
+                            f"(up to six significant digits), above the threshold "
+                            f"{comparator.infinity_norm_threshold}. The feature value "
+                            f"with maximum difference is: {max_label}",
                             ds.slice_key,
                             measurement=val,
                             threshold=comparator.infinity_norm_threshold,
@@ -1217,17 +1242,17 @@ def _drift_counts(st):
     return st.value_counts()
 
 
-def _linf(fs, ofs) -> Optional[float]:
+def _linf(fs, ofs) -> tuple[Optional[float], Optional[str]]:
     if fs.string is None or ofs.string is None:
-        return None
+        return None, None
     # weighted maps only when BOTH sides carry them (mixed runs fall back to
     # unweighted so the comparison stays apples-to-apples)
     if fs.string.weighted_rank_histogram and ofs.string.weighted_rank_histogram:
         a, b = _drift_counts(fs.string), _drift_counts(ofs.string)
     else:
         a, b = fs.string.value_counts(), ofs.string.value_counts()
-    _, val = drift_metrics.linfty_distance(a, b)
-    return val
+    label, val = drift_metrics.linfty_distance(a, b)
+    return val, label
 
 
 def _jsd(fs, ofs) -> Optional[float]:

@@ -124,7 +124,92 @@ def test_linf_uses_weighted_counts_when_present():
     # unweighted counts identical, weighted differ → weighted drives the metric
     a = sf({"x": 5.0, "y": 5.0}, {"x": 9.0, "y": 1.0})
     b = sf({"x": 5.0, "y": 5.0}, {"x": 1.0, "y": 9.0})
-    assert _linf(a, b) == pytest.approx(0.8)
+    assert _linf(a, b)[0] == pytest.approx(0.8)
     # one side unweighted → falls back to unweighted maps
     c = sf({"x": 5.0, "y": 5.0})
-    assert _linf(a, c) == pytest.approx(0.0)
+    assert _linf(a, c)[0] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Table-driven numeric goldens ported verbatim from the reference's
+# anomalies/metrics_test.cc (LInftyDistanceTest:86-113,
+# NormalizedAbsoluteDifferenceTest:115-141, JensenShannonDivergence:142-676).
+# Every expected value is the reference's EXPECT_NEAR constant.
+# ---------------------------------------------------------------------------
+
+_INF = float("inf")
+
+_LINF_GOLDENS = [
+    # (name, training counts, serving counts, expected)  metrics_test.cc:86-101
+    ("two_empty_maps", {}, {}, 0.0),
+    ("normal_distribution", {"hello": 0.1, "world": 0.9}, {"hello": 0.3, "world": 0.7}, 0.2),
+    ("missing_value_in_both", {"b": 0.9, "c": 0.1}, {"a": 0.3, "b": 0.7}, 0.3),
+    ("missing_value_flipped", {"a": 0.3, "b": 0.7}, {"b": 0.9, "c": 0.1}, 0.3),
+]
+
+_NAD_GOLDENS = [
+    # metrics_test.cc:115-127
+    ("two_empty_maps", {}, {}, 0.0),
+    ("normal_distribution", {"hello": 0.1, "world": 0.9}, {"hello": 0.3, "world": 0.7}, 0.1),
+    ("different_scales_same_distribution",
+     {"hello": 1.0, "world": 5.0}, {"hello": 10.0, "world": 50.0}, 0.68181818),
+]
+
+
+@pytest.mark.parametrize("name,a,b,expected", _LINF_GOLDENS, ids=[c[0] for c in _LINF_GOLDENS])
+def test_linfty_reference_goldens(name, a, b, expected):
+    assert linfty_distance(a, b)[1] == pytest.approx(expected, abs=1e-5)
+
+
+@pytest.mark.parametrize("name,a,b,expected", _NAD_GOLDENS, ids=[c[0] for c in _NAD_GOLDENS])
+def test_nad_reference_goldens(name, a, b, expected):
+    assert normalized_absolute_difference(a, b)[1] == pytest.approx(expected, abs=1e-5)
+
+
+_JSD_HIST_GOLDENS = [
+    # (name, (buckets1, num_nan1), (buckets2, num_nan2), expected)
+    # DifferentBucketBoundaries metrics_test.cc:212 — rebucketed overlap math
+    ("different_bucket_boundaries",
+     ([(1, 2, 2), (2, 3, 2)], 0), ([(2, 4, 2), (4, 6, 2)], 0), 0.65563906222),
+    # NoOverlap metrics_test.cc:261
+    ("no_overlap", ([(0, 1, 2), (1, 2, 2)], 0), ([(3, 4, 2), (4, 6, 2)], 0), 1.0),
+    # OneHasAllValuesInOneBucket metrics_test.cc:293 (point mass vs ranges)
+    ("one_has_all_values_in_one_bucket",
+     ([(1, 1, 4)], 0), ([(2, 4, 2), (4, 6, 2)], 0), 1.0),
+    # BothHaveAllValuesInOneBucket metrics_test.cc:324
+    ("both_have_all_values_in_one_bucket",
+     ([(1, 1, 4)], 0), ([(2.33, 2.33, 4)], 0), 1.0),
+    # OneHasOneBucketTheOtherHasMany metrics_test.cc:354
+    ("one_bucket_vs_many",
+     ([(10, 10, 21)], 0), ([(0, 4, 150), (4, 12, 200), (12, 20, 20)], 0), 1.0),
+    # NaNNotEqualToSelf metrics_test.cc:430
+    ("nan_not_equal_to_self", ([], 1), ([], 1), 1.0),
+    # WithNaNs metrics_test.cc:450 — JSD worked out in the reference comment
+    ("with_nans", ([(1, 2, 3)], 1), ([(1, 2, 4)], 0), 0.13792538096),
+    # MultiplePointBinsPartialOverlap metrics_test.cc:581
+    ("multiple_point_bins_partial_overlap",
+     ([(0, 0, 1), (1, 1, 1)], 0), ([(0, 0, 1), (2, 2, 1)], 0), 0.5),
+    # MixOfPointAndNonPointBoundaries metrics_test.cc:613
+    ("mix_of_point_and_non_point",
+     ([(0, 0, 1), (1, 2, 1)], 0), ([(1, 1, 1), (2, 2, 1)], 0), 1.0),
+    # InfiniteBinBoundaries metrics_test.cc:645 — identical histograms but the
+    # ±inf buckets never match (same NaN-like semantics), so JSD is 1.
+    ("infinite_bin_boundaries",
+     ([(-_INF, 0, 1), (_INF, _INF, 1)], 0), ([(-_INF, 0, 1), (_INF, _INF, 1)], 0), 1.0),
+]
+
+
+@pytest.mark.parametrize(
+    "name,h1,h2,expected", _JSD_HIST_GOLDENS, ids=[c[0] for c in _JSD_HIST_GOLDENS]
+)
+def test_jsd_histogram_reference_goldens(name, h1, h2, expected):
+    got = jensen_shannon_divergence_histograms(H(h1[0], num_nan=h1[1]), H(h2[0], num_nan=h2[1]))
+    assert got == pytest.approx(expected, abs=1e-5)
+
+
+def test_jsd_rank_histogram_reference_golden():
+    """metrics_test.cc:492 RankHistogram — categorical JSD over count maps."""
+    got = jensen_shannon_divergence_counts(
+        {"b": 2.0, "a": 2.0, "c": 1.0}, {"a": 2.0, "Z": 1.0, "Y": 1.0, "X": 1.0}
+    )
+    assert got == pytest.approx(0.6, abs=1e-5)

@@ -1,0 +1,631 @@
+"""Table-driven goldens ported from the reference's validation_api_test.py
+(file: tensorflow_data_validation/api/validation_api_test.py, 3597 lines).
+
+Each test mirrors one reference case: same schema, same hand-built statistics,
+and asserts the same anomaly set — reason types, severities, roll-up behavior
+(MULTIPLE_REASONS), drift_skew_info measurements, and (where our wording is
+reference-parity) the exact description strings. Reference line numbers are
+cited per case.
+"""
+
+from collections import Counter
+
+import pytest
+
+from data_validation_spark.anomalies import AnomalyType as AT
+from data_validation_spark.anomalies import Severity
+from data_validation_spark.schema import (
+    DistributionConstraints,
+    DriftComparator,
+    FeatureSpec,
+    FeatureType,
+    Presence,
+    Schema,
+    SkewComparator,
+    SparseFeature,
+    StringDomain,
+    ValueCount,
+    WeightedFeature,
+)
+from data_validation_spark.stats.result import (
+    CommonStats,
+    DatasetStats,
+    DatasetStatsList,
+    FeatureStats,
+    RankBucket,
+    StringStats,
+)
+from data_validation_spark.validate.rules import (
+    validate_corresponding_slices,
+    validate_statistics,
+)
+
+
+# --------------------------------------------------------------- helpers ----
+
+def string_feature(name, counts, num_missing=0, num_non_missing=None, unique=None):
+    """FeatureStats with a rank histogram, mirroring the string_stats blocks
+    the reference goldens parse from text protos."""
+    fs = FeatureStats(name=name, type="STRING")
+    if num_non_missing is None:
+        num_non_missing = int(sum(counts.values()))
+    fs.common = CommonStats(
+        num_non_missing=num_non_missing,
+        num_missing=num_missing,
+        min_num_values=1 if num_non_missing else 0,
+        max_num_values=1 if num_non_missing else 0,
+        tot_num_values=num_non_missing,
+        avg_num_values=1.0 if num_non_missing else 0.0,
+    )
+    fs.string = StringStats(
+        unique=unique if unique is not None else len(counts),
+        rank_histogram=[
+            RankBucket(i + 1, i + 1, k, float(v))
+            for i, (k, v) in enumerate(sorted(counts.items(), key=lambda kv: -kv[1]))
+        ],
+    )
+    return fs
+
+
+def stats_of(features, num_examples=10, slice_key="All Examples"):
+    ds = DatasetStats(num_examples=num_examples, slice_key=slice_key)
+    for f in features:
+        ds.features[f.name] = f
+    return DatasetStatsList([ds])
+
+
+def custom_feature(name, custom):
+    fs = FeatureStats(name=name, type="STRING")
+    fs.common = CommonStats(num_non_missing=10)
+    fs.custom = custom
+    return fs
+
+
+def anomaly_map(result):
+    """feature → (set of reason types, max severity) — the shape the
+    reference's _assert_equal_anomalies compares."""
+    out = {}
+    for feat, info in result.feature_anomaly_info().items():
+        out[feat] = (
+            {r["type"] for r in info["reasons"]},
+            info["severity"],
+        )
+    return out
+
+
+def sliced_statistics(values_slice1, values_slice2):
+    """Mirror of _construct_sliced_statistics (validation_api_test.py:3438):
+    named slices slice1/slice2 (slice2 only when non-empty) plus the overall
+    default slice, each carrying string stats for feature 'foo'."""
+    datasets = []
+    for key, values in (
+        ("slice1", values_slice1),
+        ("slice2", values_slice2),
+        ("All Examples", values_slice1 + values_slice2),
+    ):
+        if not values:
+            continue
+        ds = DatasetStats(num_examples=len(values), slice_key=key)
+        ds.features["foo"] = string_feature("foo", dict(Counter(values)))
+        datasets.append(ds)
+    return DatasetStatsList(datasets)
+
+
+def slices_schema():
+    """Mirror of _test_schema (validation_api_test.py:3467)."""
+    return Schema(
+        feature=[
+            FeatureSpec(
+                name="foo",
+                type=FeatureType.BYTES,
+                string_domain=StringDomain(
+                    name="feature_foo", value=["1", "2", "3", "4"]
+                ),
+                distribution_constraints=DistributionConstraints(min_domain_mass=0.5),
+                presence=Presence(min_fraction=1.0),
+            )
+        ]
+    )
+
+
+# ------------------------------------------------------ single-stats cases --
+
+def test_golden_validate_stats():
+    """validation_api_test.py:1159 test_validate_stats — unexpected enum value
+    D on annotated_enum; the DEPRECATED feature raises nothing even though its
+    stats are absent."""
+    schema = Schema(
+        string_domain=[StringDomain(name="MyAloneEnum", value=["A", "B", "C"])],
+        feature=[
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.BYTES,
+                value_count=ValueCount(min=1, max=1),
+                presence=Presence(min_count=1),
+                domain="MyAloneEnum",
+            ),
+            FeatureSpec(
+                name="ignore_this",
+                deprecated=True,
+                value_count=ValueCount(min=1),
+                presence=Presence(min_count=1),
+                type=FeatureType.BYTES,
+            ),
+        ],
+    )
+    stats = stats_of(
+        [string_feature("annotated_enum", {"D": 1}, num_missing=3, num_non_missing=7, unique=3)]
+    )
+    result = validate_statistics(stats, schema)
+    assert anomaly_map(result) == {
+        "annotated_enum": ({AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES}, Severity.ERROR)
+    }
+
+
+def test_golden_weighted_feature_multiple_reasons():
+    """validation_api_test.py:1244 test_validate_stats_weighted_feature —
+    missing_weight=1, missing_value=2, length diff [3,4] → three reasons on
+    one feature, rolled up to 'Multiple errors'."""
+    schema = Schema(
+        feature=[FeatureSpec(name="value"), FeatureSpec(name="weight")],
+        weighted_feature=[
+            WeightedFeature(name="weighted_feature", feature="value", weight_feature="weight")
+        ],
+    )
+    stats = stats_of(
+        [
+            custom_feature(
+                "weighted_feature",
+                {
+                    "weighted_feature_stats": {
+                        "missing_weight": 1.0,
+                        "missing_value": 2.0,
+                        "min_weight_length_diff": 3.0,
+                        "max_weight_length_diff": 4.0,
+                    }
+                },
+            )
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    amap = anomaly_map(result)
+    # 'value'/'weight' specs are satisfied (no stats → not required); only the
+    # logical weighted feature reports, with all three reference reasons.
+    assert amap == {
+        "weighted_feature": (
+            {
+                AT.WEIGHTED_FEATURE_MISSING_WEIGHT,
+                AT.WEIGHTED_FEATURE_MISSING_VALUE,
+                AT.WEIGHTED_FEATURE_LENGTH_MISMATCH,
+            },
+            Severity.ERROR,
+        )
+    }
+    info = result.feature_anomaly_info()["weighted_feature"]
+    assert info["short_description"] == "Multiple errors"
+
+
+def test_golden_weighted_feature_name_collision():
+    """validation_api_test.py:1325 — weighted feature colliding with a regular
+    feature reports ONLY the collision (per-feature checks are skipped)."""
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="value"),
+            FeatureSpec(name="weight"),
+            FeatureSpec(name="colliding_feature"),
+        ],
+        weighted_feature=[
+            WeightedFeature(name="colliding_feature", feature="value", weight_feature="weight")
+        ],
+    )
+    stats = stats_of(
+        [
+            custom_feature(
+                "colliding_feature",
+                {
+                    "weighted_feature_stats": {
+                        "missing_weight": 1.0,
+                        "missing_value": 2.0,
+                        "min_weight_length_diff": 3.0,
+                        "max_weight_length_diff": 4.0,
+                    }
+                },
+            )
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    assert anomaly_map(result) == {
+        "colliding_feature": ({AT.WEIGHTED_FEATURE_NAME_COLLISION}, Severity.ERROR)
+    }
+
+
+def test_golden_weighted_sparse_name_collision():
+    """validation_api_test.py:1399 — weighted + sparse features sharing a name
+    collapse to a single WEIGHTED_FEATURE_NAME_COLLISION (weighted wins, the
+    sparse checks are suppressed)."""
+    schema = Schema(
+        feature=[
+            FeatureSpec(name="value"),
+            FeatureSpec(name="weight"),
+            FeatureSpec(name="index"),
+        ],
+        weighted_feature=[
+            WeightedFeature(name="colliding_feature", feature="value", weight_feature="weight")
+        ],
+        sparse_feature=[
+            SparseFeature(name="colliding_feature", value_feature="value", index_feature="index")
+        ],
+    )
+    stats = stats_of(
+        [
+            custom_feature(
+                "colliding_feature",
+                {
+                    "weighted_feature_stats": {
+                        "missing_weight": 1.0,
+                        "missing_value": 2.0,
+                        "min_weight_length_diff": 3.0,
+                        "max_weight_length_diff": 4.0,
+                    },
+                    "sparse_feature_stats": {
+                        "missing_index": 1.0,
+                        "missing_value": 2.0,
+                        "min_length_diff": 3.0,
+                        "max_length_diff": 4.0,
+                    },
+                },
+            )
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    assert anomaly_map(result) == {
+        "colliding_feature": ({AT.WEIGHTED_FEATURE_NAME_COLLISION}, Severity.ERROR)
+    }
+
+
+# ----------------------------------------------------------- drift / skew ---
+
+def _drift_schema():
+    """Schema block shared by the previous/serving golden cluster
+    (validation_api_test.py:1568-1579)."""
+    return Schema(
+        string_domain=[StringDomain(name="annotated_enum", value=["a"])],
+        feature=[
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.BYTES,
+                domain="annotated_enum",
+                drift_comparator=DriftComparator(infinity_norm_threshold=0.01),
+            )
+        ],
+    )
+
+
+_ANNOTATED_ENUM_LINF_DESC = (
+    "The Linfty distance between current and previous is 0.25 (up to six "
+    "significant digits), above the threshold 0.01. The feature value with "
+    "maximum difference is: b"
+)
+
+_BAR_LINF_DESC = (
+    "The Linfty distance between training and serving is 0.2 (up to six "
+    "significant digits), above the threshold 0.1. The feature value with "
+    "maximum difference is: a"
+)
+
+
+def _current_enum():
+    return stats_of(
+        [string_feature("annotated_enum", {"a": 1, "b": 1})], num_examples=2
+    )
+
+
+def _previous_enum():
+    return stats_of(
+        [string_feature("annotated_enum", {"a": 3, "b": 1})], num_examples=4
+    )
+
+
+def test_golden_previous_stats_drift():
+    """validation_api_test.py:1530 test_validate_stats_with_previous_stats —
+    the _annotated_enum_anomaly_info golden: ENUM_TYPE_UNEXPECTED_STRING_VALUES
+    + COMPARATOR_L_INFTY_HIGH (L∞=0.25 > 0.01, max-diff value 'b'), plus a
+    drift_skew_info measurement row."""
+    result = validate_statistics(
+        _current_enum(), _drift_schema(), previous_statistics=_previous_enum()
+    )
+    amap = anomaly_map(result)
+    assert amap == {
+        "annotated_enum": (
+            {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES, AT.COMPARATOR_L_INFTY_HIGH},
+            Severity.ERROR,
+        )
+    }
+    info = result.feature_anomaly_info()["annotated_enum"]
+    assert info["short_description"] == "Multiple errors"
+    linf = [r for r in info["reasons"] if r["type"] == AT.COMPARATOR_L_INFTY_HIGH][0]
+    assert linf["description"] == _ANNOTATED_ENUM_LINF_DESC
+    assert [
+        (m.feature, m.metric, m.value, m.threshold) for m in result.drift_skew_info
+    ] == [("annotated_enum", "L_INFTY", pytest.approx(0.25), 0.01)]
+
+
+_BAR_CURRENT = {"a": 1, "b": 2, "c": 7}
+_BAR_SERVING = {"a": 3, "b": 1, "c": 6}
+
+
+@pytest.mark.parametrize("has_skew", [False, True], ids=["no_skew", "with_skew"])
+def test_golden_serving_stats_skew(has_skew):
+    """validation_api_test.py:1613 test_validate_stats_with_serving_stats —
+    L∞(bar current, serving)=0.2; threshold 0.1 triggers the _bar_anomaly_info
+    golden, threshold 1.0 stays clean; the skew measurement is recorded in
+    drift_skew_info either way."""
+    threshold = 0.1 if has_skew else 1.0
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="bar",
+                type=FeatureType.BYTES,
+                skew_comparator=SkewComparator(infinity_norm_threshold=threshold),
+            )
+        ]
+    )
+    stats = stats_of([string_feature("bar", _BAR_CURRENT)])
+    serving = stats_of([string_feature("bar", _BAR_SERVING)])
+    result = validate_statistics(stats, schema, serving_statistics=serving)
+    if has_skew:
+        amap = anomaly_map(result)
+        assert amap == {"bar": ({AT.COMPARATOR_L_INFTY_HIGH}, Severity.ERROR)}
+        info = result.feature_anomaly_info()["bar"]
+        assert info["reasons"][0]["description"] == _BAR_LINF_DESC
+    else:
+        assert result.passed and result.anomalies == []
+    assert [
+        (m.feature, m.metric, m.value, m.threshold) for m in result.drift_skew_info
+    ] == [("bar", "L_INFTY", pytest.approx(0.2), threshold)]
+
+
+def test_golden_environment():
+    """validation_api_test.py:1701 test_validate_stats_with_environment — the
+    label feature (not_in_environment: SERVING) is missing from the data:
+    SCHEMA_MISSING_COLUMN in TRAINING, clean in SERVING."""
+    schema = Schema(
+        default_environment=["TRAINING", "SERVING"],
+        feature=[
+            FeatureSpec(
+                name="label",
+                not_in_environment=["SERVING"],
+                value_count=ValueCount(min=1, max=1),
+                presence=Presence(min_count=1),
+                type=FeatureType.BYTES,
+            ),
+            FeatureSpec(
+                name="feature",
+                value_count=ValueCount(min=1, max=1),
+                presence=Presence(min_count=1),
+                type=FeatureType.BYTES,
+            ),
+        ],
+    )
+    stats = stats_of(
+        [string_feature("feature", {"x": 1000}, unique=3)], num_examples=1000
+    )
+    training = validate_statistics(stats, schema, environment="TRAINING")
+    assert anomaly_map(training) == {
+        "label": ({AT.SCHEMA_MISSING_COLUMN}, Severity.ERROR)
+    }
+    serving = validate_statistics(stats, schema, environment="SERVING")
+    assert serving.passed and serving.anomalies == []
+
+
+def _prev_serving_schema():
+    return Schema(
+        string_domain=[StringDomain(name="annotated_enum", value=["a"])],
+        feature=[
+            FeatureSpec(
+                name="bar",
+                type=FeatureType.BYTES,
+                skew_comparator=SkewComparator(infinity_norm_threshold=0.1),
+            ),
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.BYTES,
+                domain="annotated_enum",
+                drift_comparator=DriftComparator(infinity_norm_threshold=0.01),
+            ),
+        ],
+    )
+
+
+def _both_features_current():
+    return stats_of(
+        [
+            string_feature("bar", _BAR_CURRENT),
+            string_feature("annotated_enum", {"a": 1, "b": 1}),
+        ]
+    )
+
+
+def _both_features_control():
+    # previous/serving/previous-version all share this shape in the reference
+    return stats_of(
+        [
+            string_feature("annotated_enum", {"a": 3, "b": 1}),
+            string_feature("bar", _BAR_SERVING),
+        ]
+    )
+
+
+def _assert_bar_and_enum_goldens(result):
+    amap = anomaly_map(result)
+    assert amap == {
+        "bar": ({AT.COMPARATOR_L_INFTY_HIGH}, Severity.ERROR),
+        "annotated_enum": (
+            {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES, AT.COMPARATOR_L_INFTY_HIGH},
+            Severity.ERROR,
+        ),
+    }
+    info = result.feature_anomaly_info()
+    assert info["bar"]["reasons"][0]["description"] == _BAR_LINF_DESC
+    enum_linf = [
+        r
+        for r in info["annotated_enum"]["reasons"]
+        if r["type"] == AT.COMPARATOR_L_INFTY_HIGH
+    ][0]
+    assert enum_linf["description"] == _ANNOTATED_ENUM_LINF_DESC
+    measurements = {
+        (m.feature, m.metric): (m.value, m.threshold) for m in result.drift_skew_info
+    }
+    assert measurements[("bar", "L_INFTY")] == (pytest.approx(0.2), 0.1)
+    assert measurements[("annotated_enum", "L_INFTY")] == (pytest.approx(0.25), 0.01)
+
+
+def test_golden_previous_and_serving():
+    """validation_api_test.py:1773 — bar skew (serving) + annotated_enum drift
+    (previous) fire together, each against its own control set, and both
+    measurements land in drift_skew_info."""
+    result = validate_statistics(
+        _both_features_current(),
+        _prev_serving_schema(),
+        previous_statistics=_both_features_control(),
+        serving_statistics=_both_features_control(),
+    )
+    _assert_bar_and_enum_goldens(result)
+
+
+def test_golden_previous_and_serving_with_default_slices():
+    """validation_api_test.py:1950 — every input carries extra named slices;
+    validation compares default slice to default slice only, so the extra
+    slices (annotated_enum_a/_b) change nothing."""
+    current = _current_enum()
+
+    prev = _previous_enum()
+    extra_prev = DatasetStats(num_examples=1, slice_key="annotated_enum_b")
+    extra_prev.features["annotated_enum"] = string_feature("annotated_enum", {"b": 1})
+    prev.slices.append(extra_prev)
+
+    serving = _previous_enum()
+    extra_serv = DatasetStats(num_examples=3, slice_key="annotated_enum_a")
+    extra_serv.features["annotated_enum"] = string_feature("annotated_enum", {"a": 3})
+    serving.slices.append(extra_serv)
+
+    result = validate_statistics(
+        current,
+        _drift_schema(),
+        previous_statistics=prev,
+        serving_statistics=serving,
+    )
+    amap = anomaly_map(result)
+    assert amap == {
+        "annotated_enum": (
+            {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES, AT.COMPARATOR_L_INFTY_HIGH},
+            Severity.ERROR,
+        )
+    }
+
+
+def test_golden_previous_version_stats():
+    """validation_api_test.py:2234
+    test_validate_stats_internal_with_previous_version_stats — adding
+    previous_version_statistics (no version comparator in the schema) leaves
+    the span-drift + serving-skew goldens unchanged."""
+    result = validate_statistics(
+        _both_features_current(),
+        _prev_serving_schema(),
+        previous_statistics=_both_features_control(),
+        serving_statistics=_both_features_control(),
+        previous_version_statistics=_both_features_control(),
+    )
+    _assert_bar_and_enum_goldens(result)
+
+
+def test_golden_validation_options_features_needed():
+    """validation_api_test.py:2430
+    test_validate_stats_internal_with_validation_options_set — empty schema,
+    both bar and annotated_enum are new, but only bar is in features_needed;
+    new_features_are_warnings downgrades it to WARNING."""
+    result = validate_statistics(
+        _both_features_current(),
+        Schema(),
+        features_needed={"bar"},
+        new_features_are_warnings=True,
+    )
+    assert anomaly_map(result) == {
+        "bar": ({AT.SCHEMA_NEW_COLUMN}, Severity.WARNING)
+    }
+    # WARNING-only results still pass.
+    assert result.passed
+
+
+# ------------------------------------------------- corresponding slices -----
+
+def test_golden_slices_no_anomalies():
+    """validation_api_test.py:3489 — all slice values inside the domain."""
+    stats = sliced_statistics(["1", "2", "3", "4"], ["2", "2", "3"])
+    result = validate_corresponding_slices(stats, slices_schema())
+    assert result.passed and result.anomalies == []
+
+
+def test_golden_slices_missing_in_previous_ok():
+    """validation_api_test.py:3497 — a slice present now but absent from the
+    previous statistics is NOT an error."""
+    current = sliced_statistics(["1", "2"], ["3", "4"])
+    previous = sliced_statistics(["1", "2", "3", "4"], [])
+    result = validate_corresponding_slices(
+        current, slices_schema(), previous_statistics=previous
+    )
+    assert result.passed and result.anomalies == []
+
+
+def test_golden_slices_missing_in_current_error():
+    """validation_api_test.py:3507 — a slice that existed before but vanished
+    from the current statistics reports SCHEMA_MISSING_COLUMN on the
+    slice-qualified feature name."""
+    current = sliced_statistics(["1", "2", "3", "4"], [])
+    previous = sliced_statistics(["1", "2"], ["3", "4"])
+    result = validate_corresponding_slices(
+        current, slices_schema(), previous_statistics=previous
+    )
+    assert anomaly_map(result) == {
+        "slice(slice2)::foo": ({AT.SCHEMA_MISSING_COLUMN}, Severity.ERROR)
+    }
+
+
+def test_golden_slices_anomaly_in_one_slice():
+    """validation_api_test.py:3537 — slice2 = ['5'] (100% off-domain) reports
+    unexpected string values on slice(slice2)::foo only; the overall slice
+    stays under the 0.5 min_domain_mass allowance."""
+    stats = sliced_statistics(["1", "2", "3", "4"], ["5"])
+    result = validate_corresponding_slices(stats, slices_schema())
+    assert anomaly_map(result) == {
+        "slice(slice2)::foo": ({AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES}, Severity.ERROR)
+    }
+
+
+def test_golden_slices_distributional_anomaly():
+    """validation_api_test.py:3563 — drift threshold 0.3: slice2 moved from
+    {1,2} to {3,4} (L∞=0.5 → error, reference max-diff value '4'); slice1 and
+    the overall slice stay under threshold."""
+    current = sliced_statistics(["1", "2"], ["3", "4"])
+    previous = sliced_statistics(["1", "2"], ["1", "2"])
+    schema = slices_schema()
+    schema.feature[0].drift_comparator = DriftComparator(infinity_norm_threshold=0.3)
+    result = validate_corresponding_slices(
+        current, schema, previous_statistics=previous
+    )
+    assert anomaly_map(result) == {
+        "slice(slice2)::foo": ({AT.COMPARATOR_L_INFTY_HIGH}, Severity.ERROR)
+    }
+    desc = result.anomalies[0].description
+    assert (
+        "The Linfty distance between current and previous is 0.5 (up to six "
+        "significant digits), above the threshold 0.3. The feature value with "
+        "maximum difference is: 4"
+    ) == desc
+    # per-slice measurements: overall 0.25, slice1 0.0, slice2 0.5
+    measurements = {
+        m.feature: m.value for m in result.drift_skew_info if m.metric == "L_INFTY"
+    }
+    assert measurements["slice(slice2)::foo"] == pytest.approx(0.5)
+    assert measurements["slice(slice1)::foo"] == pytest.approx(0.0)
+    assert measurements["slice(All Examples)::foo"] == pytest.approx(0.25)
