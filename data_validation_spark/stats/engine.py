@@ -95,7 +95,7 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
     # single-reducer stage runs) and hides per-job fixed overhead.
     from concurrent.futures import ThreadPoolExecutor
 
-    agg_exprs = E.build_agg_exprs(
+    agg_exprs, quant_exprs = E.build_agg_exprs(
         plans,
         options.weight_column,
         _QUANTILE_CUTS,
@@ -108,6 +108,15 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
     def wide_job():
         return df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
 
+    def quant_job():
+        # percentile_approx grids run as their own job: they'd force the whole
+        # wide agg into ObjectHashAggregate (no codegen); here Catalyst prunes
+        # the scan to just the referenced numeric columns (asserted in
+        # tests/test_plans.py) while the main agg keeps WholeStageCodegen.
+        if not quant_exprs:
+            return []
+        return df.groupBy(slice_col.alias("slice_key")).agg(*quant_exprs).collect()
+
     def long_job():
         if options.use_sketches:
             from data_validation_spark.stats.sketches.runner import run_sketch_pass
@@ -115,21 +124,27 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
             return run_sketch_pass(df, plans, slice_col, options)
         return _run_long_pass(df, plans, slice_col, options)
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         wide_f = pool.submit(wide_job)
+        quant_f = pool.submit(quant_job)
         long_f = pool.submit(long_job)
         wide_rows = wide_f.result()
+        quant_rows = quant_f.result()
         topk_data, uniq_data, arr_data, wtopk_data = long_f.result()
 
     if not wide_rows:
         # Placeholder-for-empty-input parity (stats_impl.py:141-158).
         return DatasetStatsList([DatasetStats(options.default_slice_key, 0, features={})])
 
+    quant_by_slice = {r["slice_key"]: r.asDict() for r in quant_rows}
+
     # ---- assembly ----------------------------------------------------------
     slices = []
     for row in wide_rows:
+        rd = row.asDict()
+        rd.update(quant_by_slice.get(rd["slice_key"], {}))
         slices.append(
-            _assemble_slice(row, plans, options, topk_data, uniq_data, arr_data, wtopk_data)
+            _assemble_slice(rd, plans, options, topk_data, uniq_data, arr_data, wtopk_data)
         )
     slices.sort(key=lambda s: s.slice_key)
     return DatasetStatsList(slices)
@@ -249,9 +264,8 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
 
 
 def _assemble_slice(
-    row, plans, options: StatsOptions, topk_data, uniq_data, arr_data, wtopk_data=None
+    rd, plans, options: StatsOptions, topk_data, uniq_data, arr_data, wtopk_data=None
 ):
-    rd = row.asDict()
     slice_key = rd["slice_key"]
     num_examples = rd["num_examples"]
     ds = DatasetStats(

@@ -123,13 +123,23 @@ def build_agg_exprs(
     quantiles_accuracy: int,
     count_values_hist_buckets: int,
     include_quantiles: bool = True,
-) -> list:
-    """All aggregate expressions for the single wide pass.
+) -> tuple[list, list]:
+    """Aggregate expressions for the wide pass, split into two lists:
 
-    Returns aliased expressions; `assemble.py` decodes by alias convention
+    ``(main, quantile)`` — ``quantile`` holds the ``percentile_approx``
+    expressions (numeric quantile grids + num-values histograms). They are
+    TypedImperativeAggregates: a single one in an aggregate forces the whole
+    plan into ``ObjectHashAggregateExec``, which has NO whole-stage codegen —
+    every other expression (including the binary-column image sniff) would be
+    evaluated interpreted. Running them as a separate concurrent job keeps the
+    heavy ``main`` agg inside WholeStageCodegen, and Catalyst column-prunes the
+    quantile job's scan to just the numeric columns it references.
+
+    Returns aliased expressions; assembly decodes by alias convention
     ``{plan.alias}__{stat}``.
     """
     exprs = [F.count(F.lit(1)).alias("num_examples")]
+    qexprs: list = []
     if weight_column:
         exprs.append(F.sum(F.col(weight_column).cast("double")).alias("weighted_num_examples"))
 
@@ -156,12 +166,14 @@ def build_agg_exprs(
                 F.min(sz).alias(f"{a}__minvals"),
                 F.max(sz).alias(f"{a}__maxvals"),
                 F.sum(sz).alias(f"{a}__totvals"),
+            ]
+            qexprs.append(
                 F.percentile_approx(
                     sz.cast("double"),
                     [i / count_values_hist_buckets for i in range(count_values_hist_buckets + 1)],
                     quantiles_accuracy,
-                ).alias(f"{a}__valshist"),
-            ]
+                ).alias(f"{a}__valshist")
+            )
             if weight_column:
                 w = F.col(weight_column).cast("double")
                 exprs.append(
@@ -214,7 +226,7 @@ def build_agg_exprs(
                 F.sum(F.when(xn == 0.0, 1).otherwise(0)).alias(f"{a}__zeros"),
             ]
             if include_quantiles:
-                exprs.append(F.percentile_approx(xf, qs, quantiles_accuracy).alias(f"{a}__quants"))
+                qexprs.append(F.percentile_approx(xf, qs, quantiles_accuracy).alias(f"{a}__quants"))
             if p.is_float:
                 exprs += [
                     F.sum(F.when(F.isnan(x), 1).otherwise(0)).alias(f"{a}__nan"),
@@ -258,7 +270,7 @@ def build_agg_exprs(
                             f"{a}__imgfmt_{label}"
                         )
                     )
-    return exprs
+    return exprs, qexprs
 
 
 def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[str],

@@ -333,7 +333,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    # Lossless codecs round-trip exactly, so the common case is identity:
+    # a memcmp-speed equality check skips the float math entirely.
+    if a.dtype == b.dtype and np.array_equal(a, b):
+        return float("inf")
+    d = np.subtract(a, b, dtype=np.int32).ravel()
+    mse = np.dot(d, d.astype(np.float64)) / d.size
     if mse == 0:
         return float("inf")
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)

@@ -19,6 +19,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import zlib
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -220,11 +221,20 @@ def check_pixel_integrity(
     expected_fn: Optional[Callable[[str, int, int], "np.ndarray"]] = None,
     min_psnr_db: float = 40.0,
     sample_rate: Optional[float] = None,
+    sample_unit: str = "auto",
 ) -> DataFrame:
     """Decoded-pixel integrity: decode each image (Arrow-batched) and assert
     PSNR ≥ ``min_psnr_db`` against the reference pixels
     (``expected_fn(image_id, w, h) → array``; defaults to the datagen rule).
     Undecodable payloads emit PIXEL_INTEGRITY_VIOLATION too.
+
+    ``sample_unit``: ``"rows"`` uses ``df.sample`` — which still READS every
+    page of the binary column and drops rows after decode-side I/O; at 10¹²
+    rows that is a full-table scan to check a fraction. ``"files"`` samples
+    whole parquet files (the Iceberg-file / partition granularity a real
+    cluster would sample), pruning the scan itself. ``"auto"`` picks files
+    when ``df`` is a bare parquet scan with enough files for the rate,
+    otherwise falls back to rows.
     """
     from data_validation_spark.stats import imagecodec as codec
 
@@ -234,9 +244,7 @@ def check_pixel_integrity(
         def expected_fn(image_id, w, h):  # noqa: F811
             return expected_pixels(row_index_of(image_id), w, h)
 
-    src = df.select(F.col(id_col).alias("k"), F.col(bytes_col).alias("b"))
-    if sample_rate is not None and sample_rate < 1.0:
-        src = src.sample(fraction=sample_rate, seed=42)
+    src, _ = _pixel_source(df, id_col, bytes_col, sample_rate, sample_unit)
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
@@ -267,6 +275,43 @@ def check_pixel_integrity(
         F.lit("PIXEL_INTEGRITY_VIOLATION").alias("anomaly_type"),
         "detail",
     )
+
+
+def _pixel_source(df, id_col, bytes_col, sample_rate, sample_unit):
+    """(sampled (k, b) frame, mode) for the pixel pass — see
+    ``check_pixel_integrity``. File sampling is deterministic (crc32 of the
+    file path) so reruns check the same files."""
+    cols = [F.col(id_col).alias("k"), F.col(bytes_col).alias("b")]
+    if sample_rate is None or sample_rate >= 1.0:
+        return df.select(*cols), "all"
+    if sample_unit in ("auto", "files") and _is_bare_scan(df):
+        files = df.inputFiles()
+        # need enough files that a file-grain sample approximates the rate
+        if len(files) * sample_rate >= 4 and all(
+            f.endswith(".parquet") for f in files
+        ):
+            bound = int(sample_rate * (1 << 30))
+            keep = [f for f in files if zlib.crc32(f.encode()) % (1 << 30) < bound]
+            if keep:
+                from data_validation_spark.util import ensure_min_partitions
+
+                sampled = df.sparkSession.read.schema(df.schema).parquet(*keep)
+                # a file-grain sample can leave fewer tasks than cores (one
+                # scan task per kept file); re-split so the Python decode
+                # uses the whole cluster — no-op when files ≫ cores
+                return ensure_min_partitions(sampled.select(*cols)), "files"
+    return df.select(*cols).sample(fraction=sample_rate, seed=42), "rows"
+
+
+def _is_bare_scan(df) -> bool:
+    """True iff ``df``'s logical plan is a bare file relation (no filters,
+    projections, or samples on top) — the only shape where re-reading a
+    subset of its files is equivalent to sampling the frame."""
+    try:
+        name = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        return name == "LogicalRelation"
+    except Exception:
+        return False
 
 
 # ----------------------------------------------------------------- summary ---

@@ -173,6 +173,35 @@ def test_pixel_integrity_clean(spark):
     assert v.count() == 0
 
 
+def test_pixel_source_file_sampling(spark, tmp_path):
+    from data_validation_spark.validate.rowlevel import _pixel_source
+
+    path = str(tmp_path / "imgs")
+    images_df(spark, 200, "clean", partitions=40).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    src, mode = _pixel_source(df, "image_id", "bytes", 0.25, "auto")
+    assert mode == "files"  # bare parquet scan + 40 files → file-grain sample
+    kept_rows = src.count()
+    assert 0 < kept_rows < 200  # a strict subset of the table
+    # deterministic: same files again on a rerun
+    src2, _ = _pixel_source(df, "image_id", "bytes", 0.25, "auto")
+    assert src2.count() == kept_rows
+    # sampled frame is a genuine subset of the table's rows
+    ids = {r["k"] for r in src.collect()}
+    all_ids = {r["image_id"] for r in df.select("image_id").collect()}
+    assert ids <= all_ids
+
+    # any transformation on top (e.g. a row sample) must fall back to rows —
+    # re-reading files would silently undo the caller's transform
+    _, mode_t = _pixel_source(df.sample(0.5, seed=1), "image_id", "bytes", 0.25, "auto")
+    assert mode_t == "rows"
+    # too few files for the rate → rows
+    few = spark.read.parquet(path).coalesce(1)
+    _, mode_f = _pixel_source(few, "image_id", "bytes", 0.25, "auto")
+    assert mode_f == "rows"
+
+
 def test_pixel_integrity_corrupt(spark):
     df = images_df(spark, 120, "dirty", partitions=2)
     v = check_pixel_integrity(df).collect()

@@ -22,16 +22,27 @@ def test_stats_engine_prunes_columns(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     sub = df.select("l_quantity", "l_discount")
     plans = E.classify_columns(sub.schema, set())
-    aggs = E.build_agg_exprs(plans, None, 100, 1000, 10)
+    aggs, qaggs = E.build_agg_exprs(plans, None, 100, 1000, 10)
     plan = plan_of(df.select("l_quantity", "l_discount").groupBy().agg(*aggs[1:]))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert read_cols == {"l_quantity", "l_discount"}
-    # percentile_approx is a TypedImperativeAggregate → ObjectHashAggregate
-    # (still partial+final, no codegen for that operator by design)
-    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    # The main wide agg must stay codegen-able: percentile_approx (a
+    # TypedImperativeAggregate that forces ObjectHashAggregate, no codegen)
+    # is split into the separate quantile job.
+    assert "ObjectHashAggregate" not in plan
+    assert "HashAggregate" in plan
     assert plan.count("Aggregate") >= 2  # partial + final
+
+    # quantile job: ObjectHashAggregate by design, scan pruned to its columns
+    assert qaggs
+    qplan = plan_of(df.groupBy().agg(*qaggs))
+    qm = re.search(r"ReadSchema: struct<([^>]*)>", qplan)
+    assert qm, qplan
+    qcols = {c.split(":")[0] for c in qm.group(1).split(",") if c}
+    assert qcols == {"l_quantity", "l_discount"}
+    assert "ObjectHashAggregate" in qplan
 
 
 def test_row_constraint_filter_pushdown(spark, sf_dir):
