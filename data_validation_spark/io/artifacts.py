@@ -111,6 +111,9 @@ def _merge_feature(a: FeatureStats, b: FeatureStats) -> FeatureStats:
         wa = max(ca.tot_num_values - na.num_nan - na.num_pos_inf - na.num_neg_inf, 0)
         wb = max(cb.tot_num_values - nb.num_nan - nb.num_pos_inf - nb.num_neg_inf, 0)
         w = wa + wb
+        # a shard mean can be ±inf/nan (infinities included in the reference
+        # accumulator) — inf/nan propagates through the weighted merge, and
+        # max(0, nan) puts std_dev at 0.0 like the single-pass path.
         mean = (na.mean * wa + nb.mean * wb) / w if w else 0.0
         # E[x²] reconstruction for merged variance
         exx = (
@@ -120,7 +123,7 @@ def _merge_feature(a: FeatureStats, b: FeatureStats) -> FeatureStats:
         )
         out.numeric = NumericStats(
             mean=mean,
-            std_dev=max(exx - mean**2, 0.0) ** 0.5,
+            std_dev=max(0.0, exx - mean**2) ** 0.5,
             min=min(na.min, nb.min),
             max=max(na.max, nb.max),
             num_zeros=na.num_zeros + nb.num_zeros,

@@ -245,8 +245,11 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
             .agg(
                 F.min(nv).alias("min"),
                 F.max(nv).alias("max"),
-                F.avg(finite).alias("mean"),
-                F.stddev_pop(finite).alias("std"),
+                # non-NaN values including ±inf — reference accumulator
+                # semantics (basic_stats_generator.py:434-444); NaNs never
+                # reach the long frame (stripped in long_format)
+                F.avg(nv).alias("mean"),
+                F.stddev_pop(nv).alias("std"),
                 F.sum(F.when(nv == 0.0, 1).otherwise(0)).alias("zeros"),
                 F.sum(F.when(nv == float("inf"), 1).otherwise(0)).alias("posinf"),
                 F.sum(F.when(nv == float("-inf"), 1).otherwise(0)).alias("neginf"),
@@ -340,7 +343,7 @@ def _assemble_feature(
         if p.nest_depth == 0:
             num = NumericStats(
                 mean=_g(rd, p, "mean", 0.0) or 0.0,
-                std_dev=_g(rd, p, "std", 0.0) or 0.0,
+                std_dev=_std0(_g(rd, p, "std", 0.0)),
                 min=_nn(_g(rd, p, "min")),
                 max=_nn(_g(rd, p, "max")),
                 num_zeros=int(_g(rd, p, "zeros", 0) or 0),
@@ -360,15 +363,25 @@ def _assemble_feature(
                 w_sumsq = _g(rd, p, "w_sumsq", 0.0) or 0.0
                 if w_cnt > 0:
                     num.weighted_mean = w_sum / w_cnt
-                    var = max(w_sumsq / w_cnt - num.weighted_mean**2, 0.0)
+                    # max(0, var) with 0 FIRST: max(0.0, nan) is 0.0, so a
+                    # nan variance (infinities present) collapses to std 0.0
+                    # — sqrt(max(0, variance)) reference semantics
+                    # (basic_stats_generator.py:787).
+                    var = max(0.0, w_sumsq / w_cnt - num.weighted_mean**2)
                     num.weighted_std_dev = math.sqrt(var)
         else:
             a = arr_data.get(key)
+            exact_nan = _g(rd, p, "nan")  # wide-pass NaN counter (float nests)
             if a is None:
+                if exact_nan:
+                    # all values were NaN: no rows reached the long frame but
+                    # the reference still emits num_stats carrying the NaN
+                    # count (basic_stats_generator test_only_nan)
+                    fs.numeric = NumericStats(num_nan=int(exact_nan))
                 return fs
             num = NumericStats(
                 mean=a["mean"] or 0.0,
-                std_dev=a["std"] or 0.0,
+                std_dev=_std0(a["std"]),
                 min=_nn(a["min"]),
                 max=_nn(a["max"]),
                 num_zeros=int(a["zeros"] or 0),
@@ -377,11 +390,14 @@ def _assemble_feature(
             )
             num.finite_min = a["finmin"]
             num.finite_max = a["finmax"]
-            # NaNs never reach the long frame (stripped in long_format);
-            # count = tot - finite - infs.
-            num.num_nan = max(
-                common.tot_num_values - int(a["fincnt"]) - num.num_pos_inf - num.num_neg_inf, 0
-            )
+            if exact_nan is not None:
+                num.num_nan = int(exact_nan)
+            else:
+                # NaNs never reach the long frame (stripped in long_format);
+                # count = tot - finite - infs.
+                num.num_nan = max(
+                    common.tot_num_values - int(a["fincnt"]) - num.num_pos_inf - num.num_neg_inf, 0
+                )
             quants = a["quants"]
             finite_count = int(a["fincnt"])
         if quants is not None:
@@ -403,7 +419,13 @@ def _assemble_feature(
             return fs
 
     if p.categorical or p.stats_type == E.STRING:
-        st = StringStats(avg_length=_g(rd, p, "avglen", 0.0) or 0.0)
+        avglen = _g(rd, p, "avglen")
+        if avglen is None:
+            # multivalent string/categorical features: avg element length
+            # from the wide pass's (lensum, lencnt) pair
+            lensum, lencnt = _g(rd, p, "lensum", 0) or 0, _g(rd, p, "lencnt", 0) or 0
+            avglen = lensum / lencnt if lencnt else 0.0
+        st = StringStats(avg_length=avglen)
         st.unique = int(uniq_data.get(key, 0))
         entries = sorted(topk_data.get(key, []))
         st.top_values = [
@@ -451,3 +473,13 @@ def _assemble_feature(
 
 def _nn(v, default=0.0):
     return default if v is None else float(v)
+
+
+def _std0(v):
+    """std_dev = sqrt(max(0, variance)) reference semantics
+    (basic_stats_generator.py:787): with infinities in the accumulator the
+    variance is nan and max(0, nan) is 0 — so a nan stddev collapses to 0.0."""
+    if v is None:
+        return 0.0
+    v = float(v)
+    return 0.0 if math.isnan(v) else v

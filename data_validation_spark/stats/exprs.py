@@ -207,6 +207,29 @@ def build_agg_exprs(
                         F.sum(sz_tot).alias(f"{a}__l{lvl}_totvals"),
                         n_lists.alias(f"{a}__l{lvl}_nlists"),
                     ]
+            if p.numeric and p.is_float:
+                # exact NaN count for nested float features: NaNs never reach
+                # the long (exploded) frame, so an all-NaN feature would
+                # otherwise report num_nan 0 (cf. basic_stats_generator
+                # test_only_nan)
+                nan_sz = F.size(F.filter(flat, lambda e: e.isNotNull() & F.isnan(e)))
+                exprs.append(
+                    # size(null) is -1 — gate on presence so missing rows
+                    # contribute null (ignored by sum), not -1
+                    F.sum(F.when(arr.isNotNull(), nan_sz)).alias(f"{a}__nan")
+                )
+            if p.stats_type == STRING or p.categorical:
+                # avg_length over the (stringified) elements of multivalent
+                # string/categorical features (basic_stats_generator.py:518)
+                elems = F.filter(flat, lambda e: e.isNotNull())
+                lens = F.transform(elems, lambda e: F.length(e.cast("string")))
+                exprs += [
+                    F.sum(
+                        F.aggregate(lens, F.lit(0).cast("long"), lambda acc, l: acc + l)
+                    ).alias(f"{a}__lensum"),
+                    # size(null) is -1 — gate on presence (sum ignores nulls)
+                    F.sum(F.when(arr.isNotNull(), F.size(elems))).alias(f"{a}__lencnt"),
+                ]
             # Numeric stats of array elements handled in the long (exploded) job.
             continue
 
@@ -221,10 +244,24 @@ def build_agg_exprs(
             exprs += [
                 F.min(xn).alias(f"{a}__min"),
                 F.max(xn).alias(f"{a}__max"),
-                F.avg(xf).alias(f"{a}__mean"),
-                F.stddev_pop(xf).alias(f"{a}__std"),
+                # mean/std over ALL non-NaN values INCLUDING ±inf
+                # (basic_stats_generator.py:434-444: only the nan_mask is
+                # dropped before mean_var_accumulator.update) — so mean is
+                # ±inf with one-signed infinities and nan with both; the
+                # resulting nan variance collapses to std_dev 0.0 in assembly
+                # (sqrt(max(0, var)) reference semantics).
+                F.avg(xn).alias(f"{a}__mean"),
+                F.stddev_pop(xn).alias(f"{a}__std"),
                 F.sum(F.when(xn == 0.0, 1).otherwise(0)).alias(f"{a}__zeros"),
             ]
+            if p.categorical:
+                # categorical numerics also carry STRING stats whose
+                # avg_length is over the stringified values
+                # (basic_stats_generator_test.py:2196-2329: "10" → 2 chars,
+                # "1.0" → 3 chars)
+                exprs.append(
+                    F.avg(F.length(v.cast("string"))).alias(f"{a}__avglen")
+                )
             if include_quantiles:
                 qexprs.append(F.percentile_approx(xf, qs, quantiles_accuracy).alias(f"{a}__quants"))
             if p.is_float:
@@ -236,12 +273,14 @@ def build_agg_exprs(
                     F.max(xf).alias(f"{a}__finmax"),
                 ]
             if weight_column:
+                # weighted accumulator likewise sees all non-NaN values
+                # (basic_stats_generator.py:466-469)
                 w = F.col(weight_column).cast("double")
-                wx = F.when(xf.isNotNull(), w)
+                wx = F.when(xn.isNotNull(), w)
                 exprs += [
                     F.sum(wx).alias(f"{a}__w_cnt"),
-                    F.sum(w * xf).alias(f"{a}__w_sum"),
-                    F.sum(w * xf * xf).alias(f"{a}__w_sumsq"),
+                    F.sum(w * xn).alias(f"{a}__w_sum"),
+                    F.sum(w * xn * xn).alias(f"{a}__w_sumsq"),
                 ]
         elif p.stats_type == STRING:
             exprs.append(F.avg(F.length(F.col(p.name))).alias(f"{a}__avglen"))

