@@ -59,17 +59,46 @@ def _infer_feature(
     spec = FeatureSpec(name=fs.name)
     spec.type = _STATS_TO_SCHEMA_TYPE.get(fs.type, FeatureType.BYTES)
     c = fs.common
-    if c.num_missing == 0 and num_examples > 0:
+    # feature_util.cc:513-533 (InitPresenceAndShape): min_count 1 iff at
+    # least one present example, else 0 — and nothing else is inferred for a
+    # never-present feature; min_fraction 1.0 only with zero missing.
+    if c.num_non_missing < 1:
+        spec.presence = Presence(min_count=0)
+        return spec
+    if c.num_missing == 0:
         spec.presence = Presence(min_count=1, min_fraction=1.0)
-    elif c.num_non_missing > 0:
+    else:
         spec.presence = Presence(min_count=1)
     if c.num_non_missing > 0:
-        if c.min_num_values == c.max_num_values and infer_shape and c.num_missing == 0:
+        # Per-level (min, max) valency + per-level missing counts
+        # (feature_util.cc:75-134 InitValueCount / InitFixedShape via
+        # GetMinMaxNumValues / GetNumMissingNested).
+        if c.presence_and_valency:
+            mmv = [
+                (pv.min_num_values, pv.max_num_values) for pv in c.presence_and_valency
+            ]
+            missings, prev_elems = [], num_examples
+            for pv in c.presence_and_valency:
+                missings.append(max(prev_elems - pv.num_non_missing, 0))
+                prev_elems = pv.tot_num_values
+        else:
+            mmv = [(c.min_num_values, c.max_num_values)]
+            missings = [c.num_missing]
+        if (
+            infer_shape
+            and all(m == 0 for m in missings)
+            and all(lo == hi and lo > 0 for lo, hi in mmv)
+        ):
+            # fixed shape only when every nest level is fully present with
+            # constant positive valency; one dim per level
             from data_validation_spark.schema import FixedShape
 
-            spec.shape = FixedShape(dim=[c.min_num_values])
-        else:
-            spec.value_count = ValueCount(min=max(c.min_num_values, 1), max=c.max_num_values)
+            spec.shape = FixedShape(dim=[lo for lo, _ in mmv])
+        elif len(mmv) > 1:
+            # nested: one value_count per level (empty entry when min is 0)
+            spec.value_counts = [_init_value_count(lo, hi) for lo, hi in mmv]
+        elif mmv[0][0] > 0:
+            spec.value_count = _init_value_count(*mmv[0])
     # Bool domain for {0,1} ints (bool_domain_util semantics).
     if fs.type == "INT" and fs.numeric is not None and fs.string is None:
         n = fs.numeric
@@ -89,6 +118,17 @@ def _infer_feature(
         if total >= 100 and (total - unknown) / total >= 0.8:
             spec.image_domain = ImageDomain()
     return spec
+
+
+def _init_value_count(lo: int, hi: int) -> ValueCount:
+    """feature_util.cc:81-93: min==max → exact (min, max) so same-valency
+    required features parse as dense tensors; varying → only min=1; min 0 →
+    empty value_count (used for nested levels)."""
+    if lo <= 0:
+        return ValueCount()
+    if lo == hi:
+        return ValueCount(min=lo, max=hi)
+    return ValueCount(min=1)
 
 
 def _apply_domain_info(spec: FeatureSpec, fs: FeatureStats) -> None:

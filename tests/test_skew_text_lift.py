@@ -17,6 +17,38 @@ from data_validation_spark.validate.skew import detect_feature_skew
 
 
 # ------------------------------------------------------------------- skew
+def test_detect_feature_skew_reference_golden(spark):
+    """Direct port of validation_api_test.py:3234-3350 (test_detect_feature_skew):
+    two training and two serving examples keyed by ``id`` with multivalent
+    ``feature_a`` — expected per-feature FeatureSkew counters match the
+    reference proto exactly."""
+    training = spark.createDataFrame(
+        [
+            ("first_feature", [12, 24], [10.0]),
+            ("second_feature", [5], [15.0]),
+        ],
+        "id string, feature_a array<bigint>, feature_b array<double>",
+    )
+    serving = spark.createDataFrame(
+        [
+            ("first_feature", None, [10.0]),
+            ("second_feature", [5], [20.0]),
+        ],
+        "id string, feature_a array<bigint>, feature_b array<double>",
+    )
+    r = detect_feature_skew(training, serving, ["id"], sample_size=1)
+    a = r.feature_skew["feature_a"]
+    assert a.base_count == 2 and a.test_count == 1
+    assert a.match_count == 1 and a.base_only == 1
+    assert a.mismatch_count == 0 and a.diff_count == 1
+    b = r.feature_skew["feature_b"]
+    assert b.base_count == 2 and b.test_count == 2
+    assert b.match_count == 1 and b.mismatch_count == 1
+    assert b.base_only == 0 and b.diff_count == 1
+    # CheckSkewSample: the mismatching pair is sampled (util.is_not_empty)
+    assert len(r.sample_pairs.collect()) >= 1
+
+
 def test_detect_feature_skew(spark):
     base = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],

@@ -629,3 +629,242 @@ def test_golden_slices_distributional_anomaly():
     assert measurements["slice(slice2)::foo"] == pytest.approx(0.5)
     assert measurements["slice(slice1)::foo"] == pytest.approx(0.0)
     assert measurements["slice(All Examples)::foo"] == pytest.approx(0.25)
+
+
+# --------------------------------------------------------------------------
+# infer_schema golden cluster (validation_api_test.py:180-550)
+# --------------------------------------------------------------------------
+def _sf(name, non_missing, missing, unique=0, counts=None, min_vals=1, max_vals=1,
+        pv=None):
+    """String-feature stats builder mirroring the proto snippets."""
+    from data_validation_spark.stats.result import PresenceAndValency
+
+    rh = (
+        [RankBucket(i, i, k, v) for i, (k, v) in enumerate(counts.items())]
+        if counts
+        else []
+    )
+    fs = FeatureStats(name=name, type="STRING")
+    fs.common = CommonStats(
+        num_non_missing=non_missing,
+        num_missing=missing,
+        min_num_values=min_vals,
+        max_num_values=max_vals,
+        tot_num_values=non_missing * max_vals,
+    )
+    if pv is not None:
+        fs.common.presence_and_valency = [
+            PresenceAndValency(
+                num_non_missing=n, min_num_values=lo, max_num_values=hi,
+                tot_num_values=n * max(hi, 1),
+            )
+            for (n, lo, hi) in pv
+        ]
+    fs.string = StringStats(unique=unique, rank_histogram=rh)
+    return fs
+
+
+def test_infer_schema_golden():
+    """validation_api_test.py:180-226 (test_infer_schema): fully-present
+    single-valent string, unique 3, NO rank histogram → BYTES with
+    value_count(1,1), presence(min_count 1, min_fraction 1.0), no domain."""
+    from data_validation_spark.validate.infer import infer_schema
+
+    stats = DatasetStatsList(
+        [DatasetStats(num_examples=7, features={"feature1": _sf("feature1", 7, 0, unique=3)})]
+    )
+    schema = infer_schema(stats, infer_feature_shape=False)
+    f = schema.get_feature("feature1")
+    assert f.type == FeatureType.BYTES
+    assert f.value_count.min == 1 and f.value_count.max == 1
+    assert f.presence.min_count == 1 and f.presence.min_fraction == 1.0
+    assert f.string_domain is None and f.shape is None
+
+
+def test_infer_schema_with_string_domain_golden():
+    """validation_api_test.py:227-291: 3 missing of 6, unique 2 with rank
+    histogram [a:2, b:1] → string domain [a, b]; presence has min_count only."""
+    from data_validation_spark.validate.infer import infer_schema
+
+    stats = DatasetStatsList(
+        [
+            DatasetStats(
+                num_examples=6,
+                features={
+                    "feature1": _sf("feature1", 3, 3, unique=2, counts={"a": 2.0, "b": 1.0})
+                },
+            )
+        ]
+    )
+    f = infer_schema(stats).get_feature("feature1")
+    assert f.type == FeatureType.BYTES
+    assert f.value_count.min == 1 and f.value_count.max == 1
+    assert f.presence.min_count == 1 and not f.presence.min_fraction
+    assert f.string_domain is not None
+    assert list(f.string_domain.value) == ["a", "b"]
+
+
+def test_infer_schema_without_string_domain_golden():
+    """validation_api_test.py:292-352: unique 3 > max_string_domain_size 1 →
+    no domain inferred."""
+    from data_validation_spark.validate.infer import infer_schema
+
+    stats = DatasetStatsList(
+        [
+            DatasetStats(
+                num_examples=6,
+                features={
+                    "feature1": _sf("feature1", 3, 3, unique=3, counts={"a": 2.0, "b": 1.0})
+                },
+            )
+        ]
+    )
+    f = infer_schema(stats, max_string_domain_size=1).get_feature("feature1")
+    assert f.string_domain is None
+    assert f.value_count.min == 1 and f.value_count.max == 1
+
+
+def test_infer_schema_with_infer_shape_golden():
+    """validation_api_test.py:353-549 (test_infer_schema_with_infer_shape):
+    the six-feature shape/value-count matrix — shape only for fully-present
+    constant positive valency (per nest level), value_count(s) otherwise,
+    nothing when min valency is 0 (scalar) / empty entries (nested)."""
+    from data_validation_spark.validate.infer import infer_schema
+
+    features = {
+        "feature1": _sf("feature1", 7, 0, unique=3),
+        "feature2": _sf("feature2", 5, 2, unique=5),
+        "feature3": _sf("feature3", 7, 0, unique=5, min_vals=0, max_vals=1),
+        "nested_feature1": _sf(
+            "nested_feature1", 7, 0, unique=3, pv=[(7, 1, 1), (7, 1, 1)]
+        ),
+        "nested_feature2": _sf(
+            "nested_feature2", 5, 2, unique=5, pv=[(5, 1, 1), (5, 1, 1)]
+        ),
+        "nested_feature3": _sf(
+            "nested_feature3", 7, 0, unique=5, min_vals=0, pv=[(7, 0, 1), (7, 0, 1)]
+        ),
+    }
+    stats = DatasetStatsList([DatasetStats(num_examples=7, features=features)])
+    schema = infer_schema(stats, infer_feature_shape=True)
+
+    f1 = schema.get_feature("feature1")
+    assert f1.shape is not None and f1.shape.dim == [1]
+    assert f1.value_count is None
+    assert f1.presence.min_fraction == 1.0
+
+    f2 = schema.get_feature("feature2")
+    assert f2.shape is None
+    assert f2.value_count.min == 1 and f2.value_count.max == 1
+    assert f2.presence.min_count == 1 and not f2.presence.min_fraction
+
+    f3 = schema.get_feature("feature3")  # min valency 0 → no shape, no count
+    assert f3.shape is None and f3.value_count is None
+    assert f3.presence.min_fraction == 1.0
+
+    n1 = schema.get_feature("nested_feature1")
+    assert n1.shape is not None and n1.shape.dim == [1, 1]
+    assert n1.value_counts is None
+
+    n2 = schema.get_feature("nested_feature2")
+    assert n2.shape is None
+    assert [(vc.min, vc.max) for vc in n2.value_counts] == [(1, 1), (1, 1)]
+
+    n3 = schema.get_feature("nested_feature3")
+    assert n3.shape is None
+    assert [(vc.min, vc.max) for vc in n3.value_counts] == [(None, None), (None, None)]
+
+
+def test_infer_schema_never_present_feature():
+    """feature_util.cc:513-529: num_present < 1 → presence.min_count 0 and
+    nothing else inferred."""
+    from data_validation_spark.validate.infer import infer_schema
+
+    stats = DatasetStatsList(
+        [DatasetStats(num_examples=5, features={"gone": _sf("gone", 0, 5)})]
+    )
+    f = infer_schema(stats).get_feature("gone")
+    assert f.presence.min_count == 0 and not f.presence.min_fraction
+    assert f.value_count is None and f.shape is None and f.string_domain is None
+
+
+def test_update_schema_golden():
+    """validation_api_test.py:852-939 (test_update_schema): stats show value D
+    outside the shared string domain [A,B,C] → ENUM_TYPE_UNEXPECTED_STRING_VALUES;
+    update_schema appends D; revalidation is clean."""
+    from data_validation_spark.validate.infer import update_schema
+
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.BYTES,
+                value_count=ValueCount(min=1, max=1),
+                presence=Presence(min_count=1),
+                string_domain=StringDomain(name="MyAloneEnum", value=["A", "B", "C"]),
+            )
+        ]
+    )
+    fs = FeatureStats(name="annotated_enum", type="STRING")
+    fs.common = CommonStats(
+        num_non_missing=7, num_missing=3, min_num_values=1, max_num_values=1,
+        tot_num_values=7,
+    )
+    fs.string = StringStats(
+        unique=3, rank_histogram=[RankBucket(0, 0, "D", 1.0)]
+    )
+    stats = DatasetStatsList(
+        [DatasetStats(num_examples=10, features={"annotated_enum": fs})]
+    )
+
+    result = validate_statistics(stats, schema)
+    assert {a.type for a in result.anomalies} == {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES}
+    assert "D" in result.anomalies[0].description
+
+    updated = update_schema(schema, stats)
+    dom = updated.resolve_string_domain(updated.get_feature("annotated_enum"))
+    assert list(dom.value) == ["A", "B", "C", "D"]
+    assert validate_statistics(stats, updated).passed
+
+
+def test_update_schema_remove_inferred_shape_golden():
+    """validation_api_test.py:1078-1158 (test_update_schema_remove_inferred_shape):
+    a shape inferred from fully-present stats must be dropped when updated
+    against stats with a missing example, and never re-added."""
+    from data_validation_spark.validate.infer import infer_schema, update_schema
+
+    def _stats(non_missing, missing):
+        fs = FeatureStats(name="f1", type="INT")
+        fs.common = CommonStats(
+            num_non_missing=non_missing, num_missing=missing,
+            min_num_values=1, max_num_values=1, tot_num_values=non_missing,
+        )
+        from data_validation_spark.stats.result import NumericStats
+
+        fs.numeric = NumericStats(min=0, max=1)
+        return DatasetStatsList(
+            [DatasetStats(num_examples=non_missing + missing, features={"f1": fs})]
+        )
+
+    stats1, stats2 = _stats(10000, 0), _stats(9999, 1)
+
+    # Scenario 1: shape inferred from stats1, removed against stats2, not
+    # re-added even when stats support it again.
+    schema = infer_schema(stats1, infer_feature_shape=True)
+    assert schema.feature[0].shape is not None
+    updated = update_schema(schema, stats2)
+    assert updated.feature[0].shape is None
+    updated = update_schema(updated, stats1)
+    assert updated.feature[0].shape is None
+
+    # Scenario 2: no shape inferred from stats2; updating against stats1 must
+    # not add one.
+    schema = infer_schema(stats2, infer_feature_shape=True)
+    assert schema.feature[0].shape is None
+    updated = update_schema(schema, stats1)
+    assert updated.feature[0].shape is None
+
+    # Scenario 3: shape from stats1 survives an update against stats1 itself.
+    schema = infer_schema(stats1, infer_feature_shape=True)
+    updated = update_schema(schema, stats1)
+    assert updated.feature[0].shape is not None
