@@ -21,32 +21,68 @@ import numpy as np
 from data_validation_spark.stats.result import Histogram, HistogramBucket
 
 
-def quantiles_histogram(
-    boundaries: Sequence[float], total_count: float, num_buckets: int, num_nan: int = 0
-) -> Optional[Histogram]:
-    """Equal-mass histogram from ``num_buckets+1`` quantile boundaries.
+def get_bin_weights(boundaries, cumulative_counts):
+    """Faithful port of ``quantiles_util.py:49-89`` (``_get_bin_weights``):
+    per-bin weights from (possibly duplicated) boundaries + cumulative
+    counts. Weight of bins sharing an upper bound is spread evenly across
+    them, and the min element's own count (``cumulative_counts[0]``) is
+    spread across the leading identical bins — duplicates are KEPT as
+    distinct point-mass buckets, not coalesced."""
+    b = np.asarray(boundaries, dtype=np.float64)
+    cum = np.asarray(cumulative_counts, dtype=np.float64)
+    low, high = b[:-1], b[1:]
+    counts = np.diff(cum)
+    n = low.size
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and high[i] == high[j]:
+            j += 1
+        if j > i + 1:
+            counts[i:j] = counts[i:j].sum() / (j - i)
+        i = j
+    i = 0
+    while i < n and low[0] == low[i] and high[0] == high[i]:
+        i += 1
+    if i > 0:
+        counts[0:i] += cum[0] / i
+    return low, high, counts
 
-    ``boundaries`` must be the quantiles at i/num_buckets, i=0..num_buckets.
-    Runs of identical boundaries are coalesced into one point-mass bucket
-    (the reference's duplicate-boundary weight spreading).
+
+def quantiles_histogram(
+    boundaries: Sequence[float],
+    total_count: float,
+    num_buckets: int,
+    num_nan: int = 0,
+    cumulative_counts: Optional[Sequence[float]] = None,
+) -> Optional[Histogram]:
+    """Equal-mass histogram from ``num_buckets+1`` quantile boundaries via the
+    reference's duplicate-spreading rule (``_get_bin_weights``).
+
+    ``boundaries`` must be the quantiles at i/num_buckets, i=0..num_buckets
+    (a finer grid is resampled down). Without explicit ``cumulative_counts``
+    the grid is equal-mass by construction — cum[i] = total·i/n, with
+    cum[0] = 0 (the min's multiplicity is unknown from a percentile grid;
+    the reference's sketch knows it and folds it into the first bucket — a
+    bounded divergence only when the minimum value is heavily duplicated).
     """
     if boundaries is None or total_count <= 0:
         return None
     b = [float(x) for x in boundaries]
+    if cumulative_counts is not None:
+        cum = [float(x) for x in cumulative_counts]
+    else:
+        cum = [total_count * i / (len(b) - 1) for i in range(len(b))]
     if len(b) != num_buckets + 1:
         # Resample a finer grid down to num_buckets.
         idx = np.linspace(0, len(b) - 1, num_buckets + 1).round().astype(int)
         b = [b[i] for i in idx]
-    per_bucket = total_count / num_buckets
-    buckets: list[HistogramBucket] = []
-    i = 0
-    while i < num_buckets:
-        j = i
-        while j + 1 < num_buckets and b[j + 1] == b[i] and b[j + 2] == b[i + 1]:
-            j += 1
-        count = per_bucket * (j - i + 1)
-        buckets.append(HistogramBucket(b[i], b[j + 1], count))
-        i = j + 1
+        cum = [cum[i] for i in idx]
+    low, high, counts = get_bin_weights(b, cum)
+    buckets = [
+        HistogramBucket(float(low[i]), float(high[i]), float(counts[i]))
+        for i in range(low.size)
+    ]
     return Histogram("QUANTILES", buckets, num_nan=num_nan)
 
 

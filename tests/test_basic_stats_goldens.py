@@ -155,3 +155,76 @@ def test_weighted_accumulator_with_inf(spark):
     assert n.mean == INF and n.std_dev == 0.0
     assert n.weighted_mean == INF
     assert n.weighted_std_dev == 0.0
+
+
+# --------------------------------------------------------------------------
+# quantiles_util goldens (utils/quantiles_util_test.py) — exact ports against
+# get_bin_weights with the reference's own (quantiles, cumulative_counts).
+# --------------------------------------------------------------------------
+def _qh(quantiles, cum):
+    from data_validation_spark.stats.quantiles import get_bin_weights
+
+    low, high, w = get_bin_weights(quantiles, cum)
+    return [(float(a), float(b), float(c)) for a, b, c in zip(low, high, w)]
+
+
+def test_quantiles_histogram_golden_basic():
+    """quantiles_util_test.py:42-80: uniform grid → equal buckets of 60."""
+    got = _qh([1.0, 60.0, 120.0, 180.0, 240.0, 300.0], [1, 60, 120, 180, 240, 300])
+    assert got[1:] == [
+        (60.0, 120.0, 60.0),
+        (120.0, 180.0, 60.0),
+        (180.0, 240.0, 60.0),
+        (240.0, 300.0, 60.0),
+    ]
+    assert got[0] == (1.0, 60.0, 60.0)  # min's own count folds into bucket 0
+
+
+def test_quantiles_histogram_golden_all_duplicates():
+    """quantiles_util_test.py:82-103: [1,1,1]/[2,2,2] → TWO point-mass
+    buckets of 1.0 each (duplicates kept and evenly spread, not coalesced)."""
+    assert _qh([1.0, 1.0, 1.0], [2, 2, 2]) == [(1.0, 1.0, 1.0), (1.0, 1.0, 1.0)]
+
+
+def test_quantiles_histogram_golden_low_bucket_partial_duplicate():
+    """quantiles_util_test.py:105-131: [1,2,2]/[1,2,2] → (1,2,1.5), (2,2,0.5)."""
+    assert _qh([1.0, 2.0, 2.0], [1, 2, 2]) == [(1.0, 2.0, 1.5), (2.0, 2.0, 0.5)]
+
+
+def test_quantiles_histogram_golden_duplicate_buckets():
+    """quantiles_util_test.py:133-174: the six-bucket duplicate-spreading
+    case — [12, 11, 11, 8.5, 8.5, 9]."""
+    got = _qh(
+        [1.0, 2.0, 2.0, 2.0, 3.0, 3.0, 4.0], [1, 34, 34, 34, 51, 51, 60]
+    )
+    assert got == [
+        (1.0, 2.0, 12.0),
+        (2.0, 2.0, 11.0),
+        (2.0, 2.0, 11.0),
+        (2.0, 3.0, 8.5),
+        (3.0, 3.0, 8.5),
+        (3.0, 4.0, 9.0),
+    ]
+
+
+def test_find_median_golden():
+    """quantiles_util_test.py:203-207 (test_find_median)."""
+    from data_validation_spark.stats.quantiles import median_from_boundaries
+
+    assert median_from_boundaries([5.0]) == 5.0
+    assert median_from_boundaries([3.0, 5.0]) == 4.0
+    assert median_from_boundaries([3.0, 4.0, 5.0]) == 4.0
+    assert median_from_boundaries([3.0, 4.0, 5.0, 6.0]) == 4.5
+
+
+def test_quantiles_histogram_uniform_grid_duplicates():
+    """Engine path (no cumulative counts): duplicates spread evenly across
+    the num_buckets buckets — bucket COUNT matches the reference shape."""
+    from data_validation_spark.stats.quantiles import quantiles_histogram
+
+    h = quantiles_histogram([1.0, 1.0, 1.0], 2.0, 2)
+    assert [(b.low_value, b.high_value, b.sample_count) for b in h.buckets] == [
+        (1.0, 1.0, 1.0),
+        (1.0, 1.0, 1.0),
+    ]
+    assert h.total_count() == pytest.approx(2.0)
