@@ -86,6 +86,111 @@ def quantiles_histogram(
     return Histogram("QUANTILES", buckets, num_nan=num_nan)
 
 
+def _overlap(b_low, b_high, low_bound, high_bound, first_bucket):
+    """``quantiles_util.py:201-284`` (``_overlap``): fraction of a quantiles
+    bucket's mass falling in [low_bound, high_bound], plus precedes/follows
+    flags. A point bucket on the first interval's left edge belongs to it."""
+    if first_bucket and b_high == b_low == low_bound:
+        return 1.0, False, False
+    if not first_bucket and b_high == b_low == low_bound:
+        return 0.0, True, False
+    if b_high < low_bound:
+        return 0.0, True, False
+    if b_low > high_bound:
+        return 0.0, False, True
+    if low_bound <= b_low and high_bound >= b_high:
+        return 1.0, False, False
+    if low_bound <= b_low:
+        return (high_bound - b_low) / (b_high - b_low), False, False
+    if high_bound >= b_high:
+        return (b_high - low_bound) / (b_high - b_low), False, False
+    return (high_bound - low_bound) / (b_high - b_low), False, False
+
+
+def _equi_width_from_finite(quantiles, cum, finite_min, finite_max, num_buckets):
+    """Core of ``generate_equi_width_histogram`` after infinity stripping
+    (``quantiles_util.py:332-375``): build the quantiles histogram, then merge
+    its buckets into equi-width bins by overlap."""
+    low, high, weights = get_bin_weights(quantiles, cum)
+    if finite_min == finite_max:
+        new_boundaries = np.array([finite_min, finite_max], dtype=np.float64)
+    else:
+        new_boundaries = np.linspace(finite_min, finite_max, num_buckets + 1)
+        if not np.isfinite(new_boundaries).all():
+            # overflow (finite span > float range): bail with no buckets,
+            # matching the reference's empty-histogram fallback
+            return []
+    buckets = []
+    start_index = 0
+    for i in range(new_boundaries.size - 1):
+        lb, hb = new_boundaries[i], new_boundaries[i + 1]
+        sample = 0.0
+        for j in range(start_index, low.size):
+            frac, precedes, follows = _overlap(low[j], high[j], lb, hb, i == 0)
+            if follows:
+                break
+            if precedes:
+                start_index = j
+            sample += frac * weights[j]
+        buckets.append(HistogramBucket(float(lb), float(hb), float(sample)))
+    return buckets
+
+
+def _strip_infinities(quantiles, cum, finite_max, num_pos_inf):
+    """``quantiles_util.py:142-198``: drop ±inf boundary buckets, returning
+    the finite (quantiles, cumulative counts) and the -inf mass removed."""
+    q = np.asarray(quantiles, dtype=np.float64)
+    c = np.asarray(cum, dtype=np.float64)
+    neg_inf_idx = int(np.searchsorted(q, float("-inf"), side="right"))
+    if neg_inf_idx:
+        num_neg_inf = c[neg_inf_idx - 1]
+        c = c[neg_inf_idx:] - num_neg_inf
+        q = q[neg_inf_idx:]
+    else:
+        num_neg_inf = 0.0
+    if num_pos_inf:
+        pos_inf_index = int(np.searchsorted(q, float("inf"), side="left"))
+        finite_max_count = c[-1] - num_pos_inf
+        q = np.concatenate([q[:pos_inf_index], np.array([finite_max])])
+        c = np.concatenate([c[:pos_inf_index], np.array([finite_max_count])])
+    return q, c, num_neg_inf
+
+
+def generate_equi_width_histogram(
+    quantiles,
+    cumulative_counts,
+    finite_min: float,
+    finite_max: float,
+    num_buckets: int,
+    num_pos_inf: float,
+    num_nan: int = 0,
+) -> Histogram:
+    """Faithful port of ``quantiles_util.py:286-379``
+    (``generate_equi_width_histogram``): quantile boundaries may contain
+    ±inf; infinities become their own POINT buckets (low == high == ±inf) at
+    the ends, exactly like the reference proto output."""
+    q = np.asarray(quantiles, dtype=np.float64)
+    c = np.asarray(cumulative_counts, dtype=np.float64)
+    if not np.isfinite(finite_min) and not np.isfinite(finite_max):
+        # no finite values at all → one bucket spanning the inf bounds
+        return Histogram(
+            "STANDARD",
+            [HistogramBucket(float(finite_min), float(finite_max), float(c[-1]))],
+            num_nan=num_nan,
+        )
+    assert np.all(q[:-1] <= q[1:]), "quantiles must be sorted"
+    q, c, num_neg_inf = _strip_infinities(q, c, finite_max, num_pos_inf)
+    buckets = []
+    if num_neg_inf:
+        buckets.append(
+            HistogramBucket(float("-inf"), float("-inf"), float(num_neg_inf))
+        )
+    buckets += _equi_width_from_finite(q, c, finite_min, finite_max, num_buckets)
+    if num_pos_inf:
+        buckets.append(HistogramBucket(float("inf"), float("inf"), float(num_pos_inf)))
+    return Histogram("STANDARD", buckets, num_nan=num_nan)
+
+
 def equi_width_histogram(
     fine_boundaries: Sequence[float],
     total_count: float,
@@ -94,19 +199,22 @@ def equi_width_histogram(
     num_pos_inf: int = 0,
     num_neg_inf: int = 0,
 ) -> Optional[Histogram]:
-    """STANDARD equi-width histogram by overlap interpolation.
+    """STANDARD equi-width histogram from a FINITE uniform quantile grid.
 
     ``fine_boundaries``: quantiles of the *finite* values at a fine grid
     (length K+1 ⇒ each interval carries total_count/K mass; the reference uses
     K = 100 × num_buckets, cf. ``basic_stats_generator.py:1163-1170``).
-    ±inf counts become their own end buckets (``quantiles_util.py`` inf
-    handling); NaN count is carried on the histogram.
+    Merging uses the reference's overlap rule; ±inf counts become POINT
+    buckets (low == high == ±inf) at the ends, matching the reference's
+    proto shape; NaN count is carried on the histogram.
     """
     if fine_boundaries is None or total_count <= 0:
         if num_pos_inf or num_neg_inf:
             buckets = []
             if num_neg_inf:
-                buckets.append(HistogramBucket(float("-inf"), float("-inf"), num_neg_inf))
+                buckets.append(
+                    HistogramBucket(float("-inf"), float("-inf"), num_neg_inf)
+                )
             if num_pos_inf:
                 buckets.append(HistogramBucket(float("inf"), float("inf"), num_pos_inf))
             return Histogram("STANDARD", buckets, num_nan=num_nan)
@@ -115,41 +223,14 @@ def equi_width_histogram(
     k = len(q) - 1
     if k < 1:
         return None
-    mass = total_count / k  # mass per fine quantile interval
+    cum = total_count * np.arange(k + 1) / k
     lo, hi = float(q[0]), float(q[-1])
-    counts = np.zeros(num_buckets, dtype=np.float64)
-    if hi == lo:
-        counts[0] = total_count
-        edges = [lo + i * 0.0 for i in range(num_buckets + 1)]
-        buckets = [HistogramBucket(lo, hi, float(total_count))]
-    else:
-        width = (hi - lo) / num_buckets
-        edges = lo + width * np.arange(num_buckets + 1)
-        edges[-1] = hi
-        ql, qr = q[:-1], q[1:]
-        for i in range(num_buckets):
-            el, er = edges[i], edges[i + 1]
-            # Overlap of each fine interval [ql,qr] with bin [el,er], assuming
-            # uniform mass; zero-width fine intervals (point mass) land in the
-            # bin containing the point (right-closed on the last bin).
-            span = qr - ql
-            with np.errstate(invalid="ignore", divide="ignore"):
-                overlap = (np.minimum(qr, er) - np.maximum(ql, el)) / span
-            overlap = np.clip(overlap, 0.0, 1.0)
-            if i == num_buckets - 1:
-                point = (span == 0) & (ql >= el) & (ql <= er)
-            else:
-                point = (span == 0) & (ql >= el) & (ql < er)
-            overlap = np.where(span == 0, point.astype(np.float64), overlap)
-            counts[i] = overlap.sum() * mass
-        buckets = [
-            HistogramBucket(float(edges[i]), float(edges[i + 1]), float(counts[i]))
-            for i in range(num_buckets)
-        ]
+    buckets = []
     if num_neg_inf:
-        buckets.insert(0, HistogramBucket(float("-inf"), lo, float(num_neg_inf)))
+        buckets.append(HistogramBucket(float("-inf"), float("-inf"), float(num_neg_inf)))
+    buckets += _equi_width_from_finite(q, cum, lo, hi, num_buckets)
     if num_pos_inf:
-        buckets.append(HistogramBucket(hi, float("inf"), float(num_pos_inf)))
+        buckets.append(HistogramBucket(float("inf"), float("inf"), float(num_pos_inf)))
     return Histogram("STANDARD", buckets, num_nan=num_nan)
 
 

@@ -228,3 +228,90 @@ def test_quantiles_histogram_uniform_grid_duplicates():
         (1.0, 1.0, 1.0),
     ]
     assert h.total_count() == pytest.approx(2.0)
+
+
+# --------------------------------------------------------------------------
+# generate_equi_width_histogram goldens (quantiles_util_test.py:215-404)
+# --------------------------------------------------------------------------
+INF_ = float("inf")
+
+_EQUI_WIDTH_GOLDENS = [
+    # (name, quantiles, cumulative, fmin, fmax, nb, npos, expected[(lo,hi,n)])
+    ("finite_integer_boundaries", [1, 2, 3, 4, 5, 7], [2, 5, 7, 10, 12, 15], 1, 7, 2, 0,
+     [(1, 4, 10), (4, 7, 5)]),
+    ("finite_fractional_boundaries", [1, 2, 3, 4, 5, 7], [2, 5, 7, 10, 12, 15], 1, 7, 4, 0,
+     [(1.0, 2.5, 6.0), (2.5, 4.0, 4.0), (4.0, 5.5, 2.75), (5.5, 7.0, 2.25)]),
+    ("finite_one_bucket", [1, 2, 3, 4, 5, 7], [2, 5, 7, 10, 12, 15], 1, 7, 1, 0,
+     [(1.0, 7.0, 15.0)]),
+    ("single_finite_value", [5, 5, 5, 5, 5], [3, 3, 3, 3, 3], 5, 5, 1, 0,
+     [(5.0, 5.0, 3.0)]),
+    ("leading_negative_inf", [-INF_, -INF_, 1, 2, 3], [5, 7, 10, 12, 15], 1, 3, 4, 0,
+     [(-INF_, -INF_, 7), (1, 1.5, 2.5), (1.5, 2, 2.5), (2, 2.5, 1.5), (2.5, 3, 1.5)]),
+    ("trailing_inf", [1, 2, 3, INF_, INF_], [3, 5, 6, 7, 8], 1, 4, 2, 0.5,
+     [(1, 2.5, 5.5), (2.5, 4, 2), (INF_, INF_, 0.5)]),
+    ("single_finite_between_inf", [-INF_, 1, INF_], [3, 5, 9], 1, 1, 99, 4,
+     [(-INF_, -INF_, 3), (1, 1, 2), (INF_, INF_, 4)]),
+    ("leading_and_trailing_inf", [-INF_, 1, 2, 3, INF_], [3, 5, 6, 7, 8], 1, 4, 2, 0.5,
+     [(-INF_, -INF_, 3), (1, 2.5, 3.5), (2.5, 4, 1), (INF_, INF_, 0.5)]),
+    ("all_inf", [-INF_, INF_], [1, 5], -INF_, INF_, 99, 0.5,
+     [(-INF_, INF_, 5)]),
+    ("float32_overflow", [-3.4e38, 1, 3.4e38], [1, 3, 5], -3.4e38, 3.4e38, 3, 0,
+     [(-3.4e38, -1.1333333333333332e38, 2),
+      (-1.1333333333333332e38, 1.1333333333333336e38, 1.666666666666667),
+      (1.1333333333333336e38, 3.4e38, 1.3333333333333333)]),
+    ("float64_overflow",
+     [-1.7976931348623157e308, 0, 1.7976931348623157e308], [1, 3, 5],
+     -1.7976931348623157e308, 1.7976931348623157e308, 3, 0, []),
+]
+
+
+@pytest.mark.parametrize(
+    "name,q,cum,fmin,fmax,nb,npos,expected",
+    _EQUI_WIDTH_GOLDENS,
+    ids=[t[0] for t in _EQUI_WIDTH_GOLDENS],
+)
+def test_generate_equi_width_histogram_golden(name, q, cum, fmin, fmax, nb, npos, expected):
+    """quantiles_util_test.py:215-404 (GenerateEquiWidthBucketsTest): the full
+    parametrized matrix, exact against the reference's expected protos —
+    including ±inf point buckets and the overflow fallbacks."""
+    from data_validation_spark.stats.quantiles import generate_equi_width_histogram
+
+    h = generate_equi_width_histogram(
+        [float(x) for x in q], [float(x) for x in cum], fmin, fmax, nb, npos
+    )
+    got = [(b.low_value, b.high_value, b.sample_count) for b in h.buckets]
+    assert len(got) == len(expected), got
+    for (gl, gh, gn), (el, eh, en) in zip(got, expected):
+        assert gl == pytest.approx(el, rel=1e-9, abs=0.0) or (gl == el)
+        assert gh == pytest.approx(eh, rel=1e-9, abs=0.0) or (gh == eh)
+        assert gn == pytest.approx(en, rel=1e-9)
+
+
+def test_generate_equi_width_unsorted_raises():
+    """quantiles_util_test.py:404-409: unsorted quantiles must assert."""
+    from data_validation_spark.stats.quantiles import generate_equi_width_histogram
+
+    with pytest.raises(AssertionError):
+        generate_equi_width_histogram([5.0, 1.0], [1.0, 2.0], 1, 5, 10, 0)
+
+
+def test_equi_width_total_weight_preserved_fuzz():
+    """quantiles_util_test.py:410-422: total mass is preserved through the
+    equi-width merge for random CDFs (no infs)."""
+    import numpy as np
+
+    from data_validation_spark.stats.quantiles import generate_equi_width_histogram
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        size = int(rng.randint(2, 30))
+        boundaries = np.cumsum(rng.randint(0, 2, size=size + 1)).astype(float)
+        counts = np.cumsum(rng.random_sample(size=size + 1))
+        if boundaries[0] == boundaries[-1]:
+            continue
+        h = generate_equi_width_histogram(
+            boundaries, counts, boundaries[0], boundaries[-1],
+            int(rng.randint(1, 10)), 0,
+        )
+        total = sum(b.sample_count for b in h.buckets)
+        assert total == pytest.approx(counts[-1], rel=1e-6)
