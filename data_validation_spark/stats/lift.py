@@ -15,25 +15,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _fmt_bound(v: float) -> str:
+    if v == float("-inf"):
+        return "-inf"
+    if v == float("inf"):
+        return "inf"
+    return "%g" % v
+
+
 def lift_stats(
     df: DataFrame,
     x_col: str,
     y_col: str,
     top_k_per_y: int | None = None,
     min_x_count: int = 1,
+    y_boundaries: list[float] | None = None,
+    include_zero_counts: bool = False,
 ) -> DataFrame:
-    """Returns (x, y, lift, xy_count, x_count, y_rate) rows."""
+    """Returns (x, y, lift, xy_count, x_count, y_rate) rows.
+
+    ``y_boundaries``: numeric labels are binned like the reference's
+    ``bin_util.bin_array`` — bin j iff boundaries[j-1] ≤ y < boundaries[j]
+    with implicit ∓inf end bounds (``lift_stats_generator.py:202``); the y
+    label is the interval ``[low,high)``, matching the reference's
+    ``y_bucket`` / "Lift (Y=[2,4))" rendering.
+
+    ``include_zero_counts``: emit a row for every (x, y-series) pair even
+    when x never co-occurs with y (lift 0.0) — the reference lists every x
+    in each lift_series.
+    """
     total = df.where(F.col(y_col).isNotNull()).count()
     if total == 0:
         return df.sparkSession.createDataFrame(
-            [], f"x string, y string, lift double, xy_count bigint, x_count bigint, y_rate double"
+            [], "x string, y string, lift double, xy_count bigint, x_count bigint, y_rate double"
         )
+    if y_boundaries:
+        b = sorted(float(v) for v in y_boundaries)
+        lows, highs = [float("-inf")] + b, b + [float("inf")]
+        labels = [f"[{_fmt_bound(lo)},{_fmt_bound(hi)})" for lo, hi in zip(lows, highs)]
+        yd = F.col(y_col).cast("double")
+        idx = sum(((yd >= F.lit(v)).cast("int") for v in b), F.lit(0))
+        y_expr = F.element_at(F.array(*[F.lit(s) for s in labels]), idx + 1)
+    else:
+        y_expr = F.col(y_col).cast("string")
     pairs = df.select(
-        F.col(x_col).cast("string").alias("x"), F.col(y_col).cast("string").alias("y")
+        F.col(x_col).cast("string").alias("x"), y_expr.alias("y")
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
     xy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("xy_count"))
     x_tot = pairs.groupBy("x").agg(F.count(F.lit(1)).alias("x_count"))
     y_tot = pairs.groupBy("y").agg((F.count(F.lit(1)) / total).alias("y_rate"))
+    if include_zero_counts:
+        # every x appears in every y series (zero-co-occurrence → lift 0.0):
+        # the x-totals × y-series grid is tiny (two small aggregates).
+        xy = (
+            x_tot.select("x")
+            .crossJoin(F.broadcast(y_tot.select("y")))
+            .join(xy, ["x", "y"], "left")
+            .na.fill({"xy_count": 0})
+        )
     out = (
         xy.join(x_tot, "x")
         .join(F.broadcast(y_tot), "y")

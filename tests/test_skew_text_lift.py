@@ -160,6 +160,33 @@ def test_lift_stats(spark):
     assert out[("b", "0")] == pytest.approx(2.0)
 
 
+def test_lift_float_y_with_boundaries_golden(spark):
+    """lift_stats_generator_test.py:911-1064 (test_lift_float_y): x=[a,a,b,a],
+    float_y=[1.1,2.2,3.3,4.4], y_boundaries=[2,4] → three y_bucket series
+    [-inf,2) / [2,4) / [4,inf) with the reference's exact lifts, including
+    the zero-co-occurrence rows (lift 0.0)."""
+    df = spark.createDataFrame(
+        [("a", 1.1), ("a", 2.2), ("b", 3.3), ("a", 4.4)], "x string, y double"
+    )
+    rows = lift_stats(
+        df, "x", "y", y_boundaries=[2, 4], include_zero_counts=True
+    ).collect()
+    out = {(r["x"], r["y"]): r for r in rows}
+    assert set(out) == {
+        ("a", "[-inf,2)"), ("b", "[-inf,2)"),
+        ("a", "[2,4)"), ("b", "[2,4)"),
+        ("a", "[4,inf)"), ("b", "[4,inf)"),
+    }
+    assert out[("a", "[-inf,2)")]["lift"] == pytest.approx(4 / 3)
+    assert out[("b", "[-inf,2)")]["lift"] == 0.0
+    assert out[("b", "[-inf,2)")]["xy_count"] == 0
+    assert out[("b", "[2,4)")]["lift"] == pytest.approx(2.0)
+    assert out[("a", "[2,4)")]["lift"] == pytest.approx(2 / 3)
+    assert out[("a", "[4,inf)")]["lift"] == pytest.approx(4 / 3)
+    assert out[("b", "[4,inf)")]["lift"] == 0.0
+    assert out[("a", "[2,4)")]["x_count"] == 3  # x totals unchanged by series
+
+
 def test_cross_feature_stats(spark):
     df = spark.createDataFrame(
         [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "a double, b double"
