@@ -18,22 +18,68 @@ from data_validation_spark.stats.result import DatasetStatsList
 MATCH_FRACTION = 0.8
 MIN_EXAMPLES = 100
 
-# (format label, regex) — menu mirrors the reference's common formats
-STRING_FORMATS = [
-    ("%Y-%m-%d", r"^\d{4}-\d{2}-\d{2}$"),
-    ("%Y/%m/%d", r"^\d{4}/\d{2}/\d{2}$"),
-    ("%d/%m/%Y", r"^\d{2}/\d{2}/\d{4}$"),
-    ("%Y-%m-%dT%H:%M:%S", r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"),
-    ("%Y-%m-%d %H:%M:%S", r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
-    ("%H:%M:%S", r"^\d{2}:\d{2}:\d{2}$"),
+# ---- format menu: full port of the reference's strptime→regex machinery
+# (time_stats_generator.py:91-190). Each strptime directive maps to the same
+# regex fragment; the menu is date-only ∪ time-only ∪ explicit combined ∪
+# every (date, delimiter∈{T, space}, time) combination — 123 formats.
+import calendar as _calendar
+import re as _re
+
+_STRPTIME_TO_RE = {
+    "%a": r"(?:" + r"|".join(_calendar.day_abbr) + ")",
+    "%b": r"(?:" + r"|".join(_calendar.month_abbr[1:]) + ")",
+    "%B": r"(?:" + r"|".join(_calendar.month_name[1:]) + ")",
+    "%f": r"(?:[0-9]{1,6})",
+    "%d": r"(?:3[0-1]|[1-2]\d|0[1-9]|[1-9]| [1-9])",
+    "%H": r"(?:2[0-3]|[0-1]\d|\d)",
+    "%y": r"(?:\d\d)",
+    "%Y": r"(?:\d\d\d\d)",
+    "%m": r"(?:1[0-2]|0[1-9]|[1-9])",
+    "%M": r"(?:[0-5]\d|\d)",
+    # leap (60) and double-leap (61) seconds, reference quirk included
+    "%S": r"(?:60[0-1]|[0-5]\d|\d)",
+}
+
+_TIME_DELIMITERS = ["T", " "]
+
+_DATE_ONLY_FORMATS = [
+    "%Y-%m-%d", "%Y/%m/%d", "%Y%m%d", "%y-%m-%d", "%y/%m/%d",
+    "%m-%d-%Y", "%m/%d/%Y", "%m%d%Y", "%m-%d-%y", "%m/%d/%y",
+    "%d-%m-%Y", "%d/%m/%Y", "%d%m%Y", "%d-%B-%Y", "%d-%m-%y",
+    "%d/%m/%y", "%d-%B-%y",
 ]
 
-# Unix-time integer ranges (the reference checks seconds/millis windows)
+_TIME_ONLY_FORMATS = ["%H:%M", "%H:%M:%S", "%H:%M:%S.%f"]
+
+_COMBINED_FORMATS = ["%a %b %d %H:%M:%S %Y"]
+
+
+def _strptime_to_regex(fmt: str) -> str:
+    directives = _re.compile("|".join(_re.escape(k) for k in _STRPTIME_TO_RE))
+    return directives.sub(lambda m: _STRPTIME_TO_RE[m.group(0)], fmt)
+
+
+def _build_string_formats() -> list[tuple[str, str]]:
+    fmts = list(_DATE_ONLY_FORMATS) + list(_TIME_ONLY_FORMATS) + list(_COMBINED_FORMATS)
+    for d in _DATE_ONLY_FORMATS:
+        for t in _TIME_ONLY_FORMATS:
+            for delim in _TIME_DELIMITERS:
+                fmts.append(d + delim + t)
+    # anchored full-match, like the reference's re.fullmatch
+    return [(f, "^" + _strptime_to_regex(f) + "$") for f in fmts]
+
+
+STRING_FORMATS = _build_string_formats()
+
+# Unix-time integer windows — exact reference bounds (1990-01-01..2030-01-01,
+# time_stats_generator.py:55-80)
 UNIX_RANGES = [
-    ("UNIX_SECONDS", 10**8, 10**11),
-    ("UNIX_MILLISECONDS", 10**11, 10**14),
-    ("UNIX_MICROSECONDS", 10**14, 10**17),
+    ("UNIX_SECONDS", 631152000, 1893456000),
+    ("UNIX_MILLISECONDS", 631152000000, 1893456000000),
+    ("UNIX_MICROSECONDS", 631152000000000, 1893456000000000),
+    ("UNIX_NANOSECONDS", 631152000000000000, 1893456000000000000),
 ]
+_UNIX_FORMATS = {label for label, _, _ in UNIX_RANGES}
 
 
 def time_match_stats(df: DataFrame, col: str) -> dict:
@@ -69,7 +115,11 @@ def attach_time_stats(stats: DatasetStatsList, df: DataFrame, col: str) -> Datas
             continue
         if best[0] is not None:
             fs.custom["time_format"] = best[0]
-            fs.custom["time_match_fraction"] = frac
-        if considered >= MIN_EXAMPLES and frac >= MATCH_FRACTION:
-            fs.custom["domain_info"] = f"time_domain {{format: {best[0]}}}"
+            fs.custom["time_match_ratio"] = frac
+        if considered >= MIN_EXAMPLES and frac >= MATCH_FRACTION and best[0]:
+            # exact reference rendering (time_stats_generator.py:415-426)
+            if best[0] in _UNIX_FORMATS:
+                fs.custom["domain_info"] = "time_domain {integer_format: %s}" % best[0]
+            else:
+                fs.custom["domain_info"] = "time_domain {string_format: '%s'}" % best[0]
     return stats

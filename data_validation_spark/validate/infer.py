@@ -110,7 +110,10 @@ def _infer_feature(
         if 0 < u <= max_domain and fs.string.rank_histogram:
             values = sorted(b.label for b in fs.string.rank_histogram)
             spec.string_domain = StringDomain(value=values)
-    # Semantic domains from custom stats (custom_domain_util parity).
+    # Semantic domains from custom stats (custom_domain_util parity): any
+    # generator-emitted domain_info (image/NL/bool/time) becomes the feature's
+    # semantic domain at inference time.
+    _apply_domain_info(spec, fs)
     if "image_format_histogram" in fs.custom:
         hist = fs.custom["image_format_histogram"]
         total = sum(hist.values())
@@ -143,6 +146,17 @@ def _apply_domain_info(spec: FeatureSpec, fs: FeatureStats) -> None:
         spec.natural_language_domain = NaturalLanguageDomain()
     elif "bool_domain" in info and spec.bool_domain is None:
         spec.bool_domain = BoolDomain()
+    elif "time_domain" in info and spec.time_domain is None:
+        import re
+
+        from data_validation_spark.schema import TimeDomain
+
+        m = re.search(r"string_format: '([^']*)'", info)
+        if m:
+            spec.time_domain = TimeDomain(string_format=m.group(1))
+        else:
+            m = re.search(r"integer_format: (\w+)", info)
+            spec.time_domain = TimeDomain(integer_format=m.group(1) if m else None)
 
 
 def _relax_token_constraints(spec: FeatureSpec, fs: FeatureStats) -> None:

@@ -140,6 +140,69 @@ def test_time_match_stats_strings(spark):
     assert info["considered"] == 3
 
 
+def test_time_valid_formats_goldens(spark):
+    """time_stats_generator_test.py:25-77 (VALID_FORMATS_TESTS): every listed
+    value must match its expected formats — time-only, date-only (incl. the
+    ambiguous two-format cases), and combined."""
+    from data_validation_spark.stats.time_stats import time_match_stats
+
+    cases = [
+        (["23:59", "23:59:58", "23:59:58.123456"],
+         {"%H:%M": 1, "%H:%M:%S": 1, "%H:%M:%S.%f": 1}),
+        (["2018-11-30", "2018/11/30", "20181130", "18-11-30", "18/11/30",
+          "30-November-2018"],
+         {"%Y-%m-%d": 1, "%Y/%m/%d": 1, "%Y%m%d": 1, "%y-%m-%d": 1,
+          "%d-%m-%y": 1, "%y/%m/%d": 1, "%d/%m/%y": 1, "%d-%B-%Y": 1}),
+        (["2018-11-30T23:59", "2018/11/30 23:59", "Fri Nov 30 10:47:02 2018"],
+         {"%Y-%m-%dT%H:%M": 1, "%Y/%m/%d %H:%M": 1, "%a %b %d %H:%M:%S %Y": 1}),
+    ]
+    for values, expected in cases:
+        df = spark.createDataFrame([(v,) for v in values], "d string")
+        got = time_match_stats(df, "d")["formats"]
+        assert got == expected, (values, got)
+
+
+def test_time_match_ratio_goldens(spark):
+    """time_stats_generator_test.py:224-299: most-common-format selection and
+    the exact match ratio (0.5 same-format; 0.2 across competing formats —
+    '11/30/18' twice → %m/%d/%y wins)."""
+    from data_validation_spark.stats.time_stats import attach_time_stats
+
+    rows = [("2018-11-30",)] * 5 + [("not-valid",)] * 5
+    df = spark.createDataFrame(rows, "d string")
+    info = time_match_stats(df, "d")
+    best = max(info["formats"].items(), key=lambda kv: kv[1])
+    assert best == ("%Y-%m-%d", 5)
+    assert best[1] / info["considered"] == pytest.approx(0.5)
+
+    vals = ["2018-11-30", "2018/11/30", "20181130", "18-11-30", "18/11/30",
+            "11-30-2018", "11/30/2018", "11302018", "11/30/18", "11/30/18"]
+    df2 = spark.createDataFrame([(v,) for v in vals], "d string")
+    info2 = time_match_stats(df2, "d")
+    best2 = max(info2["formats"].items(), key=lambda kv: (kv[1], kv[0]))
+    assert best2[0] == "%m/%d/%y" and best2[1] == 2
+    assert best2[1] / info2["considered"] == pytest.approx(0.2)
+
+
+def test_time_domain_info_rendering(spark):
+    """time_stats_generator.py:415-426: domain_info renders string_format
+    quoted and integer_format bare; the inferred schema picks it up."""
+    from data_validation_spark.stats.engine import compute_statistics as _cs
+    from data_validation_spark.stats.time_stats import attach_time_stats
+    from data_validation_spark.validate.infer import infer_schema
+
+    rows = [(f"2024-01-{(i % 28) + 1:02d}",) for i in range(150)]
+    df = spark.createDataFrame(rows, "d string")
+    stats = _cs(df)
+    attach_time_stats(stats, df, "d")
+    fs = stats.default_slice().feature("d")
+    assert fs.custom["domain_info"] == "time_domain {string_format: '%Y-%m-%d'}"
+    assert fs.custom["time_match_ratio"] == pytest.approx(1.0)
+    schema = infer_schema(stats)
+    td = schema.get_feature("d").time_domain
+    assert td is not None and td.string_format == "%Y-%m-%d"
+
+
 def test_time_domain_inference_ints(spark):
     rows = [(1700000000 + i,) for i in range(150)]
     df = spark.createDataFrame(rows, "t long")
