@@ -650,6 +650,49 @@ def _lift_sql():
     )
 
 
+def q_lift_binned(spark, sf_dir):
+    """Lift with a numeric label binned by explicit boundaries (the
+    reference's bin_util rule: bin j iff b[j-1] ≤ y < b[j], ∓inf ends) and
+    zero-co-occurrence rows included (every x in every y series)."""
+    from data_validation_spark.stats.lift import lift_stats
+
+    events = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = lift_stats(
+        events,
+        "event_type",
+        "value",
+        y_boundaries=[100.0, 500.0],
+        include_zero_counts=True,
+    )
+    return out.select(
+        "x",
+        "y",
+        _e6(F.col("lift")).alias("lift_e6"),
+        "xy_count",
+        "x_count",
+        _e6(F.col("y_rate")).alias("y_rate_e6"),
+    ).orderBy("x", "y")
+
+
+def _lift_binned_sql():
+    return (
+        "WITH p AS (SELECT event_type AS x, "
+        "CASE WHEN value < 100 THEN '[-inf,100)' "
+        "WHEN value < 500 THEN '[100,500)' ELSE '[500,inf)' END AS y "
+        "FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+        "tot AS (SELECT count(*) AS n FROM p), "
+        "xy AS (SELECT x, y, count(*) AS xy_count FROM p GROUP BY 1, 2), "
+        "xt AS (SELECT x, count(*) AS x_count FROM p GROUP BY 1), "
+        "yt AS (SELECT y, count(*) * 1.0 / (SELECT n FROM tot) AS y_rate FROM p GROUP BY 1), "
+        "grid AS (SELECT xt.x, yt.y, xt.x_count, yt.y_rate FROM xt CROSS JOIN yt) "
+        "SELECT g.x, g.y, "
+        "CAST(ROUND((COALESCE(xy.xy_count, 0) * 1.0 / g.x_count) / g.y_rate * 1000000) AS BIGINT) AS lift_e6, "
+        "COALESCE(xy.xy_count, 0) AS xy_count, g.x_count, "
+        "CAST(ROUND(g.y_rate * 1000000) AS BIGINT) AS y_rate_e6 "
+        "FROM grid g LEFT JOIN xy ON g.x = xy.x AND g.y = xy.y ORDER BY g.x, g.y"
+    )
+
+
 def q_skew_match_stats(spark, sf_dir):
     """Feature-skew pair join: two overlapping event subsets compared by id."""
     from data_validation_spark.validate.skew import detect_feature_skew
@@ -1873,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_linf": q_drift_linf,
         "crosscorr": q_crosscorr,
         "lift_event_type": q_lift_event_type,
+        "lift_binned": q_lift_binned,
         "skew_match_stats": q_skew_match_stats,
         "time_format_detect": q_time_format_detect,
         "merged_stats_parity": q_merged_stats_parity,
@@ -1945,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_linf": _drift_linf_sql(),
         "crosscorr": _crosscorr_sql(),
         "lift_event_type": _lift_sql(),
+        "lift_binned": _lift_binned_sql(),
         "skew_match_stats": _skew_sql(),
         "time_format_detect": _time_sql(),
         "merged_stats_parity": _merged_stats_sql(),
