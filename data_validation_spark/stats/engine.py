@@ -426,8 +426,10 @@ def _assemble_feature(
             lensum, lencnt = _g(rd, p, "lensum", 0) or 0, _g(rd, p, "lencnt", 0) or 0
             avglen = lensum / lencnt if lencnt else 0.0
         st = StringStats(avg_length=avglen)
-        st.unique = int(uniq_data.get(key, 0))
+        st.unique = int(uniq_data.get(key, 0))  # unique is NOT thresholded
         entries = sorted(topk_data.get(key, []))
+        if options.frequency_threshold > 1:
+            entries = [e for e in entries if e[2] >= options.frequency_threshold]
         st.top_values = [
             (v, float(c)) for (_, v, c, _wc) in entries[: options.num_top_values]
         ]
@@ -439,6 +441,13 @@ def _assemble_feature(
             # weighted_string_stats parity: a second top-k ranked by weighted
             # frequency, reporting weighted counts.
             wentries = sorted(wtopk_data.get(key, []))
+            if options.weighted_frequency_threshold > 1.0:
+                wentries = [
+                    e
+                    for e in wentries
+                    if e[3] is not None
+                    and e[3] >= options.weighted_frequency_threshold
+                ]
             st.weighted_top_values = [
                 (v, float(wc)) for (_, v, _c, wc) in wentries[: options.num_top_values]
             ]

@@ -14,6 +14,11 @@ class StatsOptions:
     # histogram, 10 buckets for standard/quantiles histograms).
     num_top_values: int = 20
     num_rank_histogram_buckets: int = 1000
+    # drop top-k/rank-histogram entries below these counts (reference
+    # TopKUniquesStatsGenerator frequency_threshold / weighted_frequency_
+    # threshold; unique counts are NOT thresholded)
+    frequency_threshold: int = 1
+    weighted_frequency_threshold: float = 1.0
     num_histogram_buckets: int = 10
     num_quantiles_histogram_buckets: int = 10
     num_values_histogram_buckets: int = 10

@@ -315,3 +315,75 @@ def test_equi_width_total_weight_preserved_fuzz():
         )
         total = sum(b.sample_count for b in h.buckets)
         assert total == pytest.approx(counts[-1], rel=1e-6)
+
+
+# --------------------------------------------------------------------------
+# top-k / uniques goldens (top_k_uniques_stats_generator_test.py)
+# --------------------------------------------------------------------------
+def test_topk_single_string_feature_golden(spark):
+    """top_k_uniques_stats_generator_test.py:35-126: fa = 4a 2b 3c 2d 1e,
+    num_top_values=4, num_rank_histogram_buckets=3; equal frequencies rank
+    the lexicographically larger value first."""
+    rows = [(["a", "b", "c", "e"],), (["a", "c", "d", "a"],), (["a", "b", "c", "d"],)]
+    df = spark.createDataFrame(rows, "fa array<string>")
+    stats = compute_statistics(
+        df, StatsOptions(num_top_values=4, num_rank_histogram_buckets=3)
+    )
+    st = stats.default_slice().feature("fa").string
+    assert st.top_values == [("a", 4.0), ("c", 3.0), ("d", 2.0), ("b", 2.0)]
+    assert [(b.label, b.sample_count) for b in st.rank_histogram] == [
+        ("a", 4.0), ("c", 3.0), ("d", 2.0)
+    ]
+    assert st.unique == 5
+
+
+def test_topk_with_weights_golden(spark):
+    """top_k_uniques_stats_generator_test.py:129-384 (test_topk_uniques_with
+    _weights), fa side: unweighted [a3, e2, d2, c2] but weighted
+    [e20, d20, a15, c10] — the weighted ranking must NOT inherit the
+    unweighted order."""
+    rows = [
+        (["a", "b", "c", "e"], 5.0),
+        (["a", "c", "d", "a"], 5.0),
+        (["d", "e"], 15.0),
+    ]
+    df = spark.createDataFrame(rows, "fa array<string>, w double")
+    stats = compute_statistics(
+        df,
+        StatsOptions(num_top_values=4, num_rank_histogram_buckets=3, weight_column="w"),
+    )
+    st = stats.default_slice().feature("fa").string
+    assert st.top_values == [("a", 3.0), ("e", 2.0), ("d", 2.0), ("c", 2.0)]
+    assert [(v, c) for v, c in st.weighted_top_values] == [
+        ("e", 20.0), ("d", 20.0), ("a", 15.0), ("c", 10.0)
+    ]
+    assert [(b.label, b.sample_count) for b in st.weighted_rank_histogram] == [
+        ("e", 20.0), ("d", 20.0), ("a", 15.0)
+    ]
+
+
+def test_topk_frequency_threshold_golden(spark):
+    """top_k_uniques_stats_generator_test.py:1084-1202: frequency_threshold=2
+    keeps only [a3, b2] unweighted; weighted_frequency_threshold=15 keeps
+    [a35, z15, x15]; unique count is unaffected."""
+    rows = [(["a", "b", "y", "b"], 5.0), (["a", "x", "a", "z"], 15.0)]
+    df = spark.createDataFrame(rows, "fa array<string>, w double")
+    stats = compute_statistics(
+        df,
+        StatsOptions(
+            num_top_values=5,
+            num_rank_histogram_buckets=5,
+            weight_column="w",
+            frequency_threshold=2,
+            weighted_frequency_threshold=15.0,
+        ),
+    )
+    st = stats.default_slice().feature("fa").string
+    assert st.top_values == [("a", 3.0), ("b", 2.0)]
+    assert [(b.label, b.sample_count) for b in st.rank_histogram] == [
+        ("a", 3.0), ("b", 2.0)
+    ]
+    assert [(v, c) for v, c in st.weighted_top_values] == [
+        ("a", 35.0), ("z", 15.0), ("x", 15.0)
+    ]
+    assert st.unique == 5  # thresholds never reduce the unique count
