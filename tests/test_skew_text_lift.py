@@ -474,3 +474,27 @@ def test_median_from_boundaries_even_count():
     assert median_from_boundaries([1.0, 2.0, 3.0]) == 2.0
     assert median_from_boundaries([1.0, 2.0, 3.0, 4.0]) == 2.5
     assert median_from_boundaries([5.0]) == 5.0
+
+
+def test_merge_stats_random_shards_fuzz(spark):
+    """variance_util_test.py merge-property port: K random shards merged must
+    equal the single-pass mean/std (the artifacts merge reconstructs E[x²]
+    from per-shard moments — exact, not approximate)."""
+    import numpy as np
+
+    from data_validation_spark.io.artifacts import merge_stats
+
+    rng = np.random.RandomState(3)
+    vals = rng.randn(400) * 10 + 3
+    splits = np.array_split(vals, 5)
+    shards = [
+        compute_statistics(
+            spark.createDataFrame([(float(v),) for v in s], "x double")
+        )
+        for s in splits
+    ]
+    merged = merge_stats(shards).default_slice().feature("x").numeric
+    assert merged.mean == pytest.approx(vals.mean(), rel=1e-9)
+    assert merged.std_dev == pytest.approx(vals.std(), rel=1e-9)
+    assert merged.min == pytest.approx(vals.min())
+    assert merged.max == pytest.approx(vals.max())
