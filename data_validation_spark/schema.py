@@ -21,6 +21,12 @@ class FeatureType(str, Enum):
     STRUCT = "STRUCT"
 
 
+# LifecycleStageIsDeprecated (feature_util.cc:239-266): features in these
+# stages are exempt from validation (UNKNOWN_STAGE / BETA / PRODUCTION /
+# VALIDATION_DERIVED are not).
+_DEPRECATED_STAGES = {"PLANNED", "ALPHA", "DEPRECATED", "DEBUG_ONLY", "DISABLED"}
+
+
 @dataclass
 class Presence:
     """Cf. reference presence constraints (``anomalies/feature_util.cc:618-663``)."""
@@ -189,6 +195,17 @@ class FeatureSpec:
     # flatten to dotted paths ("parent.child"), matching the engine's stats
     # naming for StructType columns.
     struct_domain: Optional["StructDomain"] = None
+
+    @property
+    def is_deprecated(self) -> bool:
+        """FeatureTypeIsDeprecated (feature_util.cc:239-276): the bool flag,
+        or a lifecycle stage in the deprecated set — deprecated features are
+        exempt from all validation."""
+        if self.deprecated:
+            return True
+        if self.lifecycle_stage is not None:
+            return self.lifecycle_stage in _DEPRECATED_STAGES
+        return False
 
     def is_required(self) -> bool:
         p = self.presence

@@ -115,7 +115,7 @@ def validate_statistics(
             )
 
     for spec in schema.feature:
-        if spec.deprecated or not schema.feature_in_environment(spec, environment):
+        if spec.is_deprecated or not schema.feature_in_environment(spec, environment):
             continue
         _check_schema_hygiene(spec, ds, out)
         fs = ds.feature(spec.name)
@@ -326,7 +326,7 @@ def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
     sparse feature colliding with a regular feature →
     SPARSE_FEATURE_NAME_COLLISION (the colliding pair is skipped for the
     per-feature checks, as the reference deprecates both)."""
-    feature_names = {f.name for f in schema.feature if not f.deprecated}
+    feature_names = {f.name for f in schema.feature if not f.is_deprecated}
     sparse_names = {s.name for s in schema.sparse_feature}
     collided: set[str] = set()
     for wf in schema.weighted_feature:
@@ -700,7 +700,7 @@ def _check_derived_feature(fs: FeatureStats, spec: FeatureSpec, sk, out: Anomali
     if (
         spec.validation_derived_source
         and spec.lifecycle_stage != "VALIDATION_DERIVED"
-        and not spec.deprecated
+        and not spec.is_deprecated
     ):
         out.anomalies.append(
             _anom(

@@ -124,3 +124,90 @@ def test_schema_json_roundtrip_sparse():
     back = Schema.from_json(schema.to_json())
     assert back.sparse_feature[0].index_feature == "i"
     assert back.weighted_feature[0].weight_feature == "w"
+
+
+# --------------------------------------------------------------------------
+# identify_anomalous_examples goldens (validation_api_test.py:43-178, 3159)
+# --------------------------------------------------------------------------
+def _enum_schema(min_count=1, with_deprecated=False):
+    feats = [
+        FeatureSpec(
+            name="annotated_enum",
+            type=FeatureType.BYTES,
+            presence=Presence(min_count=min_count),
+            string_domain=StringDomain(name="MyAloneEnum", value=["A", "B", "C"]),
+        )
+    ]
+    if with_deprecated:
+        feats.append(
+            FeatureSpec(
+                name="ignore_this",
+                type=FeatureType.BYTES,
+                presence=Presence(min_count=1),
+                lifecycle_stage="DEPRECATED",
+            )
+        )
+    return Schema(feature=feats)
+
+
+def _reason_keys(instance, schema):
+    r = validate_instance(instance, schema)
+    return sorted(f"{a.feature}_{a.type.value}" for a in r.anomalies)
+
+
+def test_identify_anomalous_examples_no_anomalies():
+    """validation_api_test.py:44-81 (no_anomalies): in-domain values produce
+    nothing, and the DEPRECATED required feature's absence is NOT an anomaly
+    (deprecated features are exempt from validation)."""
+    schema = _enum_schema(with_deprecated=True)
+    assert _reason_keys({"annotated_enum": ["A"]}, schema) == []
+    assert _reason_keys({"annotated_enum": ["C"]}, schema) == []
+
+
+def test_identify_anomalous_examples_same_reason():
+    """validation_api_test.py:82-119 (same_anomaly_reason): each 'D' example
+    keys to annotated_enum_ENUM_TYPE_UNEXPECTED_STRING_VALUES."""
+    schema = _enum_schema()
+    for inst, expected in [
+        ({"annotated_enum": ["D"]}, ["annotated_enum_ENUM_TYPE_UNEXPECTED_STRING_VALUES"]),
+        ({"annotated_enum": ["C"]}, []),
+    ]:
+        assert _reason_keys(inst, schema) == expected
+
+
+def test_identify_anomalous_examples_different_reasons():
+    """validation_api_test.py:120-158 (different_anomaly_reasons): off-domain
+    value vs unknown column key to their distinct reasons (presence
+    min_count 0 → the missing annotated_enum in the third example is fine)."""
+    schema = _enum_schema(min_count=0)
+    assert _reason_keys({"annotated_enum": ["D"]}, schema) == [
+        "annotated_enum_ENUM_TYPE_UNEXPECTED_STRING_VALUES"
+    ]
+    assert _reason_keys({"annotated_enum": ["C"]}, schema) == []
+    assert _reason_keys({"feature_not_in_schema": [1]}, schema) == [
+        "feature_not_in_schema_SCHEMA_NEW_COLUMN"
+    ]
+
+
+def test_deprecated_lifecycle_stages_exempt():
+    """feature_util.cc:239-266 (LifecycleStageIsDeprecated): PLANNED/ALPHA/
+    DEPRECATED/DEBUG_ONLY/DISABLED are exempt; BETA/PRODUCTION/
+    VALIDATION_DERIVED are validated."""
+    for stage, exempt in [
+        ("PLANNED", True), ("ALPHA", True), ("DEPRECATED", True),
+        ("DEBUG_ONLY", True), ("DISABLED", True),
+        ("BETA", False), ("PRODUCTION", False),
+    ]:
+        schema = Schema(
+            feature=[
+                FeatureSpec(
+                    name="gone",
+                    type=FeatureType.BYTES,
+                    presence=Presence(min_count=1),
+                    lifecycle_stage=stage,
+                )
+            ]
+        )
+        keys = _reason_keys({"present": ["x"]}, schema)
+        missing = [k for k in keys if k.startswith("gone_")]
+        assert (missing == []) == exempt, (stage, keys)
