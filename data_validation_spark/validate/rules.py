@@ -851,45 +851,68 @@ def _check_float_domain(fs, spec, sk, out):
         )
 
 
+def _percentage_as_string(count: float, total: float) -> str:
+    """string_domain_util.cc:75-89 (PercentageAsString): '?' when the total
+    is unknown/zero, '<1%' below one percent, else '~N%' with N floored."""
+    if not total:
+        return "?"
+    percent = 100.0 * count / total
+    if percent < 1.0:
+        return "<1%"
+    return "~%d%%" % math.floor(percent)
+
+
 def _check_string_domain(fs, spec, schema, sk, out):
     domain = schema.resolve_string_domain(spec)
     if domain is None:
         return
     st = fs.string
-    if st is None or not st.rank_histogram:
+    if st is None:
         return
-    counts = st.value_counts()
-    total = sum(counts.values())
-    if total == 0:
-        return
-    off = {k: v for k, v in counts.items() if k not in set(domain.value)}
-    off_mass = sum(off.values()) / total
-    min_mass = domain.min_domain_mass
-    if spec.distribution_constraints is not None:
-        min_mass = min(min_mass, spec.distribution_constraints.min_domain_mass)
-    if off_mass > (1.0 - min_mass) + 1e-12:
-        examples = sorted(off, key=lambda k: -off[k])[:5]
-        out.anomalies.append(
-            _anom(
-                spec.name,
-                AnomalyType.ENUM_TYPE_UNEXPECTED_STRING_VALUES,
-                "Unexpected string values",
-                f"Examples contain values missing from the domain: {', '.join(examples)}. "
-                f"Off-domain fraction {off_mass:.6g} > allowed {1.0 - min_mass:.6g}.",
-                sk,
-                measurement=off_mass,
-                threshold=1.0 - min_mass,
-            )
-        )
     if st.invalid_utf8_count > 0:
+        # invalid UTF-8 short-circuits the enum check entirely
+        # (string_domain_util.cc:157-164)
         out.anomalies.append(
             _anom(
                 spec.name,
                 AnomalyType.ENUM_TYPE_INVALID_UTF8,
                 "Invalid UTF8 strings",
-                f"Feature contains {st.invalid_utf8_count} strings that are not valid UTF-8.",
+                "Found strings that were not valid UTF8 strings.",
                 sk,
                 measurement=float(st.invalid_utf8_count),
+            )
+        )
+        return
+    if not st.rank_histogram:
+        return
+    counts = st.value_counts()
+    hist_total = sum(counts.values())
+    if hist_total == 0:
+        return
+    # GetTotalValueCountInExamples: the common-stats value count; a hand-built
+    # artifact may omit it (0) → percentages render as '?'
+    total = float(fs.common.tot_num_values or 0)
+    off = {k: v for k, v in counts.items() if k not in set(domain.value)}
+    off_mass = sum(off.values()) / (total or hist_total)
+    min_mass = domain.min_domain_mass
+    if spec.distribution_constraints is not None:
+        min_mass = min(min_mass, spec.distribution_constraints.min_domain_mass)
+    max_off_domain = 1.0 - min_mass
+    if off_mass > max_off_domain + 1e-12 or (max_off_domain == 0 and off):
+        # exact reference rendering (string_domain_util.cc:166-197): every
+        # missing value in lexicographic order with its frequency percentage
+        rendered = ", ".join(
+            f"{v} ({_percentage_as_string(off[v], total)})" for v in sorted(off)
+        )
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.ENUM_TYPE_UNEXPECTED_STRING_VALUES,
+                "Unexpected string values",
+                f"Examples contain values missing from the schema: {rendered}. ",
+                sk,
+                measurement=off_mass,
+                threshold=max_off_domain,
             )
         )
 

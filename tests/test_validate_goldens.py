@@ -806,9 +806,9 @@ def test_update_schema_golden():
         ]
     )
     fs = FeatureStats(name="annotated_enum", type="STRING")
+    # the reference proto sets no tot_num_values → frequency renders as '?'
     fs.common = CommonStats(
         num_non_missing=7, num_missing=3, min_num_values=1, max_num_values=1,
-        tot_num_values=7,
     )
     fs.string = StringStats(
         unique=3, rank_histogram=[RankBucket(0, 0, "D", 1.0)]
@@ -819,7 +819,11 @@ def test_update_schema_golden():
 
     result = validate_statistics(stats, schema)
     assert {a.type for a in result.anomalies} == {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES}
-    assert "D" in result.anomalies[0].description
+    # exact reference description, trailing space included
+    assert (
+        result.anomalies[0].description
+        == "Examples contain values missing from the schema: D (?). "
+    )
 
     updated = update_schema(schema, stats)
     dom = updated.resolve_string_domain(updated.get_feature("annotated_enum"))
@@ -868,3 +872,67 @@ def test_update_schema_remove_inferred_shape_golden():
     schema = infer_schema(stats1, infer_feature_shape=True)
     updated = update_schema(schema, stats1)
     assert updated.feature[0].shape is not None
+
+
+def test_enum_surface_frequencies_golden():
+    """string_domain_test.cc:369-441 (SurfaceFrequenciesOfMissingValues):
+    off-domain 'gamma' at 3/10 values renders '(~30%)'; at 0.05/124 it
+    renders '(<1%)'."""
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="bar",
+                type=FeatureType.BYTES,
+                string_domain=StringDomain(name="MyEnum", value=["alpha", "beta"]),
+            )
+        ]
+    )
+
+    def _stats(tot, buckets):
+        fs = FeatureStats(name="bar", type="STRING")
+        fs.common = CommonStats(
+            num_non_missing=10, num_missing=3, min_num_values=1, max_num_values=2,
+            tot_num_values=tot,
+        )
+        fs.string = StringStats(
+            unique=3,
+            rank_histogram=[RankBucket(i, i, k, v) for i, (k, v) in enumerate(buckets)],
+        )
+        return DatasetStatsList([DatasetStats(num_examples=13, features={"bar": fs})])
+
+    r = validate_statistics(_stats(10, [("alpha", 7.0), ("gamma", 3.0)]), schema)
+    descs = [a.description for a in r.anomalies if a.type == AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES]
+    assert descs and "gamma (~30%)" in descs[0]
+
+    r2 = validate_statistics(_stats(124, [("alpha", 123.0), ("gamma", 0.05)]), schema)
+    descs2 = [a.description for a in r2.anomalies if a.type == AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES]
+    assert descs2 and "gamma (<1%)" in descs2[0]
+
+
+def test_enum_invalid_utf8_short_circuits():
+    """string_domain_util.cc:157-164: invalid UTF-8 emits its own reason with
+    the reference wording and suppresses the off-domain check."""
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="bar",
+                type=FeatureType.BYTES,
+                string_domain=StringDomain(value=["alpha"]),
+            )
+        ]
+    )
+    fs = FeatureStats(name="bar", type="STRING")
+    fs.common = CommonStats(num_non_missing=2, min_num_values=1, max_num_values=1,
+                            tot_num_values=2)
+    fs.string = StringStats(
+        unique=2,
+        invalid_utf8_count=1,
+        rank_histogram=[RankBucket(0, 0, "offdomain", 2.0)],
+    )
+    stats = DatasetStatsList([DatasetStats(num_examples=2, features={"bar": fs})])
+    r = validate_statistics(stats, schema)
+    types_seen = {a.type for a in r.anomalies}
+    assert AT.ENUM_TYPE_INVALID_UTF8 in types_seen
+    assert AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES not in types_seen
+    utf8 = [a for a in r.anomalies if a.type == AT.ENUM_TYPE_INVALID_UTF8][0]
+    assert utf8.description == "Found strings that were not valid UTF8 strings."
