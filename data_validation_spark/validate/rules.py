@@ -739,7 +739,7 @@ def _check_int_domain(fs, spec, sk, out):
                         spec.name,
                         AnomalyType.INT_TYPE_NOT_INT_STRING,
                         "Non-integer string values",
-                        f"String value '{b.label}' does not parse as an integer.",
+                        f'String values that were not ints were found, such as "{b.label}".',
                         sk,
                     )
                 )
@@ -759,7 +759,7 @@ def _check_int_domain(fs, spec, sk, out):
                 spec.name,
                 AnomalyType.INT_TYPE_SMALL_INT,
                 "Out-of-range values",
-                f"Unexpectedly small value: {_fmt_num(lo)} < {d.min}.",
+                f"Unexpectedly small value: {_fmt_num(lo)}.",
                 sk,
                 measurement=lo,
                 threshold=float(d.min),
@@ -771,7 +771,7 @@ def _check_int_domain(fs, spec, sk, out):
                 spec.name,
                 AnomalyType.INT_TYPE_BIG_INT,
                 "Out-of-range values",
-                f"Unexpectedly large value: {_fmt_num(hi)} > {d.max}.",
+                f"Unexpectedly large value: {_fmt_num(hi)}.",
                 sk,
                 measurement=hi,
                 threshold=float(d.max),
@@ -809,7 +809,8 @@ def _check_float_domain(fs, spec, sk, out):
                 spec.name,
                 AnomalyType.FLOAT_TYPE_SMALL_FLOAT,
                 "Out-of-range values",
-                f"Unexpectedly small value: {_fmt_num(n.min)} < {d.min}.",
+                f"Unexpectedly low values: {_fmt_num(n.min)}<{_fmt_num(d.min)}"
+                "(upto six significant digits)",
                 sk,
                 measurement=n.min,
                 threshold=d.min,
@@ -821,7 +822,8 @@ def _check_float_domain(fs, spec, sk, out):
                 spec.name,
                 AnomalyType.FLOAT_TYPE_BIG_FLOAT,
                 "Out-of-range values",
-                f"Unexpectedly large value: {_fmt_num(n.max)} > {d.max}.",
+                f"Unexpectedly high value: {_fmt_num(n.max)}>{_fmt_num(d.max)}"
+                "(upto six significant digits)",
                 sk,
                 measurement=n.max,
                 threshold=d.max,
@@ -833,7 +835,7 @@ def _check_float_domain(fs, spec, sk, out):
                 spec.name,
                 AnomalyType.FLOAT_TYPE_HAS_NAN,
                 "Invalid values",
-                f"Float feature has {n.num_nan} NaN values.",
+                "Float feature has NaN values.",
                 sk,
                 measurement=float(n.num_nan),
             )
@@ -844,7 +846,7 @@ def _check_float_domain(fs, spec, sk, out):
                 spec.name,
                 AnomalyType.FLOAT_TYPE_HAS_INF,
                 "Invalid values",
-                f"Float feature has {n.num_pos_inf + n.num_neg_inf} inf values.",
+                "Float feature has Inf values.",
                 sk,
                 measurement=float(n.num_pos_inf + n.num_neg_inf),
             )
