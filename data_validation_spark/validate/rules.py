@@ -478,8 +478,8 @@ def validate_feature(
                     spec.name,
                     AnomalyType.FEATURE_TYPE_LOW_NUMBER_PRESENT,
                     "Column dropped",
-                    f"The feature was present in {c.num_non_missing} examples, "
-                    f"expected at least {spec.presence.min_count}.",
+                    f"The feature was present in fewer examples than expected: "
+                    f"minimum count = {spec.presence.min_count}, actual = {c.num_non_missing}",
                     sk,
                     measurement=float(c.num_non_missing),
                     threshold=float(spec.presence.min_count),
@@ -493,10 +493,11 @@ def validate_feature(
             violated = frac < (0.9999 if mf == 1.0 else mf)
             if violated:
                 desc = (
-                    "The feature was expected in all examples."
+                    "The feature was expected everywhere, but was missing in "
+                    f"{_fmt_num(c.num_missing)} examples."
                     if mf == 1.0
-                    else f"The feature was present in fraction {frac:.6g} of examples, "
-                    f"expected at least {mf}."
+                    else f"The feature was present in fewer examples than expected: "
+                    f"minimum fraction = {mf:f}, actual = {frac:f}"
                 )
                 out.anomalies.append(
                     _anom(
@@ -575,8 +576,8 @@ def validate_feature(
                     spec.name,
                     AnomalyType.FEATURE_TYPE_NO_UNIQUE,
                     "No unique values",
-                    "UniqueConstraints specified for a feature without string "
-                    "statistics (unique-count is only computed for categorical features).",
+                    "UniqueConstraints specified for the feature, but unique values "
+                    "were not counted (i.e., feature is not string or categorical).",
                     sk,
                 )
             )
@@ -600,7 +601,7 @@ def validate_feature(
                         spec.name,
                         AnomalyType.FEATURE_TYPE_HIGH_UNIQUE,
                         "High number of unique values",
-                        f"Expected at most {uc.max} unique values but found {u}.",
+                        f"Expected no more than {uc.max} unique values but found {u}.",
                         sk,
                         measurement=float(u),
                         threshold=float(uc.max),
@@ -622,7 +623,7 @@ def _check_value_counts(fs: FeatureStats, spec: FeatureSpec, sk, out: Anomalies)
                 _anom(
                     spec.name,
                     AnomalyType.VALUE_NESTEDNESS_MISMATCH,
-                    "Nestedness mismatch",
+                    "Mismatched value nest level",
                     "This feature has a value_count, but the nestedness level of "
                     "the feature > 1. For features with nestedness levels greater "
                     "than 1, value_counts, not value_count, should be specified.",
@@ -637,7 +638,7 @@ def _check_value_counts(fs: FeatureStats, spec: FeatureSpec, sk, out: Anomalies)
                 _anom(
                     spec.name,
                     AnomalyType.VALUE_NESTEDNESS_MISMATCH,
-                    "Nestedness mismatch",
+                    "Mismatched value nest level",
                     "The values have a different nest level than expected. "
                     "Value counts will not be checked.",
                     sk,
@@ -659,8 +660,7 @@ def _check_one_value_count(name, vc, min_max, level, sk, out: Anomalies) -> None
                 name,
                 AnomalyType.FEATURE_TYPE_LOW_NUMBER_VALUES,
                 "Missing values",
-                f"Some examples have fewer values ({lo}) than "
-                f"expected minimum ({vc.min}){at}.",
+                f"Some examples have fewer values than expected{at}.",
                 sk,
                 measurement=float(lo),
                 threshold=float(vc.min),
@@ -672,8 +672,7 @@ def _check_one_value_count(name, vc, min_max, level, sk, out: Anomalies) -> None
                 name,
                 AnomalyType.FEATURE_TYPE_HIGH_NUMBER_VALUES,
                 "Superfluous values",
-                f"Some examples have more values ({hi}) than "
-                f"expected maximum ({vc.max}){at}.",
+                f"Some examples have more values than expected{at}.",
                 sk,
                 measurement=float(hi),
                 threshold=float(vc.max),
