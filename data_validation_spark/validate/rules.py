@@ -109,7 +109,7 @@ def validate_statistics(
                     type=AnomalyType.SCHEMA_NEW_COLUMN,
                     severity=Severity.ERROR,
                     short_description="New column",
-                    description=f"New column {name} found in data but not in the schema.",
+                    description="New column (column in data but not in schema)",
                     slice_key=ds.slice_key,
                 )
             )
@@ -126,7 +126,7 @@ def validate_statistics(
                         spec.name,
                         AnomalyType.SCHEMA_MISSING_COLUMN,
                         "Column dropped",
-                        f"Column {spec.name} is not present in the data.",
+                        "Column is completely missing",
                         ds.slice_key,
                     )
                 )
@@ -519,7 +519,7 @@ def validate_feature(
                     spec.name,
                     AnomalyType.UNEXPECTED_DATA_TYPE,
                     "Unexpected data type",
-                    f"Expected data of type {spec.type.value} but got {fs.type}.",
+                    f"Expected data of type: {spec.type.value} but got {fs.type}",
                     sk,
                 )
             )
