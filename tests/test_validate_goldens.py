@@ -936,3 +936,78 @@ def test_enum_invalid_utf8_short_circuits():
     assert AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES not in types_seen
     utf8 = [a for a in r.anomalies if a.type == AT.ENUM_TYPE_INVALID_UTF8][0]
     assert utf8.description == "Found strings that were not valid UTF8 strings."
+
+
+def test_feature_statistics_validator_end_to_end_golden():
+    """feature_statistics_validator_test.cc:85-173 (EndToEnd): exactly one
+    anomaly — the enum 'D (?)' — while the stats-present-but-empty
+    missing_column (no presence constraint) and the DEPRECATED required
+    feature produce nothing."""
+    schema = Schema(
+        string_domain=[StringDomain(name="MyAloneEnum", value=["A", "B", "C"])],
+        feature=[
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.BYTES,
+                value_count=ValueCount(min=1, max=1),
+                presence=Presence(min_count=1),
+                domain="MyAloneEnum",
+            ),
+            FeatureSpec(name="missing_column", type=FeatureType.BYTES),
+            FeatureSpec(
+                name="ignore_this",
+                type=FeatureType.BYTES,
+                lifecycle_stage="DEPRECATED",
+                value_count=ValueCount(min=1),
+                presence=Presence(min_count=1),
+            ),
+        ],
+    )
+    enum_fs = FeatureStats(name="annotated_enum", type="STRING")
+    enum_fs.common = CommonStats(
+        num_missing=3, num_non_missing=4, min_num_values=1, max_num_values=1
+    )
+    enum_fs.string = StringStats(
+        unique=3, rank_histogram=[RankBucket(0, 0, "D", 1.0)]
+    )
+    missing_fs = FeatureStats(name="missing_column", type="STRING")
+    missing_fs.common = CommonStats(num_missing=1000)
+    missing_fs.string = StringStats()
+    stats = DatasetStatsList(
+        [
+            DatasetStats(
+                num_examples=1000,
+                features={"annotated_enum": enum_fs, "missing_column": missing_fs},
+            )
+        ]
+    )
+    result = validate_statistics(stats, schema)
+    assert anomaly_map(result) == {
+        "annotated_enum": ({AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES}, Severity.ERROR)
+    }
+    a = [x for x in result.anomalies if x.feature == "annotated_enum"][0]
+    assert a.description == "Examples contain values missing from the schema: D (?). "
+    assert a.short_description == "Unexpected string values"
+
+
+def test_feature_statistics_validator_missing_column_golden():
+    """feature_statistics_validator_test.cc:175-220 (MissingColumn): a
+    required feature absent from the stats → SCHEMA_MISSING_COLUMN with the
+    exact 'Column is completely missing' / 'Column dropped' strings."""
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="feature_name",
+                type=FeatureType.BYTES,
+                value_count=ValueCount(min=1, max=1),
+                presence=Presence(min_count=1),
+            )
+        ]
+    )
+    stats = stats_of([string_feature("other", {"x": 3.0})], num_examples=1000)
+    result = validate_statistics(stats, schema, features_needed={"other"})
+    missing = [a for a in result.anomalies if a.feature == "feature_name"]
+    assert len(missing) == 1
+    assert missing[0].type == AT.SCHEMA_MISSING_COLUMN
+    assert missing[0].description == "Column is completely missing"
+    assert missing[0].short_description == "Column dropped"
