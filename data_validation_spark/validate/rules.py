@@ -1001,9 +1001,9 @@ def _check_image_domain(fs, spec, sk, out):
                 _anom(
                     spec.name,
                     AnomalyType.MAX_IMAGE_BYTE_SIZE_EXCEEDED,
-                    "Num bytes exceeds max",
-                    f"The largest image has {int(fs.bytes.max_num_bytes)} bytes, above "
-                    f"max_image_byte_size {d.max_image_byte_size}.",
+                    "Num bytes exceeds the max byte size.",
+                    f"The largest image has bytes: {int(fs.bytes.max_num_bytes)}. "
+                    f"The max allowed byte size is: {d.max_image_byte_size}.",
                     sk,
                     measurement=fs.bytes.max_num_bytes,
                     threshold=float(d.max_image_byte_size),
@@ -1311,9 +1311,8 @@ def _check_dataset_constraints(ds, schema, prev, prev_version, out):
             _anom(
                 "",
                 AnomalyType.DATASET_LOW_NUM_EXAMPLES,
-                "Low num examples in dataset",
-                f"The dataset has {n} examples, below the minimum "
-                f"{dc.min_examples_count}.",
+                "Low num examples in dataset.",
+                f"The dataset has {n} examples, which is fewer than expected.",
                 ds.slice_key,
                 measurement=float(n),
                 threshold=float(dc.min_examples_count),
@@ -1324,17 +1323,16 @@ def _check_dataset_constraints(ds, schema, prev, prev_version, out):
             _anom(
                 "",
                 AnomalyType.DATASET_HIGH_NUM_EXAMPLES,
-                "High num examples in dataset",
-                f"The dataset has {n} examples, above the maximum "
-                f"{dc.max_examples_count}.",
+                "High num examples in dataset.",
+                f"The dataset has {n} examples, which is more than expected.",
                 ds.slice_key,
                 measurement=float(n),
                 threshold=float(dc.max_examples_count),
             )
         )
-    for comp, other in (
-        (dc.num_examples_drift_comparator, prev),
-        (dc.num_examples_version_comparator, prev_version),
+    for comp, other, control_name in (
+        (dc.num_examples_drift_comparator, prev, "previous span"),
+        (dc.num_examples_version_comparator, prev_version, "previous version"),
     ):
         if comp is None or other is None or other.num_examples == 0:
             continue
@@ -1344,9 +1342,10 @@ def _check_dataset_constraints(ds, schema, prev, prev_version, out):
                 _anom(
                     "",
                     AnomalyType.COMPARATOR_LOW_NUM_EXAMPLES,
-                    "Low num examples ratio",
-                    f"The ratio of num examples to the control dataset is {ratio:.6g}, "
-                    f"below the threshold {comp.min_fraction_threshold}.",
+                    f"Low num examples in current dataset versus the {control_name}.",
+                    f"The ratio of num examples in the current dataset versus the "
+                    f"{control_name} is {ratio:.6g} (up to six significant digits), "
+                    f"which is below the threshold {_fmt_num(comp.min_fraction_threshold)}.",
                     ds.slice_key,
                     measurement=ratio,
                     threshold=comp.min_fraction_threshold,
@@ -1357,9 +1356,10 @@ def _check_dataset_constraints(ds, schema, prev, prev_version, out):
                 _anom(
                     "",
                     AnomalyType.COMPARATOR_HIGH_NUM_EXAMPLES,
-                    "High num examples ratio",
-                    f"The ratio of num examples to the control dataset is {ratio:.6g}, "
-                    f"above the threshold {comp.max_fraction_threshold}.",
+                    f"High num examples in current dataset versus the {control_name}.",
+                    f"The ratio of num examples in the current dataset versus the "
+                    f"{control_name} is {ratio:.6g} (up to six significant digits), "
+                    f"which is above the threshold {_fmt_num(comp.max_fraction_threshold)}.",
                     ds.slice_key,
                     measurement=ratio,
                     threshold=comp.max_fraction_threshold,
