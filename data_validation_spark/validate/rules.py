@@ -923,48 +923,87 @@ def _check_bool_domain(fs, spec, sk, out):
         return
     d = spec.bool_domain
     if fs.type == "INT" and fs.numeric is not None:
+        # UpdateBoolDomain INT branch (bool_domain_util.cc:189-212): the first
+        # out-of-{0,1} extreme reports and converts; exact reference strings.
         if fs.numeric.min < 0:
             out.anomalies.append(
                 _anom(
                     spec.name,
                     AnomalyType.BOOL_TYPE_SMALL_INT,
                     "Non-boolean values",
-                    f"Boolean-int feature has value {_fmt_num(fs.numeric.min)} < 0.",
+                    f"Integers (such as {_fmt_num(fs.numeric.min)}) not in "
+                    "{0, 1}: converting to an integer.",
                     sk,
                     measurement=fs.numeric.min,
                 )
             )
-        if fs.numeric.max > 1:
+        elif fs.numeric.max > 1:
             out.anomalies.append(
                 _anom(
                     spec.name,
                     AnomalyType.BOOL_TYPE_BIG_INT,
                     "Non-boolean values",
-                    f"Boolean-int feature has value {_fmt_num(fs.numeric.max)} > 1.",
+                    f"Integers (such as {_fmt_num(fs.numeric.max)}) not in "
+                    "{0, 1}: converting to an integer.",
                     sk,
                     measurement=fs.numeric.max,
                 )
             )
     elif fs.type == "FLOAT":
-        out.anomalies.append(
-            _anom(
-                spec.name,
-                AnomalyType.BOOL_TYPE_UNEXPECTED_FLOAT,
-                "Unexpected float",
-                "Boolean feature has float values.",
-                sk,
+        # FLOAT branch (bool_domain_util.cc:213-280): a float feature whose
+        # values are all exactly 0/1 is a VALID bool; flag only out-of-{0,1}
+        # extremes, NaN, or interior mass detected via the quantiles
+        # histogram. One anomaly, first detection wins.
+        n = fs.numeric
+        detail = None
+        if n is not None:
+            if n.min not in (0.0, 1.0):
+                detail = f"Floats (such as {_fmt_num(n.min)}) not in {{0, 1}}"
+            elif n.max not in (0.0, 1.0):
+                detail = f"Floats (such as {_fmt_num(n.max)}) not in {{0, 1}}"
+            elif n.num_nan > 0:
+                detail = "Floats (such as NaN) not in {0, 1}"
+            else:
+                for h in n.histograms:
+                    if detail:
+                        break
+                    for b in h.buckets:
+                        if b.sample_count <= 0:
+                            continue
+                        if b.high_value < 0:
+                            detail = "Float values < 0 not in {0, 1}"
+                            break
+                        if b.low_value > 1:
+                            detail = "Float values > 1 not in {0, 1}"
+                            break
+                        if h.type == "QUANTILES" and b.high_value < 1 and b.low_value > 0:
+                            detail = "Float values falling between 0 and 1"
+                            break
+        if detail is not None:
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.BOOL_TYPE_UNEXPECTED_FLOAT,
+                    "Non-boolean values",
+                    f"{detail}: converting to float_domain.",
+                    sk,
+                )
             )
-        )
     elif fs.type == "STRING" and fs.string is not None:
         allowed = {d.true_value, d.false_value} - {""}
         bad = [b.label for b in fs.string.rank_histogram if b.label not in allowed]
         if bad:
+            valid_desc = (
+                "{}"
+                if not allowed
+                else "{" + ", ".join(f'"{v}"' for v in sorted(allowed)) + "}"
+            )
             out.anomalies.append(
                 _anom(
                     spec.name,
                     AnomalyType.BOOL_TYPE_UNEXPECTED_STRING,
-                    "Unexpected string values",
-                    f"Boolean feature has non-boolean values: {', '.join(bad[:5])}.",
+                    "Non-boolean values",
+                    f'Saw unexpected value "{bad[0]}" instead of {valid_desc}.',
                     sk,
                 )
             )

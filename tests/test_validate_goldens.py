@@ -1011,3 +1011,82 @@ def test_feature_statistics_validator_missing_column_golden():
     assert missing[0].type == AT.SCHEMA_MISSING_COLUMN
     assert missing[0].description == "Column is completely missing"
     assert missing[0].short_description == "Column dropped"
+
+
+def test_bool_domain_float_semantics_golden():
+    """bool_domain_util.cc:213-280 (UpdateBoolDomain FLOAT branch): a float
+    feature with values exactly in {0, 1} is a VALID bool; out-of-set
+    extremes, NaN, and quantiles-histogram interior mass each produce the
+    reference's exact "converting to float_domain" description."""
+    from data_validation_spark.schema import BoolDomain
+    from data_validation_spark.stats.result import Histogram, HistogramBucket, NumericStats
+
+    def _bool_schema():
+        return Schema(
+            feature=[FeatureSpec(name="b", type=FeatureType.FLOAT, bool_domain=BoolDomain())]
+        )
+
+    def _float_stats(numeric):
+        fs = FeatureStats(name="b", type="FLOAT")
+        fs.common = CommonStats(num_non_missing=4, min_num_values=1, max_num_values=1,
+                                tot_num_values=4)
+        fs.numeric = numeric
+        return DatasetStatsList([DatasetStats(num_examples=4, features={"b": fs})])
+
+    # all-{0,1} floats: clean
+    r = validate_statistics(_float_stats(NumericStats(min=0.0, max=1.0)), _bool_schema())
+    assert AT.BOOL_TYPE_UNEXPECTED_FLOAT not in {a.type for a in r.anomalies}
+
+    # out-of-set extreme
+    r = validate_statistics(_float_stats(NumericStats(min=0.0, max=2.0)), _bool_schema())
+    descs = [a.description for a in r.anomalies if a.type == AT.BOOL_TYPE_UNEXPECTED_FLOAT]
+    assert descs == ["Floats (such as 2) not in {0, 1}: converting to float_domain."]
+
+    # NaN
+    r = validate_statistics(
+        _float_stats(NumericStats(min=0.0, max=1.0, num_nan=1)), _bool_schema()
+    )
+    descs = [a.description for a in r.anomalies if a.type == AT.BOOL_TYPE_UNEXPECTED_FLOAT]
+    assert descs == ["Floats (such as NaN) not in {0, 1}: converting to float_domain."]
+
+    # interior mass via quantiles histogram
+    n = NumericStats(min=0.0, max=1.0)
+    n.histograms = [
+        Histogram("QUANTILES", [HistogramBucket(0.25, 0.75, 2.0)])
+    ]
+    r = validate_statistics(_float_stats(n), _bool_schema())
+    descs = [a.description for a in r.anomalies if a.type == AT.BOOL_TYPE_UNEXPECTED_FLOAT]
+    assert descs == ["Float values falling between 0 and 1: converting to float_domain."]
+
+
+def test_bool_domain_int_and_string_wording_golden():
+    """bool_domain_util.cc:189-212, 283-303: exact int/string bool-domain
+    descriptions."""
+    from data_validation_spark.schema import BoolDomain
+    from data_validation_spark.stats.result import NumericStats
+
+    int_schema = Schema(
+        feature=[FeatureSpec(name="b", type=FeatureType.INT, bool_domain=BoolDomain())]
+    )
+    fs = FeatureStats(name="b", type="INT")
+    fs.common = CommonStats(num_non_missing=3, min_num_values=1, max_num_values=1,
+                            tot_num_values=3)
+    fs.numeric = NumericStats(min=0.0, max=5.0)
+    stats = DatasetStatsList([DatasetStats(num_examples=3, features={"b": fs})])
+    r = validate_statistics(stats, int_schema)
+    descs = [a.description for a in r.anomalies if a.type == AT.BOOL_TYPE_BIG_INT]
+    assert descs == ["Integers (such as 5) not in {0, 1}: converting to an integer."]
+
+    str_schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="b",
+                type=FeatureType.BYTES,
+                bool_domain=BoolDomain(true_value="yes", false_value="no"),
+            )
+        ]
+    )
+    sfs = string_feature("b", {"yes": 2.0, "maybe": 1.0})
+    r = validate_statistics(stats_of([sfs]), str_schema)
+    descs = [a.description for a in r.anomalies if a.type == AT.BOOL_TYPE_UNEXPECTED_STRING]
+    assert descs == ['Saw unexpected value "maybe" instead of {"no", "yes"}.']
