@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "slice_multi",
     "nl_token_stats",
     "simhash_docs",
+    # round 3 addition
+    "lift_binned",
 ]
 
 
