@@ -1216,6 +1216,7 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
             )
             continue
         ofs = other.feature(spec.name)
+        sides = "current and previous" if which == "drift" else "training and serving"
         if comparator.infinity_norm_threshold is not None:
             val, max_label = _linf(fs, ofs)
             if val is not None:
@@ -1228,10 +1229,6 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
                     # Wording parity with the reference golden
                     # (feature_util.cc L-infty message; validation_api_test.py
                     # _annotated_enum_anomaly_info / _bar_anomaly_info).
-                    sides = (
-                        "current and previous" if which == "drift"
-                        else "training and serving"
-                    )
                     out.anomalies.append(
                         _anom(
                             spec.name,
@@ -1262,17 +1259,17 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
                         _anom(
                             spec.name,
                             AnomalyType.COMPARATOR_JENSEN_SHANNON_DIVERGENCE_HIGH,
-                            "High approximate Jensen-Shannon divergence",
-                            f"The approximate Jensen-Shannon divergence is {val:.6g}, "
-                            f"above the threshold "
-                            f"{comparator.jensen_shannon_divergence_threshold}.",
+                            f"High approximate Jensen-Shannon divergence between {sides}",
+                            f"The approximate Jensen-Shannon divergence between {sides} "
+                            f"is {val:.6g} (up to six significant digits), above the "
+                            f"threshold {comparator.jensen_shannon_divergence_threshold:.6g}.",
                             ds.slice_key,
                             measurement=val,
                             threshold=comparator.jensen_shannon_divergence_threshold,
                         )
                     )
         if comparator.normalized_abs_difference_threshold is not None:
-            val = _nad(fs, ofs)
+            val, nad_label = _nad(fs, ofs)
             if val is not None:
                 out.drift_skew_info.append(
                     DriftSkewMeasurement(
@@ -1287,9 +1284,11 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
                         _anom(
                             spec.name,
                             AnomalyType.COMPARATOR_NORMALIZED_ABSOLUTE_DIFFERENCE_HIGH,
-                            "High normalized absolute difference",
-                            f"The normalized absolute difference is {val:.6g}, above the "
-                            f"threshold {comparator.normalized_abs_difference_threshold}.",
+                            f"High normalized absolute difference between {sides}",
+                            f"The normalized absolute difference between {sides} is "
+                            f"{val:.6g} (up to six significant digits), above the "
+                            f"threshold {comparator.normalized_abs_difference_threshold:.6g}. "
+                            f"The feature value with maximum difference is: {nad_label}",
                             ds.slice_key,
                             measurement=val,
                             threshold=comparator.normalized_abs_difference_threshold,
@@ -1330,13 +1329,15 @@ def _jsd(fs, ofs) -> Optional[float]:
     return None
 
 
-def _nad(fs, ofs) -> Optional[float]:
+def _nad(fs, ofs):
+    """(value, max-difference label) — NormalizedAbsoluteDifference returns
+    both (feature_util.cc:330-345)."""
     if fs.string is None or ofs.string is None:
-        return None
-    _, val = drift_metrics.normalized_absolute_difference(
+        return None, None
+    label, val = drift_metrics.normalized_absolute_difference(
         fs.string.value_counts(), ofs.string.value_counts()
     )
-    return val
+    return val, label
 
 
 def _check_dataset_constraints(ds, schema, prev, prev_version, out):
