@@ -238,12 +238,21 @@ class DatasetConstraints:
 
 @dataclass
 class SparseFeature:
-    """Logical sparse feature over (index, value) physical columns
-    (cf. reference sparse_feature checks, ``anomalies/schema.cc:1197-1292``)."""
+    """Logical sparse feature over (index..., value) physical columns
+    (cf. reference sparse_feature checks, ``anomalies/schema.cc:1197-1292``).
+    The reference allows MULTIPLE index features; ``index_features`` carries
+    them, with ``index_feature`` kept as the single-index shorthand."""
 
     name: str
     index_feature: str = ""
     value_feature: str = ""
+    index_features: Optional[list[str]] = None
+
+    @property
+    def all_index_features(self) -> list[str]:
+        if self.index_features:
+            return list(self.index_features)
+        return [self.index_feature] if self.index_feature else []
 
 
 @dataclass

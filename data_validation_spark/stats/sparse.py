@@ -22,23 +22,52 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def sparse_feature_stats(
-    df: DataFrame, index_col: str, value_col: str
+    df: DataFrame, index_cols: "str | list[str]", value_col: str
 ) -> dict:
-    """missing_value / missing_index / min,max_length_diff for one sparse
-    feature — single aggregation pass."""
-    i, v = F.col(index_col), F.col(value_col)
-    diff = F.size(i) - F.size(v)
-    row = df.agg(
-        F.sum(F.when(i.isNotNull() & v.isNull(), 1).otherwise(0)).alias("missing_value"),
-        F.sum(F.when(v.isNotNull() & i.isNull(), 1).otherwise(0)).alias("missing_index"),
-        F.min(F.when(i.isNotNull() & v.isNotNull(), diff)).alias("min_length_diff"),
-        F.max(F.when(i.isNotNull() & v.isNotNull(), diff)).alias("max_length_diff"),
-    ).collect()[0]
+    """missing_value / per-index missing_index / per-index min,max_length_diff
+    for one sparse feature — single aggregation pass.
+
+    Reference semantics (``sparse_feature_stats_generator.py`` +
+    ``constituents/count_missing_generator.py`` /
+    ``length_diff_generator.py``): rows where EVERY component is null are
+    ignored entirely; a null component list counts as length 0 in the
+    index-vs-value diffs. Returns flat aggregate keys (back-compat: sum of
+    per-index missing, min/max over indexes) plus ``*_by_index`` dicts.
+    """
+    from functools import reduce
+    from operator import or_
+
+    idx = [index_cols] if isinstance(index_cols, str) else list(index_cols)
+    comps = idx + [value_col]
+    present = reduce(or_, [F.col(c).isNotNull() for c in comps])
+    v = F.col(value_col)
+    vlen = F.when(v.isNull(), F.lit(0)).otherwise(F.size(v))
+    aggs = [
+        F.sum(F.when(present & v.isNull(), 1).otherwise(0)).alias("missing_value")
+    ]
+    for c in idx:
+        i = F.col(c)
+        ilen = F.when(i.isNull(), F.lit(0)).otherwise(F.size(i))
+        diff = F.when(present, ilen - vlen)
+        aggs += [
+            F.sum(F.when(present & i.isNull(), 1).otherwise(0)).alias(f"mi::{c}"),
+            F.min(diff).alias(f"mind::{c}"),
+            F.max(diff).alias(f"maxd::{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    mi_by = {c: int(row[f"mi::{c}"] or 0) for c in idx}
+    mind_by = {c: row[f"mind::{c}"] for c in idx}
+    maxd_by = {c: row[f"maxd::{c}"] for c in idx}
+    mins = [x for x in mind_by.values() if x is not None]
+    maxs = [x for x in maxd_by.values() if x is not None]
     return {
         "missing_value": int(row["missing_value"] or 0),
-        "missing_index": int(row["missing_index"] or 0),
-        "min_length_diff": row["min_length_diff"],
-        "max_length_diff": row["max_length_diff"],
+        "missing_index": sum(mi_by.values()),
+        "min_length_diff": min(mins) if mins else None,
+        "max_length_diff": max(maxs) if maxs else None,
+        "missing_index_by_index": mi_by,
+        "min_length_diff_by_index": mind_by,
+        "max_length_diff_by_index": maxd_by,
     }
 
 
@@ -71,8 +100,9 @@ def attach_sparse_weighted_stats(stats, df: DataFrame, schema) -> None:
         return
     cols = set(df.columns)
     for sf in getattr(schema, "sparse_feature", []):
-        if sf.index_feature in cols and sf.value_feature in cols:
-            s = sparse_feature_stats(df, sf.index_feature, sf.value_feature)
+        idx = sf.all_index_features
+        if idx and all(c in cols for c in idx) and sf.value_feature in cols:
+            s = sparse_feature_stats(df, idx, sf.value_feature)
             fs = ds.features.setdefault(sf.name, FeatureStats(name=sf.name, type="STRUCT"))
             fs.custom["sparse_feature_stats"] = s
     for wf in getattr(schema, "weighted_feature", []):

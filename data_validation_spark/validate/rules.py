@@ -362,39 +362,56 @@ def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
         s = fs.custom.get("sparse_feature_stats") if fs else None
         if s is None:
             continue
+        # schema.cc:1197-1248 (UpdateSparseFeature): exact wording, per-index
+        # reporting, and one anomaly per nonzero min/max diff stat.
         if s.get("missing_value", 0) > 0:
             out.anomalies.append(
                 _anom(
                     sf.name,
                     AnomalyType.SPARSE_FEATURE_MISSING_VALUE,
                     "Missing value feature",
-                    f"Found {s['missing_value']} examples missing the value feature.",
+                    f"Found {s['missing_value']} examples missing value feature",
                     ds.slice_key,
                     measurement=float(s["missing_value"]),
                 )
             )
-        if s.get("missing_index", 0) > 0:
-            out.anomalies.append(
-                _anom(
-                    sf.name,
-                    AnomalyType.SPARSE_FEATURE_MISSING_INDEX,
-                    "Missing index feature",
-                    f"Found {s['missing_index']} examples missing the index feature.",
-                    ds.slice_key,
-                    measurement=float(s["missing_index"]),
+        mi_by = s.get("missing_index_by_index") or (
+            {sf.index_feature or "index": s["missing_index"]}
+            if s.get("missing_index", 0)
+            else {}
+        )
+        for idx_name, cnt in mi_by.items():
+            if cnt:
+                out.anomalies.append(
+                    _anom(
+                        sf.name,
+                        AnomalyType.SPARSE_FEATURE_MISSING_INDEX,
+                        "Missing index feature",
+                        f"Found {cnt} examples missing index feature: {idx_name}",
+                        ds.slice_key,
+                        measurement=float(cnt),
+                    )
                 )
-            )
-        lo, hi = s.get("min_length_diff"), s.get("max_length_diff")
-        if (lo is not None and lo != 0) or (hi is not None and hi != 0):
-            out.anomalies.append(
-                _anom(
-                    sf.name,
-                    AnomalyType.SPARSE_FEATURE_LENGTH_MISMATCH,
-                    "Length mismatch",
-                    f"Index and value lists differ in length (diff range [{lo}, {hi}]).",
-                    ds.slice_key,
-                )
-            )
+        idx_names = list(
+            (s.get("min_length_diff_by_index") or {}).keys()
+        ) or ([sf.index_feature] if sf.index_feature else [])
+        for idx_name in idx_names:
+            for stat_name, key in (
+                ("max_length_diff", "max_length_diff_by_index"),
+                ("min_length_diff", "min_length_diff_by_index"),
+            ):
+                d = (s.get(key) or {}).get(idx_name, s.get(stat_name))
+                if d is not None and d != 0:
+                    out.anomalies.append(
+                        _anom(
+                            sf.name,
+                            AnomalyType.SPARSE_FEATURE_LENGTH_MISMATCH,
+                            "Length mismatch between value and index feature",
+                            f"Mismatch between index feature: {idx_name} and "
+                            f"value column, with {stat_name} = {int(d)}",
+                            ds.slice_key,
+                        )
+                    )
     for wf in schema.weighted_feature:
         if wf.name in collided:
             continue
@@ -408,7 +425,7 @@ def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
                     wf.name,
                     AnomalyType.WEIGHTED_FEATURE_MISSING_VALUE,
                     "Missing value feature",
-                    f"Found {s['missing_value']} examples missing the value feature.",
+                    f"Found {s['missing_value']} examples missing value feature.",
                     ds.slice_key,
                     measurement=float(s["missing_value"]),
                 )
@@ -419,19 +436,22 @@ def _check_sparse_weighted(ds, schema: Schema, out: Anomalies) -> None:
                     wf.name,
                     AnomalyType.WEIGHTED_FEATURE_MISSING_WEIGHT,
                     "Missing weight feature",
-                    f"Found {s['missing_weight']} examples missing the weight feature.",
+                    f"Found {s['missing_weight']} examples missing weight feature.",
                     ds.slice_key,
                     measurement=float(s["missing_weight"]),
                 )
             )
         lo, hi = s.get("min_weight_length_diff"), s.get("max_weight_length_diff")
         if (lo is not None and lo != 0) or (hi is not None and hi != 0):
+            # schema.cc:1278-1288: one combined anomaly naming both stats
             out.anomalies.append(
                 _anom(
                     wf.name,
                     AnomalyType.WEIGHTED_FEATURE_LENGTH_MISMATCH,
-                    "Length mismatch",
-                    f"Weight and value lists differ in length (diff range [{lo}, {hi}]).",
+                    "Length mismatch between value and weight feature",
+                    "Mismatch between weight and value feature with "
+                    f"min_weight_length_diff = {int(lo or 0)} and "
+                    f"max_weight_length_diff = {int(hi or 0)}.",
                     ds.slice_key,
                 )
             )

@@ -387,3 +387,58 @@ def test_topk_frequency_threshold_golden(spark):
         ("a", 35.0), ("z", 15.0), ("x", 15.0)
     ]
     assert st.unique == 5  # thresholds never reduce the unique count
+
+
+# --------------------------------------------------------------------------
+# cross-feature stats goldens (cross_feature_stats_generator_test.py:46-141)
+# --------------------------------------------------------------------------
+def test_cross_feature_stats_golden(spark):
+    """cross_feature_stats_generator_test.py (with_crosses_specified): the
+    reference's exact count/covariance/correlation for (a,c) and (b,c) over
+    a=[1,3,5,6,10], b=[2,4,6,14,16], c=[5,3,7,-1,0] — null rows excluded."""
+    from data_validation_spark.stats.lift import cross_feature_stats
+
+    rows = [
+        (1.0, 2.0, 5.0), (3.0, 4.0, 3.0), (5.0, 6.0, 7.0),
+        (6.0, 14.0, -1.0), (10.0, 16.0, 0.0), (None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {
+        (r["feature_x"], r["feature_y"]): r
+        for r in cross_feature_stats(df, [("a", "b"), ("a", "c"), ("b", "c")]).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["count"] == 5
+    assert ab["covariance"] == pytest.approx(15.6, rel=1e-6)
+    assert ab["correlation"] == pytest.approx(0.923145, rel=1e-5)
+    ac = out[("a", "c")]
+    assert ac["count"] == 5
+    assert ac["covariance"] == pytest.approx(-5.4, rel=1e-6)
+    assert ac["correlation"] == pytest.approx(-0.59476602, rel=1e-5)
+    bc = out[("b", "c")]
+    assert bc["covariance"] == pytest.approx(-13.52, rel=1e-6)
+    assert bc["correlation"] == pytest.approx(-0.81070298, rel=1e-5)
+
+
+def test_empty_value_counter_goldens(spark):
+    """empty_value_counter_generator_test.py: '' strings → 3, -1 ints → 4,
+    [] lists → 4 (null rows never count)."""
+    from data_validation_spark.stats.sparse import empty_value_counts
+
+    sdf = spark.createDataFrame(
+        [("abc",), ("",), ("",), ("def",), ("",), (None,)], "s string"
+    )
+    assert empty_value_counts(sdf)["s"] == 3
+
+    idf = spark.createDataFrame(
+        [(0,), (-1,), (10,), (0,), (-1,), (None,), (2,), (-1,), (-1,), (100,)],
+        "i bigint",
+    )
+    assert empty_value_counts(idf)["i"] == 4
+
+    ldf = spark.createDataFrame(
+        [([],), (None,), (["abc", "foo"],), (["foo"],), (None,), ([],), ([],),
+         ([],), (["", "jk", "tst"],)],
+        "l array<string>",
+    )
+    assert empty_value_counts(ldf)["l"] == 4

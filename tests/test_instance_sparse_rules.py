@@ -211,3 +211,92 @@ def test_deprecated_lifecycle_stages_exempt():
         keys = _reason_keys({"present": ["x"]}, schema)
         missing = [k for k in keys if k.startswith("gone_")]
         assert (missing == []) == exempt, (stage, keys)
+
+
+# --------------------------------------------------------------------------
+# multi-index sparse feature goldens
+# (sparse_feature_stats_generator_test.py:29-278, schema.cc:1197-1248)
+# --------------------------------------------------------------------------
+def test_sparse_multi_index_valid_input_golden(spark):
+    """sparse_feature_stats_generator_test.py:29-110 (valid_input): two index
+    features, everything aligned → all-zero stats for both indexes."""
+    from data_validation_spark.stats.sparse import sparse_feature_stats
+
+    df = spark.createDataFrame(
+        [(["a"], [1], [2]), (["a", "b"], [1, 3], [2, 4])],
+        "value_feature array<string>, index_feature1 array<bigint>, "
+        "index_feature2 array<bigint>",
+    )
+    s = sparse_feature_stats(df, ["index_feature1", "index_feature2"], "value_feature")
+    assert s["missing_value"] == 0
+    assert s["missing_index_by_index"] == {"index_feature1": 0, "index_feature2": 0}
+    assert s["min_length_diff_by_index"] == {"index_feature1": 0, "index_feature2": 0}
+    assert s["max_length_diff_by_index"] == {"index_feature1": 0, "index_feature2": 0}
+
+
+def test_sparse_multi_index_missing_value_and_index_golden(spark):
+    """sparse_feature_stats_generator_test.py:112-193: missing_value 2,
+    missing index_feature1 in 3 examples, per-index length diffs with null
+    lists counting as length 0."""
+    from data_validation_spark.stats.sparse import sparse_feature_stats
+
+    rows = [
+        (None, [1], [2]),
+        (None, [1], [2]),
+        (["a", "b"], None, [2, 4]),
+        (["a", "b"], None, [2, 4]),
+        (["a", "b"], None, [2, 4]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "value_feature array<string>, index_feature1 array<bigint>, "
+        "index_feature2 array<bigint>",
+    )
+    s = sparse_feature_stats(df, ["index_feature1", "index_feature2"], "value_feature")
+    assert s["missing_value"] == 2
+    assert s["missing_index_by_index"] == {"index_feature1": 3, "index_feature2": 0}
+    assert s["max_length_diff_by_index"] == {"index_feature1": 1, "index_feature2": 1}
+    assert s["min_length_diff_by_index"] == {"index_feature1": -2, "index_feature2": 0}
+
+
+def test_sparse_multi_index_rule_wording_golden(spark):
+    """schema.cc:1197-1248 (UpdateSparseFeature): per-index anomalies with
+    the exact reference strings, one per nonzero min/max diff stat."""
+    from data_validation_spark.stats.sparse import attach_sparse_weighted_stats
+    from data_validation_spark.stats.result import DatasetStats, DatasetStatsList
+
+    rows = [
+        (None, [1], [2]),
+        (None, [1], [2]),
+        (["a", "b"], None, [2, 4]),
+        (["a", "b"], None, [2, 4]),
+        (["a", "b"], None, [2, 4]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "value_feature array<string>, index_feature1 array<bigint>, "
+        "index_feature2 array<bigint>",
+    )
+    schema = Schema(
+        sparse_feature=[
+            SparseFeature(
+                name="sparse_feature",
+                value_feature="value_feature",
+                index_features=["index_feature1", "index_feature2"],
+            )
+        ]
+    )
+    stats = DatasetStatsList([DatasetStats(num_examples=5)])
+    attach_sparse_weighted_stats(stats, df, schema)
+    result = validate_statistics(stats, schema)
+    descs = sorted(a.description for a in result.anomalies)
+    assert descs == [
+        "Found 2 examples missing value feature",
+        "Found 3 examples missing index feature: index_feature1",
+        "Mismatch between index feature: index_feature1 and value column, "
+        "with max_length_diff = 1",
+        "Mismatch between index feature: index_feature1 and value column, "
+        "with min_length_diff = -2",
+        "Mismatch between index feature: index_feature2 and value column, "
+        "with max_length_diff = 1",
+    ]

@@ -60,7 +60,10 @@ def test_sparse_feature_stats(spark):
     s = sparse_feature_stats(df, "idx", "val")
     assert s["missing_value"] == 1
     assert s["missing_index"] == 1
-    assert s["min_length_diff"] == 0
+    # reference length-diff semantics (constituents/length_diff_generator.py):
+    # a null component counts as length 0, so the missing-index row
+    # contributes 0-1 = -1 and the missing-value row 1-0 = +1
+    assert s["min_length_diff"] == -1
     assert s["max_length_diff"] == 2
 
 
