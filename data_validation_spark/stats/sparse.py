@@ -39,7 +39,18 @@ def sparse_feature_stats(
 
     idx = [index_cols] if isinstance(index_cols, str) else list(index_cols)
     comps = idx + [value_col]
-    present = reduce(or_, [F.col(c).isNotNull() for c in comps])
+    cols = set(df.columns)
+    if any(c not in cols for c in comps):
+        # a component entirely absent from the frame is an always-null column
+        # (sparse_feature_stats_generator_test value/index_feature_not_in_batch)
+        for c in comps:
+            if c not in cols:
+                df = df.withColumn(c, F.lit(None).cast("array<int>"))
+
+    def _c(name):
+        return F.col(name)
+
+    present = reduce(or_, [_c(c).isNotNull() for c in comps])
     v = F.col(value_col)
     vlen = F.when(v.isNull(), F.lit(0)).otherwise(F.size(v))
     aggs = [
@@ -101,7 +112,10 @@ def attach_sparse_weighted_stats(stats, df: DataFrame, schema) -> None:
     cols = set(df.columns)
     for sf in getattr(schema, "sparse_feature", []):
         idx = sf.all_index_features
-        if idx and all(c in cols for c in idx) and sf.value_feature in cols:
+        # at least ONE component must exist in the frame; absent components
+        # are treated as always-null (generator *_not_in_batch cases) — a
+        # fully absent sparse feature contributes nothing
+        if idx and any(c in cols for c in idx + [sf.value_feature]):
             s = sparse_feature_stats(df, idx, sf.value_feature)
             fs = ds.features.setdefault(sf.name, FeatureStats(name=sf.name, type="STRUCT"))
             fs.custom["sparse_feature_stats"] = s

@@ -300,3 +300,23 @@ def test_sparse_multi_index_rule_wording_golden(spark):
         "Mismatch between index feature: index_feature2 and value column, "
         "with max_length_diff = 1",
     ]
+
+
+def test_sparse_component_not_in_batch_golden(spark):
+    """sparse_feature_stats_generator_test.py:403-567 (value/index feature
+    not in batch): an absent component behaves as always-null — every
+    present row counts it missing, and its length is 0 in the diffs."""
+    from data_validation_spark.stats.sparse import sparse_feature_stats
+
+    df = spark.createDataFrame(
+        [([1],), ([1, 3],)], "index_feature1 array<bigint>"
+    )
+    s = sparse_feature_stats(df, ["index_feature1"], "value_feature")
+    assert s["missing_value"] == 2
+    assert s["missing_index_by_index"] == {"index_feature1": 0}
+    assert s["min_length_diff_by_index"] == {"index_feature1": 1}
+    assert s["max_length_diff_by_index"] == {"index_feature1": 2}
+
+    s2 = sparse_feature_stats(df, ["index_feature1", "ghost_index"], "value_feature")
+    assert s2["missing_index_by_index"]["ghost_index"] == 2
+    assert s2["max_length_diff_by_index"]["ghost_index"] == 0
