@@ -1849,6 +1849,55 @@ def _sparse_stats_sql():
     )
 
 
+def q_sparse_multi_index(spark, sf_dir):
+    """Multi-index sparse feature stats: per-order linenumber arrays as two
+    index features (full + capped-at-3) against a capped value array —
+    per-index missing counts and length diffs in one aggregation."""
+    from data_validation_spark.stats.sparse import sparse_feature_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("idx_full")
+    )
+    sdf = g.select(
+        "idx_full",
+        F.filter(F.col("idx_full"), lambda x: x <= 5).alias("idx_5"),
+        F.filter(F.col("idx_full"), lambda x: x <= 3).alias("val"),
+    )
+    s = sparse_feature_stats(sdf, ["idx_full", "idx_5"], "val")
+    return spark.createDataFrame(
+        [
+            (
+                s["missing_value"],
+                s["missing_index_by_index"]["idx_full"],
+                s["missing_index_by_index"]["idx_5"],
+                int(s["min_length_diff_by_index"]["idx_full"]),
+                int(s["max_length_diff_by_index"]["idx_full"]),
+                int(s["min_length_diff_by_index"]["idx_5"]),
+                int(s["max_length_diff_by_index"]["idx_5"]),
+            )
+        ],
+        "missing_value bigint, mi_full bigint, mi_5 bigint, "
+        "mind_full bigint, maxd_full bigint, mind_5 bigint, maxd_5 bigint",
+    )
+
+
+def _sparse_multi_sql():
+    return (
+        "WITH g AS (SELECT l_orderkey, "
+        "count(*) AS n_full, "
+        "sum(CASE WHEN l_linenumber <= 5 THEN 1 ELSE 0 END) AS n5, "
+        "sum(CASE WHEN l_linenumber <= 3 THEN 1 ELSE 0 END) AS n3 "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT CAST(0 AS BIGINT) AS missing_value, CAST(0 AS BIGINT) AS mi_full, "
+        "CAST(0 AS BIGINT) AS mi_5, "
+        "CAST(min(n_full - n3) AS BIGINT) AS mind_full, "
+        "CAST(max(n_full - n3) AS BIGINT) AS maxd_full, "
+        "CAST(min(n5 - n3) AS BIGINT) AS mind_5, "
+        "CAST(max(n5 - n3) AS BIGINT) AS maxd_5 FROM g"
+    )
+
+
 def q_infer_schema_roundtrip(spark, sf_dir):
     """Schema inference round-trip: infer from orders stats, emit the inferred
     properties, and assert the inferred schema validates its own stats."""
@@ -1946,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_stats": q_weighted_stats,
         "empty_values": q_empty_values,
         "sparse_stats": q_sparse_stats,
+        "sparse_multi_index": q_sparse_multi_index,
         "infer_schema_roundtrip": q_infer_schema_roundtrip,
     }
 
@@ -2011,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_stats": _weighted_stats_sql(),
         "empty_values": _empty_values_sql(),
         "sparse_stats": _sparse_stats_sql(),
+        "sparse_multi_index": _sparse_multi_sql(),
         "infer_schema_roundtrip": _infer_schema_sql(),
         # Formerly rows-only; now self-verifying (see each query's docstring):
         # pair lists / aggregates are computed by the oracle on the same
