@@ -414,6 +414,49 @@ def _assemble_feature(
                 num.num_neg_inf,
             )
             num.histograms = [h for h in (eh, qh) if h is not None]
+        # Weighted quantile stats (reference WeightedNumericStatistics median +
+        # [weighted equi-width, weighted quantiles] histograms,
+        # basic_stats_generator.py:838-876) — emitted when a weight column is
+        # configured and the sketch pass produced a weighted t-digest grid.
+        wdata = arr_data.get(key) if options.weight_column else None
+        if wdata and wdata.get("wquants") is not None:
+            wq = wdata["wquants"]
+            wfin = wdata["wfcnt"]
+            num.weighted_median = median_from_boundaries(wq)
+            wqh = quantiles_histogram(
+                wq, wfin, options.num_quantiles_histogram_buckets, num.num_nan
+            )
+            weh = equi_width_histogram(
+                wq,
+                wfin,
+                options.num_histogram_buckets,
+                num.num_nan,
+                wdata["wposinf"],
+                wdata["wneginf"],
+            )
+            num.weighted_histograms = [h for h in (weh, wqh) if h is not None]
+            if num.weighted_mean is None:
+                # Nested features: weighted mean/std from the sketch
+                # accumulators (the wide pass only covers scalars). Same
+                # ±inf reconstruction as the unweighted path above.
+                wn = wfin + wdata["wposinf"] + wdata["wneginf"]
+                if wdata["wposinf"] and wdata["wneginf"]:
+                    num.weighted_mean = float("nan")
+                elif wdata["wposinf"]:
+                    num.weighted_mean = float("inf")
+                elif wdata["wneginf"]:
+                    num.weighted_mean = float("-inf")
+                elif wn > 0:
+                    num.weighted_mean = wdata["wfsum"] / wn
+                if num.weighted_mean is not None:
+                    if wdata["wposinf"] or wdata["wneginf"]:
+                        wvar = 0.0
+                    else:
+                        wvar = max(
+                            0.0,
+                            wdata["wfsumsq"] / wn - num.weighted_mean**2,
+                        ) if wn > 0 else 0.0
+                    num.weighted_std_dev = math.sqrt(wvar)
         fs.numeric = num
         if not p.categorical:
             return fs

@@ -102,6 +102,13 @@ class NumericStats:
     histograms: list[Histogram] = field(default_factory=list)
     weighted_mean: Optional[float] = None
     weighted_std_dev: Optional[float] = None
+    # Weighted quantile stats (the reference's WeightedNumericStatistics
+    # median + histograms, basic_stats_generator.py:830-877): present only
+    # when a weight column was configured AND the sketch pass ran (weighted
+    # quantiles come from the weighted t-digest, mirroring the reference's
+    # weighted QuantilesSketch).
+    weighted_median: Optional[float] = None
+    weighted_histograms: list[Histogram] = field(default_factory=list)
 
     def histogram(self, type_: str) -> Optional[Histogram]:
         for h in self.histograms:

@@ -59,8 +59,9 @@ def _collapse_large(vals: list[str]) -> list[str]:
 class FeatureAccumulator:
     """All sketch state for one (slice, feature)."""
 
-    __slots__ = ("topk", "wtopk", "hll", "td", "zeros", "posinf", "neginf",
-                 "fincnt", "fsum", "fsumsq", "wsum", "use_placeholder")
+    __slots__ = ("topk", "wtopk", "hll", "td", "wtd", "zeros", "posinf",
+                 "neginf", "fincnt", "fsum", "fsumsq", "wsum", "wfcnt",
+                 "wfsum", "wfsumsq", "wposinf", "wneginf", "use_placeholder")
 
     def __init__(self, options, categorical: bool = False):
         self.topk = CountMinTopK(max_candidates=options.topk_sketch_size * 4)
@@ -73,6 +74,11 @@ class FeatureAccumulator:
         )
         self.hll = HyperLogLog(options.hll_precision)
         self.td = TDigest(options.tdigest_compression)
+        # Weighted quantiles sketch (reference weighted_quantiles_summary,
+        # basic_stats_generator.py:350,387,470-472) — only with a weight col.
+        self.wtd = (
+            TDigest(options.tdigest_compression) if options.weight_column else None
+        )
         self.zeros = 0
         self.posinf = 0
         self.neginf = 0
@@ -80,6 +86,13 @@ class FeatureAccumulator:
         self.fsum = 0.0
         self.fsumsq = 0.0
         self.wsum = 0.0
+        # Weighted numeric accumulators: total weight / weighted sum /
+        # weighted sum-of-squares over finite values, weighted ±inf masses.
+        self.wfcnt = 0.0
+        self.wfsum = 0.0
+        self.wfsumsq = 0.0
+        self.wposinf = 0.0
+        self.wneginf = 0.0
         self.use_placeholder = not categorical
 
     def add_strings(self, values: pd.Series, weights: pd.Series | None = None) -> None:
@@ -100,17 +113,35 @@ class FeatureAccumulator:
                     wsums.to_numpy(),
                 )
 
-    def add_numbers(self, values: np.ndarray) -> None:
-        v = values[~np.isnan(values)]
-        self.posinf += int(np.count_nonzero(v == np.inf))
-        self.neginf += int(np.count_nonzero(v == -np.inf))
-        fin = v[np.isfinite(v)]
+    def add_numbers(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        nn = ~np.isnan(values)
+        v = values[nn]
+        w = weights[nn] if weights is not None else None
+        posmask = v == np.inf
+        negmask = v == -np.inf
+        self.posinf += int(np.count_nonzero(posmask))
+        self.neginf += int(np.count_nonzero(negmask))
+        finmask = np.isfinite(v)
+        fin = v[finmask]
         self.fincnt += fin.size
         if fin.size:
             self.zeros += int(np.count_nonzero(fin == 0.0))
             self.fsum += float(fin.sum())
             self.fsumsq += float((fin * fin).sum())
             self.td.add(fin)
+        if self.wtd is not None:
+            fw = w[finmask] if w is not None else np.ones(fin.size)
+            if fin.size:
+                self.wfcnt += float(fw.sum())
+                self.wfsum += float((fin * fw).sum())
+                self.wfsumsq += float((fin * fin * fw).sum())
+                self.wtd.add(fin, fw)
+            if w is not None:
+                self.wposinf += float(w[posmask].sum())
+                self.wneginf += float(w[negmask].sum())
+            else:
+                self.wposinf += float(np.count_nonzero(posmask))
+                self.wneginf += float(np.count_nonzero(negmask))
 
     def merge(self, other: "FeatureAccumulator") -> "FeatureAccumulator":
         self.topk = self.topk.merge(other.topk)
@@ -120,16 +151,30 @@ class FeatureAccumulator:
             self.wtopk = other.wtopk
         self.hll = self.hll.merge(other.hll)
         self.td = self.td.merge(other.td)
+        # One-sided weighted merge (same propagation rule as wtopk above):
+        # an accumulator built without the weight option adopts the other
+        # side's weighted state.
+        if self.wtd is not None and other.wtd is not None:
+            self.wtd = self.wtd.merge(other.wtd)
+        elif other.wtd is not None:
+            self.wtd = other.wtd
         self.zeros += other.zeros
         self.posinf += other.posinf
         self.neginf += other.neginf
         self.fincnt += other.fincnt
         self.fsum += other.fsum
         self.fsumsq += other.fsumsq
+        self.wfcnt += other.wfcnt
+        self.wfsum += other.wfsum
+        self.wfsumsq += other.wfsumsq
+        self.wposinf += other.wposinf
+        self.wneginf += other.wneginf
         return self
 
     def compact(self) -> None:
         self.td.compact()
+        if self.wtd is not None:
+            self.wtd.compact()
 
 
 _PARTIAL_DDL = "slice_key string, feature string, acc binary"
@@ -161,9 +206,14 @@ def run_sketch_pass(df, plans, slice_col, options):
                 sv = g["str_value"].dropna()
                 if len(sv):
                     acc.add_strings(sv, g["weight"][sv.index] if weighted else None)
-                nv = g["num_value"].dropna().to_numpy(dtype=np.float64)
-                if nv.size:
-                    acc.add_numbers(nv)
+                nvs = g["num_value"].dropna()
+                if len(nvs):
+                    acc.add_numbers(
+                        nvs.to_numpy(dtype=np.float64),
+                        g["weight"][nvs.index].to_numpy(dtype=np.float64)
+                        if weighted
+                        else None,
+                    )
         rows = []
         for (sk, feat), acc in accs.items():
             acc.compact()
@@ -174,7 +224,7 @@ def run_sketch_pass(df, plans, slice_col, options):
 
     # Two-tier merge when many partials would pile onto one (slice, feature)
     # reducer — the explicit hot-key fanout.
-    num_parts = long_df.rdd.getNumPartitions() if hasattr(long_df, "rdd") else 32
+    num_parts = long_df.rdd.getNumPartitions()
     if num_parts > 64:
         salted = partials.withColumn(
             "salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(16))
@@ -250,6 +300,7 @@ def run_sketch_pass(df, plans, slice_col, options):
                     else 0.0
                 )
             quants = acc.td.quantiles(qs) if acc.fincnt else None
+            wtd = getattr(acc, "wtd", None)
             arr_data[key] = {
                 "min": (-np.inf if acc.neginf else acc.td.min) if acc.fincnt or acc.neginf else None,
                 "max": (np.inf if acc.posinf else acc.td.max) if acc.fincnt or acc.posinf else None,
@@ -262,6 +313,16 @@ def run_sketch_pass(df, plans, slice_col, options):
                 "finmax": acc.td.max if acc.fincnt else None,
                 "fincnt": acc.fincnt,
                 "quants": quants,
+                # Weighted quantile grid + moments (reference
+                # WeightedNumericStatistics): present only with a weight col.
+                "wquants": (
+                    wtd.quantiles(qs) if wtd is not None and acc.fincnt else None
+                ),
+                "wfcnt": acc.wfcnt,
+                "wfsum": acc.wfsum,
+                "wfsumsq": acc.wfsumsq,
+                "wposinf": acc.wposinf,
+                "wneginf": acc.wneginf,
             }
     return topk_data, uniq_data, arr_data, (wtopk_data or dict(topk_data))
 

@@ -150,3 +150,107 @@ def test_sketch_mode_vs_exact(spark):
     # histograms exist in sketch mode too
     assert sx.histogram("STANDARD") is not None
     assert sx.histogram("STANDARD").total_count() == pytest.approx(10_000, rel=0.01)
+
+
+# ------------------------------------------------- weighted quantile sketch
+def _np_weighted_quantile(x, w, q):
+    order = np.argsort(x)
+    xs, ws = x[order], w[order]
+    cw = np.cumsum(ws)
+    return float(xs[np.searchsorted(cw, q * cw[-1])])
+
+
+def test_tdigest_weighted_three_way_parity():
+    # Reference weighted_quantiles_summary parity
+    # (basic_stats_generator.py:350,387,470-472): the weighted digest must be
+    # order-insensitive under add/merge/compact, and track the exact weighted
+    # quantiles of the stream.
+    rng = np.random.RandomState(3)
+    batches = [
+        (rng.normal(50, 10, 4000), rng.uniform(0.1, 5.0, 4000)) for _ in range(4)
+    ]
+    all_x = np.concatenate([b[0] for b in batches])
+    all_w = np.concatenate([b[1] for b in batches])
+
+    accs = []
+    for x, w in batches:
+        t = TDigest()
+        t.add(x, w)
+        accs.append(t)
+    merged = accs[0]
+    for t in accs[1:]:
+        merged = merged.merge(t)
+    compacted = merged.merge(TDigest())
+    seq = TDigest()
+    for x, w in batches:
+        seq.add(x, w)
+
+    for q in (0.1, 0.5, 0.9):
+        truth = _np_weighted_quantile(all_x, all_w, q)
+        for sk in (merged, compacted, seq):
+            assert sk.quantile(q) == pytest.approx(truth, abs=0.6)
+    assert merged.count == pytest.approx(all_w.sum(), rel=1e-9)
+
+
+def test_feature_accumulator_weighted_merge_parity():
+    import pandas as pd
+
+    from data_validation_spark.stats.options import StatsOptions
+    from data_validation_spark.stats.sketches.runner import FeatureAccumulator
+
+    opts = StatsOptions(weight_column="w")
+    rng = np.random.RandomState(4)
+    x = rng.uniform(0, 100, 9000)
+    w = rng.uniform(0.5, 2.0, 9000)
+
+    seq = FeatureAccumulator(opts)
+    seq.add_numbers(x, w)
+
+    parts = []
+    for i in range(3):
+        a = FeatureAccumulator(opts)
+        a.add_numbers(x[i::3], w[i::3])
+        parts.append(a)
+    merged = parts[0].merge(parts[1]).merge(parts[2])
+    merged.compact()
+
+    truth = _np_weighted_quantile(x, w, 0.5)
+    assert seq.wtd.quantile(0.5) == pytest.approx(truth, abs=0.8)
+    assert merged.wtd.quantile(0.5) == pytest.approx(truth, abs=0.8)
+    assert merged.wfcnt == pytest.approx(seq.wfcnt) == pytest.approx(w.sum())
+    assert merged.wfsum == pytest.approx(seq.wfsum, rel=1e-12)
+
+
+def test_weighted_sketch_quantiles_engine(spark):
+    # End-to-end: weighted median / mean / histograms in sketch mode
+    # (WeightedNumericStatistics parity, basic_stats_generator.py:830-877).
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+
+    rng = np.random.RandomState(5)
+    x = rng.normal(50, 10, 8000)
+    w = rng.uniform(0.1, 5.0, 8000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, w)], "x double, w double"
+    )
+    stats = compute_statistics(df, StatsOptions(weight_column="w", use_sketches=True))
+    n = stats.default_slice().feature("x").numeric
+
+    assert n.weighted_median == pytest.approx(
+        _np_weighted_quantile(x, w, 0.5), abs=0.5
+    )
+    assert n.weighted_mean == pytest.approx(float((x * w).sum() / w.sum()), rel=1e-9)
+    # histogram pair [STANDARD, QUANTILES], masses sum to total weight
+    types = [h.type for h in n.weighted_histograms]
+    assert types == ["STANDARD", "QUANTILES"]
+    for h in n.weighted_histograms:
+        assert h.total_count() == pytest.approx(float(w.sum()), rel=0.01)
+    # weighted median of a skewed weighting differs from unweighted median
+    # when weights correlate with value
+    w2 = (x > 50).astype(float) * 4 + 1.0
+    df2 = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, w2)], "x double, w double"
+    )
+    s2 = compute_statistics(df2, StatsOptions(weight_column="w", use_sketches=True))
+    n2 = s2.default_slice().feature("x").numeric
+    assert n2.weighted_median > n2.median + 2.0
