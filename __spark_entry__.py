@@ -1462,6 +1462,58 @@ def _sketch_stats_sql():
     )
 
 
+def q_knn_mi(spark, sf_dir):
+    """kNN (Kraskov/KSG) adjusted mutual information through the partitioned
+    harness (reference mutual_information.py:455-460,711 +
+    partitioned_stats_generator.py:35-115). Self-verified by estimator
+    behavior on constructed pairs with known structure: u = fractional hash of
+    l_partkey is independent of l_quantity (measured |corr| < 0.01), so
+    MI(q, q + 2u) > MI(q, q + 20u) > MI(q, 50u) ≈ 0 must hold, AMI must track
+    MI for dependent pairs, and AMI of the independent pair must be ≈ 0."""
+    from data_validation_spark.stats.mi import estimated_knn_mutual_information
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("q"),
+        (F.pmod(F.col("l_partkey"), F.lit(1000)).cast("double") / 1000.0).alias("u"),
+    )
+    low_noise = li.select("q", (F.col("q") + 2.0 * F.col("u")).alias("y"))
+    high_noise = li.select("q", (F.col("q") + 20.0 * F.col("u")).alias("y"))
+    indep = li.select("q", (50.0 * F.col("u")).alias("y"))
+
+    kw = dict(num_partitions=5, k=3, max_rows_per_partition=1000, adjusted=True)
+    r_low = estimated_knn_mutual_information(low_noise, "q", "y", **kw)
+    r_high = estimated_knn_mutual_information(high_noise, "q", "y", **kw)
+    r_ind = estimated_knn_mutual_information(indep, "q", "y", **kw)
+
+    mi_low, mi_high, mi_ind = (
+        r_low["mi"]["median"], r_high["mi"]["median"], r_ind["mi"]["median"],
+    )
+    ami_low, ami_ind = r_low["ami"]["median"], r_ind["ami"]["median"]
+    return spark.createDataFrame(
+        [
+            (
+                int(li.count()),
+                int(mi_low > mi_high + 0.2),
+                int(mi_high > mi_ind + 0.2),
+                int(mi_ind < 0.15),
+                int(ami_low > 1.0),
+                int(ami_ind < 0.15),
+            )
+        ],
+        "n_rows bigint, low_gt_high bigint, high_gt_ind bigint, "
+        "ind_small bigint, ami_dep_large bigint, ami_ind_small bigint",
+    )
+
+
+def _knn_mi_sql():
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(1 AS BIGINT) AS low_gt_high, CAST(1 AS BIGINT) AS high_gt_ind, "
+        "CAST(1 AS BIGINT) AS ind_small, CAST(1 AS BIGINT) AS ami_dep_large, "
+        "CAST(1 AS BIGINT) AS ami_ind_small FROM lineitem"
+    )
+
+
 def q_weighted_sketch_stats(spark, sf_dir):
     """Weighted quantiles through the sketch pass (reference
     WeightedNumericStatistics median + histograms via its weighted
@@ -2041,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "sketch_stats": q_sketch_stats,
         "weighted_sketch_stats": q_weighted_sketch_stats,
+        "knn_mi": q_knn_mi,
         "slice_multi": q_slice_multi,
         "nl_token_stats": q_nl_token_stats,
         "booldomain_violations": q_booldomain_violations,
@@ -2133,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": _similarity_ivf_sql(),
         "sketch_stats": _sketch_stats_sql(),
         "weighted_sketch_stats": _weighted_sketch_stats_sql(),
+        "knn_mi": _knn_mi_sql(),
         "images_profile": _images_profile_sql(),
         "images_verdict": _images_verdict_sql(),
     }

@@ -119,9 +119,17 @@ def kraskov_mi(x, y, k: int = 3) -> float:
 def estimated_knn_mutual_information(
     df: DataFrame, x_col: str, y_col: str, num_partitions: int = 10,
     k: int = 3, max_rows_per_partition: int = 2000, seed: int = 42,
+    adjusted: bool = False,
 ) -> dict:
     """kNN (Kraskov) MI per random partition, summarized across partitions —
-    the reference's partitioned kNN-MI shape."""
+    the reference's partitioned kNN-MI shape
+    (``mutual_information.py`` + ``partitioned_stats_generator.py:35-115``).
+
+    With ``adjusted=True``, also computes the reference's Adjusted Mutual
+    Information per partition — ``AMI = MI(x, y) − MI(x, shuffle(y))``
+    (``mutual_information.py:455-460,711``), clamped at 0 — and returns
+    ``{"mi": summary, "ami": summary}``. The label shuffle is seeded per
+    partition so runs are deterministic."""
     import pandas as pd
 
     from data_validation_spark.stats.sparse import partitioned_stats
@@ -129,11 +137,23 @@ def estimated_knn_mutual_information(
     def fn(pdf: pd.DataFrame) -> dict:
         if len(pdf) > max_rows_per_partition:
             pdf = pdf.sample(n=max_rows_per_partition, random_state=0)
-        return {"knn_mi_nats": kraskov_mi(pdf[x_col].to_numpy(), pdf[y_col].to_numpy(), k)}
+        x = pdf[x_col].to_numpy()
+        y = pdf[y_col].to_numpy()
+        mi = kraskov_mi(x, y, k)
+        out = {"knn_mi_nats": mi}
+        if adjusted:
+            import numpy as np
+
+            ys = y.copy()
+            np.random.RandomState(0).shuffle(ys)
+            out["knn_ami_nats"] = max(mi - kraskov_mi(x, ys, k), 0.0)
+        return out
 
     out = partitioned_stats(
         df.select(x_col, y_col).dropna(), fn, num_partitions=num_partitions, seed=seed
     )
+    if adjusted:
+        return {"mi": out["knn_mi_nats"], "ami": out["knn_ami_nats"]}
     return out["knn_mi_nats"]
 
 

@@ -367,6 +367,37 @@ def test_kraskov_knn_mi(spark):
     assert summary["mean"] == pytest.approx(0.511, abs=0.15)
 
 
+def test_adjusted_knn_mi(spark):
+    # Reference AMI semantics (mutual_information.py:455-460,711):
+    # AMI = MI(x, y) − MI(x, shuffle(y)), clamped at 0. For a dependent
+    # gaussian pair AMI ≈ MI (shuffle baseline ≈ 0); for an independent pair
+    # AMI ≈ 0.
+    import math
+
+    import numpy as np
+
+    from data_validation_spark.stats.mi import estimated_knn_mutual_information
+
+    rng = np.random.RandomState(7)
+    n = 2400
+    x = rng.normal(size=n)
+    rho = 0.8
+    y = rho * x + math.sqrt(1 - rho * rho) * rng.normal(size=n)
+    dep = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    r = estimated_knn_mutual_information(dep, "x", "y", num_partitions=4, adjusted=True)
+    assert r["ami"]["mean"] == pytest.approx(0.511, abs=0.17)
+    assert r["ami"]["mean"] <= r["mi"]["mean"] + 1e-12
+
+    ind = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, rng.normal(size=n))],
+        "x double, y double",
+    )
+    r0 = estimated_knn_mutual_information(ind, "x", "y", num_partitions=4, adjusted=True)
+    assert r0["ami"]["mean"] < 0.06
+
+
 def test_nl_token_stats_and_constraints(spark):
     from data_validation_spark.anomalies import AnomalyType as AT
     from data_validation_spark.schema import (
