@@ -179,6 +179,11 @@ class FeatureAccumulator:
 
 _PARTIAL_DDL = "slice_key string, feature string, acc binary"
 
+# Partial-accumulator count above which the two-tier salted merge kicks in
+# (hot-key fanout for the single-slice skew case). Module-level so tests can
+# force the fanout tier on small inputs.
+FANOUT_THRESHOLD = 64
+
 
 def run_sketch_pass(df, plans, slice_col, options):
     """Returns (topk_data, uniq_data, arr_data, wtopk_data) with the same
@@ -225,7 +230,8 @@ def run_sketch_pass(df, plans, slice_col, options):
     # Two-tier merge when many partials would pile onto one (slice, feature)
     # reducer — the explicit hot-key fanout.
     num_parts = long_df.rdd.getNumPartitions()
-    if num_parts > 64:
+    run_sketch_pass.last_used_fanout = num_parts > FANOUT_THRESHOLD
+    if num_parts > FANOUT_THRESHOLD:
         salted = partials.withColumn(
             "salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(16))
         )

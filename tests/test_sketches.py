@@ -254,3 +254,38 @@ def test_weighted_sketch_quantiles_engine(spark):
     s2 = compute_statistics(df2, StatsOptions(weight_column="w", use_sketches=True))
     n2 = s2.default_slice().feature("x").numeric
     assert n2.weighted_median > n2.median + 2.0
+
+
+def test_fanout_merge_tier_activates_and_preserves_results(spark, monkeypatch):
+    # Two-tier salted merge (the explicit hot-key fanout,
+    # stats_impl.py:296-303 CombinePerKey-with-fanout analogue): force the
+    # tier on by lowering the threshold below the input's partition count and
+    # assert (a) it activated and (b) sketch results are unchanged vs the
+    # single-tier path — merge must be associative across the salt split.
+    from data_validation_spark.stats import sketches
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+    from data_validation_spark.stats.sketches import runner
+
+    rows = [(float(i % 100), f"k{i % 11}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "x double, s string").repartition(8)
+
+    base = compute_statistics(df, StatsOptions(use_sketches=True))
+    assert runner.run_sketch_pass.last_used_fanout is False
+
+    monkeypatch.setattr(runner, "FANOUT_THRESHOLD", 2)
+    fanned = compute_statistics(df, StatsOptions(use_sketches=True))
+    assert runner.run_sketch_pass.last_used_fanout is True
+
+    for stats in (base, fanned):
+        n = stats.default_slice().feature("x").numeric
+        s = stats.default_slice().feature("s").string
+        assert n.min == 0.0 and n.max == 99.0
+        assert n.mean == pytest.approx(49.5, abs=0.5)
+        assert s.unique == 11
+    assert fanned.default_slice().feature("x").numeric.median == pytest.approx(
+        base.default_slice().feature("x").numeric.median, abs=1.0
+    )
+    assert dict(fanned.default_slice().feature("s").string.top_values) == (
+        dict(base.default_slice().feature("s").string.top_values)
+    )
