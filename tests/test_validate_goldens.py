@@ -1090,3 +1090,224 @@ def test_bool_domain_int_and_string_wording_golden():
     r = validate_statistics(stats_of([sfs]), str_schema)
     descs = [a.description for a in r.anomalies if a.type == AT.BOOL_TYPE_UNEXPECTED_STRING]
     assert descs == ['Saw unexpected value "maybe" instead of {"no", "yes"}.']
+
+
+# ------------------------- round-4 additions: comparator golden clusters ----
+
+def _int_hist_feature(name, buckets, mn=None, mx=None, num_non_missing=1):
+    """INT FeatureStats with a STANDARD histogram — the num_stats blocks of
+    the reference's numeric drift goldens."""
+    from data_validation_spark.stats.result import (
+        Histogram,
+        HistogramBucket,
+        NumericStats,
+    )
+
+    fs = FeatureStats(name=name, type="INT")
+    fs.common = CommonStats(
+        num_non_missing=num_non_missing,
+        num_missing=0,
+        min_num_values=1,
+        max_num_values=1,
+        tot_num_values=num_non_missing,
+        avg_num_values=1.0,
+    )
+    n = NumericStats(
+        min=mn if mn is not None else buckets[0][0],
+        max=mx if mx is not None else buckets[-1][1],
+    )
+    n.histograms = [
+        Histogram("STANDARD", [HistogramBucket(lo, hi, c) for lo, hi, c in buckets])
+    ]
+    fs.numeric = n
+    return fs
+
+
+def test_golden_numeric_jsd_drift_with_int_domain():
+    """feature_statistics_validator_test.cc:658-742
+    UpdateDriftComparatorInSchemaNumericFeature — disjoint STANDARD histograms
+    give JSD exactly 1; int_domain min 2 adds INT_TYPE_SMALL_INT; the roll-up
+    is 'Multiple errors' with the reference's exact JSD description, and the
+    measurement row carries value 1 / threshold 0.01."""
+    from data_validation_spark.schema import IntDomain
+
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.INT,
+                int_domain=IntDomain(min=2, max=3),
+                drift_comparator=DriftComparator(
+                    jensen_shannon_divergence_threshold=0.01
+                ),
+            )
+        ]
+    )
+    cur = stats_of(
+        [_int_hist_feature("annotated_enum", [(1.0, 2.0, 1.0), (2.0, 3.0, 1.0)],
+                           mn=1, mx=3)],
+        num_examples=2,
+    )
+    prev = stats_of(
+        [_int_hist_feature("annotated_enum", [(5.0, 6.0, 2.0), (6.0, 7.0, 2.0)])],
+        num_examples=4,
+    )
+    result = validate_statistics(cur, schema, previous_statistics=prev)
+    amap = anomaly_map(result)
+    assert amap == {
+        "annotated_enum": (
+            {AT.INT_TYPE_SMALL_INT, AT.COMPARATOR_JENSEN_SHANNON_DIVERGENCE_HIGH},
+            Severity.ERROR,
+        )
+    }
+    info = result.feature_anomaly_info()["annotated_enum"]
+    assert info["short_description"] == "Multiple errors"
+    reasons = {r["type"]: r for r in info["reasons"]}
+    assert reasons[AT.INT_TYPE_SMALL_INT]["description"] == (
+        "Unexpectedly small value: 1."
+    )
+    assert reasons[AT.COMPARATOR_JENSEN_SHANNON_DIVERGENCE_HIGH]["description"] == (
+        "The approximate Jensen-Shannon divergence between current and previous "
+        "is 1 (up to six significant digits), above the threshold 0.01."
+    )
+    assert [
+        (m.feature, m.metric, m.value, m.threshold) for m in result.drift_skew_info
+    ] == [("annotated_enum", "JENSEN_SHANNON_DIVERGENCE", pytest.approx(1.0), 0.01)]
+
+
+def test_golden_jsd_drift_within_threshold_still_measured():
+    """feature_statistics_validator_test.cc:745-805
+    UpdateDriftComparatorDistributionChangeWithinThreshold — identical
+    histograms: JSD 0, threshold 0.5 → NO anomaly, but the drift measurement
+    row (value 0, threshold 0.5) is still reported."""
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="annotated_enum",
+                type=FeatureType.INT,
+                drift_comparator=DriftComparator(
+                    jensen_shannon_divergence_threshold=0.5
+                ),
+            )
+        ]
+    )
+    hist = [(1.0, 2.0, 1.0), (2.0, 3.0, 1.0)]
+    cur = stats_of([_int_hist_feature("annotated_enum", hist, mn=1, mx=3)],
+                   num_examples=2)
+    prev = stats_of([_int_hist_feature("annotated_enum", hist, mn=1, mx=3)],
+                    num_examples=4)
+    result = validate_statistics(cur, schema, previous_statistics=prev)
+    assert result.passed and result.anomalies == []
+    assert [
+        (m.feature, m.metric, m.value, m.threshold) for m in result.drift_skew_info
+    ] == [("annotated_enum", "JENSEN_SHANNON_DIVERGENCE", pytest.approx(0.0), 0.5)]
+
+
+def test_golden_num_examples_span_and_version_comparators():
+    """feature_statistics_validator_test.cc:808-875
+    ValidateFeatureStatsWithNumExamplesComparators — num_examples 2 vs 4 in
+    BOTH the previous span and the previous version with min_fraction 1.0:
+    two COMPARATOR_LOW_NUM_EXAMPLES reasons roll up to 'Multiple errors' at
+    ERROR, each with the reference's exact ratio description."""
+    from data_validation_spark.schema import (
+        DatasetConstraints,
+        NumExamplesVersionComparator,
+    )
+
+    schema = Schema(
+        dataset_constraints=DatasetConstraints(
+            num_examples_drift_comparator=NumExamplesVersionComparator(
+                min_fraction_threshold=1.0, max_fraction_threshold=1.0
+            ),
+            num_examples_version_comparator=NumExamplesVersionComparator(
+                min_fraction_threshold=1.0, max_fraction_threshold=1.0
+            ),
+        )
+    )
+    cur = stats_of([], num_examples=2)
+    prev = stats_of([], num_examples=4)
+    prev_version = stats_of([], num_examples=4)
+    result = validate_statistics(
+        cur,
+        schema,
+        previous_statistics=prev,
+        previous_version_statistics=prev_version,
+    )
+    info = result.feature_anomaly_info()[""]
+    assert info["short_description"] == "Multiple errors"
+    assert info["severity"] == Severity.ERROR
+    descs = sorted(
+        r["description"]
+        for r in info["reasons"]
+        if r["type"] == AT.COMPARATOR_LOW_NUM_EXAMPLES
+    )
+    assert descs == [
+        "The ratio of num examples in the current dataset versus the previous "
+        "span is 0.5 (up to six significant digits), which is below the "
+        "threshold 1.",
+        "The ratio of num examples in the current dataset versus the previous "
+        "version is 0.5 (up to six significant digits), which is below the "
+        "threshold 1.",
+    ]
+    assert len(info["reasons"]) == 2
+
+
+def test_golden_find_skew_linf_and_jsd():
+    """schema_test.cc:761-880 FindSkew — string-feature L∞ skew (0.2 > 0.1)
+    and numeric-feature JSD skew (disjoint histograms → 1.0 > 0.1) fire
+    together against serving stats, each recording its skew measurement."""
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="string_feature",
+                type=FeatureType.BYTES,
+                skew_comparator=SkewComparator(infinity_norm_threshold=0.1),
+            ),
+            FeatureSpec(
+                name="numeric_feature",
+                type=FeatureType.INT,
+                skew_comparator=SkewComparator(
+                    jensen_shannon_divergence_threshold=0.1
+                ),
+            ),
+        ]
+    )
+    training = stats_of(
+        [
+            string_feature("string_feature", {"a": 1, "b": 2, "c": 7}),
+            _int_hist_feature(
+                "numeric_feature", [(1.0, 2.0, 1.0), (2.0, 3.0, 1.0)]
+            ),
+        ]
+    )
+    serving = stats_of(
+        [
+            string_feature("string_feature", {"a": 3, "b": 1, "c": 6}),
+            _int_hist_feature(
+                "numeric_feature", [(5.0, 6.0, 1.0), (6.0, 7.0, 1.0)]
+            ),
+        ]
+    )
+    result = validate_statistics(training, schema, serving_statistics=serving)
+    amap = anomaly_map(result)
+    assert amap == {
+        "string_feature": ({AT.COMPARATOR_L_INFTY_HIGH}, Severity.ERROR),
+        "numeric_feature": (
+            {AT.COMPARATOR_JENSEN_SHANNON_DIVERGENCE_HIGH},
+            Severity.ERROR,
+        ),
+    }
+    measurements = {
+        m.feature: (m.metric, m.value, m.threshold) for m in result.drift_skew_info
+    }
+    assert measurements["string_feature"] == ("L_INFTY", pytest.approx(0.2), 0.1)
+    assert measurements["numeric_feature"] == (
+        "JENSEN_SHANNON_DIVERGENCE",
+        pytest.approx(1.0),
+        0.1,
+    )
+    jsd = result.feature_anomaly_info()["numeric_feature"]["reasons"][0]
+    assert jsd["description"] == (
+        "The approximate Jensen-Shannon divergence between training and serving "
+        "is 1 (up to six significant digits), above the threshold 0.1."
+    )
