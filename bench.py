@@ -92,6 +92,27 @@ def main() -> None:
         k: round(max(timings[k] - v, 0.0), 3) for k, v in op_seconds.items()
     }
 
+    # Pure-numpy baseline JPEG decode throughput (the PIL-less foreign-codec
+    # path used by sampled pixel-integrity checks; encode excluded). Single
+    # thread — multiply by executor cores for the parallel ceiling.
+    import numpy as np
+
+    from data_validation_spark.stats import jpegcodec
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:64, 0:64]
+    imgs = [
+        np.clip(
+            np.stack([xx * 4 + i, yy * 4 - i, xx + yy + i], axis=2), 0, 255
+        ).astype(np.uint8)
+        for i in range(100)
+    ]
+    encoded = [jpegcodec.encode(im, quality=85) for im in imgs]
+    t0 = time.time()
+    for e in encoded:
+        assert jpegcodec.decode(e) is not None
+    jpeg_decode_per_sec = round(len(encoded) / (time.time() - t0), 1)
+
     # flagship: full stats + constraint + row-level pass over the images table
     images = spark.read.parquet(images_path)
     # Warm-up on a 2% sample: codegen compilation of the wide agg, Python
@@ -129,6 +150,7 @@ def main() -> None:
                 "queries": timings,
                 "op_seconds": op_seconds,
                 "verify_seconds": verify_seconds,
+                "jpeg_decode_img_per_sec_1core": jpeg_decode_per_sec,
                 "sf": sf,
                 "images_n": IMAGES_N,
                 "images_per_sec": round(images_per_sec, 1),

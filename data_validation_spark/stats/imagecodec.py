@@ -4,12 +4,13 @@ The container has no PIL/cv2, so:
 
 * **PNG**: real encoder + decoder (RGB8, filter 0, zlib) — stdlib only.
 * **BMP**: real encoder + decoder (24-bit uncompressed).
-* **JPEG**: header writer producing sniffable JFIF bytes + a real SOF0
-  dimension parser; **pixel decode is a deterministic STUB** (seeded from the
-  payload hash) clearly marked below — swap in a real decoder (PIL) when
-  available.
+* **JPEG**: two paths — the fast zlib-payload stub container (used by the
+  synthetic data generator; lossless round-trip), and a REAL baseline
+  encoder/decoder (``jpegcodec.py``: pure-numpy DCT + Huffman) used for
+  foreign JPEG bytes when PIL is absent. Dimension parsing is a real SOF
+  scan either way.
 * **GIF**: GIF89a header writer + real logical-screen dimension parser;
-  pixel decode stubbed like JPEG.
+  pixel decode of foreign GIFs stubbed (no LZW; PIL seam covers it).
 
 Format sniffing uses the same magic-byte signatures as the reference
 (``tensorflow_data_validation/statistics/generators/image_stats_generator.py:56-62``):
@@ -190,20 +191,31 @@ def encode_jpeg_stub(rgb: np.ndarray, quality: int = 85) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
-    """Decode our stub-JPEG container; for foreign JPEGs returns None
-    (STUB — a real implementation would use PIL/libjpeg)."""
+    """Decode JPEG bytes: our stub container (zlib payload in APP15,
+    lossless) if present, else the real pure-numpy baseline decoder
+    (``jpegcodec.decode`` — SOF0/SOF1, 1-3 components, subsampling ≤2,
+    restart markers). Progressive/arithmetic still need the PIL seam."""
     dims = jpeg_dimensions(data)
     if dims is None:
         return None
     w, h = dims
     payload = b"".join(_iter_jpeg_segments(data, marker=0xEF))
-    if not payload:
-        return None
-    try:
-        raw = zlib.decompress(payload)
-        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
-    except Exception:
-        return None
+    if payload:
+        try:
+            raw = zlib.decompress(payload)
+            return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+        except Exception:
+            pass  # APP15 present but not ours: fall through to real decode
+    from data_validation_spark.stats import jpegcodec
+
+    return jpegcodec.decode(data)
+
+
+def encode_jpeg_baseline(rgb: np.ndarray, quality: int = 90, **kw) -> bytes:
+    """Real baseline JFIF encoder (pure numpy; see ``jpegcodec.py``)."""
+    from data_validation_spark.stats import jpegcodec
+
+    return jpegcodec.encode(rgb, quality=quality, **kw)
 
 
 def jpeg_dimensions(data: bytes) -> Optional[tuple[int, int]]:

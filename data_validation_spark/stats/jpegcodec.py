@@ -1,0 +1,567 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81, public spec; tables Annex K).
+
+Fills the foreign-JPEG seam in ``imagecodec.py``: the sandbox has no
+PIL/cv2, so real JPEG bytes were previously sniffable but not pixel-
+decodable. This module provides:
+
+* ``encode(rgb, quality, subsampling, restart_interval)`` — baseline
+  sequential JFIF, 4:4:4 or 4:2:0, IJG quality scaling, optional restart
+  markers.
+* ``decode(data)`` — baseline sequential (SOF0/SOF1) decoder: 1-3
+  components, sampling factors 1-2, byte-unstuffing, restart markers.
+  Returns RGB uint8 or None (progressive/arithmetic/unsupported → None).
+
+DCT/IDCT, color transforms, quantization and upsampling are vectorized
+numpy over all blocks at once; only the entropy (Huffman) layer is a
+per-symbol Python loop. That makes this codec suitable for SAMPLED
+integrity checks and test fixtures — the 100-TB hot path should flip the
+``imagecodec.py`` native seam (PIL/turbojpeg) in the deploy image.
+
+Behavioral reference for decode semantics in the validation pipeline:
+``tensorflow_data_validation/statistics/generators/image_stats_generator.py:226-399``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+# ------------------------------------------------------------ constants ----
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K quantization tables (luminance, chrominance), natural order.
+QTBL_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+QTBL_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K Huffman table specs: (bits[1..16], values)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Orthonormal 8x8 DCT-II basis.
+_k = np.arange(8)
+_DCT = np.sqrt(2.0 / 8.0) * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0)
+_DCT[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _quality_scaled(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1-100 → scaled table, clipped to [1, 255]."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _build_codes(bits, vals):
+    """Canonical Huffman: symbol → (code, length)."""
+    out = {}
+    code = 0
+    idx = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[idx]] = (code, ln)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+# ------------------------------------------------------------- encoder -----
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, extension bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw, zz, pred, dc_codes, ac_codes):
+    """Huffman-encode one zigzagged quantized block; returns new DC pred."""
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    c, ln = dc_codes[size]
+    bw.put(c, ln)
+    if size:
+        bw.put(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.put(c, ln)
+        bw.put(bits, size)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.put(c, ln)
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(H, W) float plane → (n_blocks_v, n_blocks_h, 64) zigzagged quantized
+    int32 coefficients. H, W must be multiples of 8."""
+    h, w = plane.shape
+    b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,abjk,lk->abil", _DCT, b, _DCT)
+    q = np.round(coef / qtbl.reshape(8, 8)).astype(np.int32)
+    return q.reshape(h // 8, w // 8, 64)[:, :, ZIGZAG]
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB uint8 (h, w, 3) → baseline JFIF bytes (4:4:4 or 4:2:0)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w, _ = rgb.shape
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    qlum = _quality_scaled(QTBL_LUM, quality)
+    qchrom = _quality_scaled(QTBL_CHROM, quality)
+
+    if subsampling == "420":
+        hs, vs = 2, 2
+        y = _pad_edge(y, 16)
+        # chroma averaged 2x2 then blocked at half resolution
+        cbp = _pad_edge(cb, 2)
+        crp = _pad_edge(cr, 2)
+        cb_d = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr_d = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cb_d = _pad_edge(cb_d, 8)
+        cr_d = _pad_edge(cr_d, 8)
+    else:
+        hs, vs = 1, 1
+        y = _pad_edge(y, 8)
+        cb_d = _pad_edge(cb, 8)
+        cr_d = _pad_edge(cr, 8)
+
+    yb = _plane_blocks(y, qlum)
+    cbb = _plane_blocks(cb_d, qchrom)
+    crb = _plane_blocks(cr_d, qchrom)
+
+    dc_l = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _build_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcus_v = cbb.shape[0]
+    mcus_h = cbb.shape[1]
+    rst = 0
+    n_mcu = 0
+    for mv in range(mcus_v):
+        for mh in range(mcus_h):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            for by in range(vs):
+                for bx in range(hs):
+                    preds[0] = _encode_block(
+                        bw, yb[mv * vs + by, mh * hs + bx], preds[0], dc_l, ac_l
+                    )
+            preds[1] = _encode_block(bw, cbb[mv, mh], preds[1], dc_c, ac_c)
+            preds[2] = _encode_block(bw, crb[mv, mh], preds[2], dc_c, ac_c)
+            n_mcu += 1
+    bw.pad_to_byte()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qlum[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qchrom[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for cls_id, bits, vals in (
+        (0x00, DC_LUM_BITS, DC_LUM_VALS),
+        (0x10, AC_LUM_BITS, AC_LUM_VALS),
+        (0x01, DC_CHROM_BITS, DC_CHROM_VALS),
+        (0x11, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        out += seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder -----
+
+
+class _HuffTable:
+    """Canonical Huffman decode table (T.81 F.2.2.3 DECODE procedure)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits, vals):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        idx = 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = idx
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                idx += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """Bit reader over entropy-coded data; handles 0xFF00 unstuffing and
+    stops at markers (restart handling is the caller's job)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return self.nbits > 0  # restart marker: caller resyncs
+                else:
+                    return self.nbits > 0  # EOI or other marker
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        return True
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:  # starved at a marker: pad zeros
+                self.acc <<= n - self.nbits
+                self.nbits = n
+                break
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def decode_symbol(self, tbl: _HuffTable) -> int:
+        code = self.bits(1)
+        ln = 1
+        while code > tbl.maxcode[ln]:
+            if ln >= 16:
+                raise ValueError("bad Huffman code")
+            code = (code << 1) | self.bits(1)
+            ln += 1
+        return tbl.vals[tbl.valptr[ln] + code - tbl.mincode[ln]]
+
+    def resync_restart(self) -> bool:
+        """Skip to just past the next RSTn marker; True if found."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return True
+            self.pos += 1
+        return False
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode(data: bytes) -> Optional[np.ndarray]:
+    """Baseline JPEG bytes → RGB uint8, or None if not decodable here."""
+    try:
+        return _decode(data)
+    except Exception:
+        return None
+
+
+def _decode(data: bytes) -> Optional[np.ndarray]:
+    if data[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    comps = None  # list of (id, h, v, tq)
+    h = w = 0
+    restart_interval = 0
+    pos = 2
+    n = len(data)
+    scan_start = None
+    scan_comps = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq = body[i] >> 4
+                tq = body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.float64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.float64)
+                    i += 128
+                qtables[tq] = tbl[UNZIGZAG]  # store natural order
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i + 17 <= len(body):
+                tc = body[i] >> 4
+                th = body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17 : i + 17 + cnt])
+                tbl = _HuffTable(bits, vals)
+                if tc == 0:
+                    dc_tables[th] = tbl
+                else:
+                    ac_tables[th] = tbl
+                i += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical: unsupported
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tds = body[1 + 2 * ci : 3 + 2 * ci]
+                scan_comps.append((cs, tds >> 4, tds & 0x0F))
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+
+    if comps is None or scan_start is None or not (1 <= len(comps) <= 3):
+        return None
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        return None
+    mcus_h = -(-w // (8 * hmax))
+    mcus_v = -(-h // (8 * vmax))
+
+    # per-component block storage (zigzag coefficient planes)
+    planes = []
+    for _, ch, cv, _tq in comps:
+        planes.append(
+            np.zeros((mcus_v * cv, mcus_h * ch, 64), dtype=np.int32)
+        )
+    by_id = {c[0]: (i, c) for i, c in enumerate(comps)}
+
+    br = _BitReader(data, scan_start)
+    preds = [0] * len(comps)
+    n_mcu = 0
+    for mv in range(mcus_v):
+        for mh in range(mcus_h):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                if not br.resync_restart():
+                    break
+                preds = [0] * len(comps)
+            for cs, td, ta in scan_comps:
+                idx, (_, ch, cv, _tq) = by_id[cs]
+                dct = dc_tables[td]
+                act = ac_tables[ta]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = planes[idx][mv * cv + by, mh * ch + bx]
+                        size = br.decode_symbol(dct)
+                        diff = _extend(br.bits(size), size)
+                        preds[idx] += diff
+                        zz[0] = preds[idx]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("coef overrun")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+            n_mcu += 1
+
+    # dequantize + IDCT, vectorized per component
+    out_planes = []
+    for (_, ch, cv, tq), zz in zip(comps, planes):
+        nat = zz[:, :, UNZIGZAG].astype(np.float64) * qtables[tq][None, None, :]
+        blocks = nat.reshape(nat.shape[0], nat.shape[1], 8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT) + 128.0
+        ph, pw = blocks.shape[0] * 8, blocks.shape[1] * 8
+        plane = pix.transpose(0, 2, 1, 3).reshape(ph, pw)
+        # upsample to full resolution by sample replication
+        if ch < hmax:
+            plane = np.repeat(plane, hmax // ch, axis=1)
+        if cv < vmax:
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        yp = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(yp[:, :, None], 3, axis=2)
+    yp, cbp, crp = out_planes
+    cbp = cbp - 128.0
+    crp = crp - 128.0
+    r = yp + 1.402 * crp
+    g = yp - 0.344136 * cbp - 0.714136 * crp
+    b = yp + 1.772 * cbp
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
