@@ -276,27 +276,244 @@ def encode_gif_stub(rgb: np.ndarray) -> bytes:
 
 
 def decode_gif(data: bytes) -> Optional[np.ndarray]:
-    """Decode our stub-GIF container (STUB for foreign GIFs — no LZW)."""
+    """Decode GIF bytes: our stub container (zlib payload in an application
+    extension, lossless) if present, else a real LZW decode of the first
+    frame (87a/89a, global/local palette, interlace)."""
     dims = gif_dimensions(data)
     if dims is None:
         return None
     w, h = dims
     idx = data.find(b"DVSPARK10.0")
-    if idx < 0:
-        return None
-    pos = idx + 11
-    payload = b""
+    if idx >= 0:
+        pos = idx + 11
+        payload = b""
+        try:
+            while pos < len(data):
+                blen = data[pos]
+                if blen == 0:
+                    break
+                payload += data[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            raw = zlib.decompress(payload)
+            return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+        except Exception:
+            return None
+    return _decode_gif_lzw(data)
+
+
+def _lzw_decode(min_code_size: int, payload: bytes, expected: int) -> Optional[np.ndarray]:
+    """GIF-variant LZW → uint8 index array of length ``expected``."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader, LSB-first per GIF spec
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(payload)
+
+    def init_dict():
+        return {i: (i,) for i in range(clear)}
+
+    table = init_dict()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = np.empty(expected, dtype=np.uint8)
+    filled = 0
+    prev: Optional[tuple] = None
+    while filled < expected:
+        while nbits < width:
+            if pos >= n:
+                return out[:filled] if filled == expected else None
+            acc |= payload[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = init_dict()
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            return None
+        take = min(len(entry), expected - filled)
+        out[filled : filled + take] = entry[:take]
+        filled += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out if filled == expected else None
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    """GIF 4-pass interlace row reordering."""
+    h = idx.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def _decode_gif_lzw(data: bytes) -> Optional[np.ndarray]:
+    """First-frame LZW decode of a real GIF (87a/89a)."""
     try:
+        w, h = struct.unpack("<HH", data[6:10])
+        packed = data[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            sz = 3 * (2 << (packed & 0x07))
+            gct = np.frombuffer(data[pos : pos + sz], dtype=np.uint8).reshape(-1, 3)
+            pos += sz
         while pos < len(data):
-            blen = data[pos]
-            if blen == 0:
-                break
-            payload += data[pos + 1 : pos + 1 + blen]
-            pos += 1 + blen
-        raw = zlib.decompress(payload)
-        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+            block = data[pos]
+            if block == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                fx, fy, fw, fh = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+                ipacked = data[pos + 9]
+                pos += 10
+                palette = gct
+                if ipacked & 0x80:
+                    sz = 3 * (2 << (ipacked & 0x07))
+                    palette = np.frombuffer(
+                        data[pos : pos + sz], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    pos += sz
+                if palette is None:
+                    return None
+                min_code_size = data[pos]
+                pos += 1
+                payload = bytearray()
+                while pos < len(data) and data[pos] != 0:
+                    blen = data[pos]
+                    payload += data[pos + 1 : pos + 1 + blen]
+                    pos += 1 + blen
+                idx = _lzw_decode(min_code_size, bytes(payload), fw * fh)
+                if idx is None:
+                    return None
+                idx = idx.reshape(fh, fw)
+                if ipacked & 0x40:
+                    idx = _deinterlace(idx)
+                frame = palette[np.minimum(idx, len(palette) - 1)]
+                if (fx, fy, fw, fh) == (0, 0, w, h):
+                    return frame.copy()
+                # frame smaller than logical screen: paste on black canvas
+                canvas = np.zeros((h, w, 3), dtype=np.uint8)
+                canvas[fy : fy + fh, fx : fx + fw] = frame
+                return canvas
+            elif block == 0x3B:
+                return None
+            else:
+                return None
     except Exception:
         return None
+    return None
+
+
+def encode_gif_baseline(rgb: np.ndarray, interlace: bool = False) -> bytes:
+    """Real single-frame GIF89a encoder (LZW, exact palette). Requires ≤256
+    distinct colors — build quantized inputs upstream if needed."""
+    h, w, _ = rgb.shape
+    flat = rgb.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors > 256; quantize first")
+    # pad palette to a power of two (min 2)
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    padded = np.zeros((1 << bits, 3), dtype=np.uint8)
+    padded[: len(palette)] = palette
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    gct = padded.tobytes()
+    idx2 = idx.reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx2 = idx2[order]
+    descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40 if interlace else 0])
+    min_code_size = max(bits, 2)
+    body = _lzw_encode(min_code_size, idx2.ravel())
+    blocks = bytearray()
+    for i in range(0, len(body), 255):
+        part = body[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    return (
+        header + gct + descriptor + bytes([min_code_size]) + bytes(blocks) + b"\x00\x3b"
+    )
+
+
+def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
+    """GIF-variant LZW encoder (emits CLEAR up front, EOI at the end)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    seq = ()
+    for v in indices.tolist():
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (v,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
 
 
 def gif_dimensions(data: bytes) -> Optional[tuple[int, int]]:
