@@ -9,11 +9,16 @@ Real implementations (no external libs needed):
   column expression — no Python in that path).
 * MP4: real ftyp major-brand parse.
 
+* MJPEG-in-AVI: real frame sampling (RIFF/movi parse + the pure-numpy
+  baseline JPEG decoder in ``jpegcodec.py``) and avih metadata
+  (frame count / dimensions / duration); ``encode_avi_mjpeg`` writes the
+  test fixtures.
+
 STUBS (clearly marked — this container has no media codecs):
-* ``decode_audio`` for mp3/flac/ogg and ``sample_frames`` for video raise
-  ``NotImplementedError`` pointing at the integration seam; the Spark-side
-  plumbing (schemas, Arrow batch shapes, chunking, sampling) is real and
-  tested with WAV / synthetic payloads.
+* ``decode_audio`` for mp3/flac/ogg (soundfile seam) and ``sample_frames``
+  for compressed video codecs (H.264/VP9 — PyAV/ffmpeg seam) raise
+  ``NotImplementedError``; the Spark-side plumbing (schemas, Arrow batch
+  shapes, chunking, sampling) is real and tested with WAV / MJPEG-AVI.
 """
 
 from __future__ import annotations
@@ -182,12 +187,117 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def sample_frames(data: bytes, every_n: int = 30) -> list[np.ndarray]:
-    """Video frame sampling STUB — no video codec in this environment.
-    Integrate PyAV/ffmpeg here; see media_chunks for the batch plumbing."""
+    """Sample every ``every_n``-th video frame → RGB arrays. REAL for
+    MJPEG-in-AVI (RIFF parse + the pure-numpy baseline JPEG decoder in
+    ``jpegcodec.py``); other codecs (H.264/VP9/…) raise at this seam —
+    integrate PyAV/ffmpeg there. See media_chunks for the batch plumbing."""
+    fmt = sniff_media(data)
+    if fmt == "avi":
+        from data_validation_spark.stats import jpegcodec
+
+        frames = []
+        for i, chunk in enumerate(_iter_avi_movi_chunks(data)):
+            if i % every_n:
+                continue
+            decoded = jpegcodec.decode(chunk)
+            if decoded is not None:
+                frames.append(decoded)
+        return frames
     raise NotImplementedError(
-        "STUB: video frame sampling requires a codec (PyAV/ffmpeg); "
-        "the distributed plumbing is exercised via media_chunks()."
+        f"STUB: no {fmt} video codec in this environment (PyAV/ffmpeg seam); "
+        "MJPEG-AVI decodes natively and media_chunks() exercises the "
+        "distributed plumbing."
     )
+
+
+# ---------------------------------------------------------- AVI (MJPEG) -----
+def _iter_avi_movi_chunks(data: bytes) -> Iterator[bytes]:
+    """Yield compressed video chunks ('##dc'/'##db') from the movi LIST of a
+    RIFF-AVI container."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return
+    pos = 12
+    n = len(data)
+    movi = None
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            movi = (pos + 12, pos + 8 + size)
+            break
+        pos += 8 + size + (size & 1)
+    if movi is None:
+        return
+    pos, end = movi
+    while pos + 8 <= end:
+        ctag = data[pos : pos + 4]
+        (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if ctag[2:4] in (b"dc", b"db"):
+            yield data[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+
+
+def avi_metadata(data: bytes) -> Optional[dict]:
+    """Parse the avih main header: frame count, dimensions, fps → duration."""
+    try:
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            return None
+        idx = data.find(b"avih")
+        if idx < 0 or idx + 40 > len(data):
+            return None
+        body = data[idx + 8 :]
+        (usec_per_frame,) = struct.unpack("<I", body[0:4])
+        (total_frames,) = struct.unpack("<I", body[16:20])
+        w, h = struct.unpack("<II", body[32:40])
+        fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+        return {
+            "n_frames": total_frames,
+            "width": w,
+            "height": h,
+            "duration_s": total_frames / fps if fps else 0.0,
+        }
+    except Exception:
+        return None
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 30, quality: int = 85
+) -> bytes:
+    """Minimal valid MJPEG-in-AVI writer (RIFF → hdrl(avih, strl) → movi →
+    idx1), each frame a baseline JPEG from ``jpegcodec.encode``. Test-fixture
+    source for the real video sampling path."""
+    from data_validation_spark.stats import jpegcodec
+
+    h, w, _ = frames[0].shape
+    encoded = [jpegcodec.encode(f, quality=quality) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = int(1e6 / fps)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec, 0, 0, 0x10, len(encoded), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, len(encoded), 0, 0, 0, 0, 0, w, h
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    strf = strf[:16] + b"MJPG" + strf[20:]  # biCompression = 'MJPG'
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", e) for e in encoded)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4
+    for e in encoded:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(e))
+        off += 8 + len(e) + (len(e) & 1)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 # ----------------------------------------------------------- Spark passes ---
@@ -216,13 +326,15 @@ def extract_media_metadata(
             for k, d in zip(ids, datas):
                 fmt = sniff_media(d)
                 meta = wav_metadata(d) if fmt == "wav" else None
+                if fmt == "avi":
+                    meta = avi_metadata(d)
                 rows["id"].append(k)
                 rows["media_format"].append(fmt)
                 rows["payload_bytes"].append(len(d) if d is not None else None)
-                rows["channels"].append(meta["channels"] if meta else None)
-                rows["sample_rate"].append(meta["sample_rate"] if meta else None)
-                rows["n_frames"].append(meta["n_frames"] if meta else None)
-                rows["duration_s"].append(meta["duration_s"] if meta else None)
+                rows["channels"].append(meta.get("channels") if meta else None)
+                rows["sample_rate"].append(meta.get("sample_rate") if meta else None)
+                rows["n_frames"].append(meta.get("n_frames") if meta else None)
+                rows["duration_s"].append(meta.get("duration_s") if meta else None)
                 rows["mp4_brand"].append(mp4_major_brand(d) if fmt == "mp4" and d else None)
             yield pa.RecordBatch.from_arrays(
                 [
