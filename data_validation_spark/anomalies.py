@@ -247,3 +247,41 @@ class Anomalies:
             },
             indent=indent,
         )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Anomalies":
+        """Inverse of ``to_json`` (reference anomalies_util.py:142-171
+        load_anomalies_text/binary role). The roll-up map is derived state
+        and recomputed on demand."""
+        d = json.loads(text)
+        out = cls()
+        for a in d.get("anomalies", []):
+            out.anomalies.append(
+                Anomaly(
+                    feature=a["feature"],
+                    type=AnomalyType(a["type"]),
+                    severity=Severity(a["severity"]),
+                    short_description=a.get("short_description", ""),
+                    description=a.get("description", ""),
+                    slice_key=a.get("slice_key", "All Examples"),
+                    measurement=a.get("measurement"),
+                    threshold=a.get("threshold"),
+                )
+            )
+        for m in d.get("drift_skew_info", []):
+            out.drift_skew_info.append(
+                DriftSkewMeasurement(
+                    m["feature"], m["metric"], m["value"], m.get("threshold")
+                )
+            )
+        return out
+
+    def remove_anomaly_types(self, types: "set[AnomalyType]") -> "Anomalies":
+        """Filtered copy without reasons of the given types — reference
+        anomalies_util.remove_anomaly_types (:50-97). Features whose reasons
+        all match are dropped entirely; the per-feature roll-up (aggregate
+        type, unified description) is derived on demand so it self-updates."""
+        return Anomalies(
+            anomalies=[a for a in self.anomalies if a.type not in types],
+            drift_skew_info=list(self.drift_skew_info),
+        )

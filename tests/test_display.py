@@ -146,3 +146,35 @@ def test_statistics_dataframe_and_markdown(spark):
     assert (sdf["num_non_missing"] == 100).all()
     md = display_statistics(stats, max_rows=1)
     assert "more rows" in md
+
+
+def test_anomalies_json_roundtrip_and_remove_types():
+    # reference anomalies_util parity: load/store + remove_anomaly_types
+    from data_validation_spark.anomalies import (
+        Anomalies,
+        Anomaly,
+        AnomalyType as AT,
+        DriftSkewMeasurement,
+        Severity,
+    )
+
+    r = Anomalies(
+        anomalies=[
+            Anomaly("f1", AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES,
+                    description="bad enum", measurement=0.3, threshold=0.1),
+            Anomaly("f1", AT.COMPARATOR_L_INFTY_HIGH, description="drifty"),
+            Anomaly("f2", AT.SCHEMA_NEW_COLUMN, severity=Severity.WARNING),
+        ],
+        drift_skew_info=[DriftSkewMeasurement("f1", "L_INFTY", 0.3, 0.1)],
+    )
+    back = Anomalies.from_json(r.to_json())
+    assert [a.to_dict() for a in back.anomalies] == [a.to_dict() for a in r.anomalies]
+    assert back.drift_skew_info == r.drift_skew_info
+    assert back.feature_anomaly_info()["f1"]["short_description"] == "Multiple errors"
+
+    filtered = r.remove_anomaly_types({AT.COMPARATOR_L_INFTY_HIGH, AT.SCHEMA_NEW_COLUMN})
+    assert set(filtered.types_for("f1")) == {AT.ENUM_TYPE_UNEXPECTED_STRING_VALUES}
+    assert "f2" not in filtered.feature_anomaly_info()  # all reasons removed → dropped
+    # roll-up self-updates: f1 back to a single-reason info
+    assert filtered.feature_anomaly_info()["f1"]["description"] == "bad enum"
+    assert filtered.drift_skew_info == r.drift_skew_info
