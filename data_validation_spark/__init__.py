@@ -52,3 +52,54 @@ from data_validation_spark.stats.result import (  # noqa: F401
     RankBucket,
 )
 from data_validation_spark.stats.options import StatsOptions  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# Function-level API, lazily resolved (PEP 562) so `import
+# data_validation_spark` stays light — these modules import pyspark.
+# Mirrors the reference's top-level exports (tfdv/__init__.py): statistics
+# entry points, validation entry points, schema/anomalies text IO, display.
+_LAZY_EXPORTS = {
+    # statistics (stats_api / stats_gen_lib)
+    "compute_statistics": ("data_validation_spark.stats.engine", "compute_statistics"),
+    "generate_statistics_from_parquet": ("data_validation_spark.api", None),
+    "generate_statistics_from_csv": ("data_validation_spark.api", None),
+    "generate_statistics_from_dataframe": ("data_validation_spark.api", None),
+    "merge_statistics": ("data_validation_spark.io.artifacts", "merge_stats"),
+    "load_statistics": ("data_validation_spark.api", None),
+    "write_statistics": ("data_validation_spark.api", None),
+    # validation (validation_api / validation_lib)
+    "validate_statistics": ("data_validation_spark.validate.rules", None),
+    "validate_corresponding_slices": ("data_validation_spark.validate.rules", None),
+    "infer_schema": ("data_validation_spark.validate.infer", None),
+    "update_schema": ("data_validation_spark.validate.infer", None),
+    "validate_instance": ("data_validation_spark.validate.instance", None),
+    "validate_examples_in_dataframe": ("data_validation_spark.api", None),
+    "detect_feature_skew": ("data_validation_spark.validate.skew", None),
+    # schema / anomalies text IO (schema_util / anomalies_util)
+    "write_schema_text": ("data_validation_spark.api", None),
+    "load_schema_text": ("data_validation_spark.api", None),
+    "write_anomalies_text": ("data_validation_spark.api", None),
+    "load_anomalies_text": ("data_validation_spark.api", None),
+    # display (display_util)
+    "display_schema": ("data_validation_spark.display", None),
+    "display_anomalies": ("data_validation_spark.display", None),
+    "display_statistics": ("data_validation_spark.display", None),
+    "get_schema_dataframe": ("data_validation_spark.display", None),
+    "get_anomalies_dataframe": ("data_validation_spark.display", None),
+    "get_drift_skew_dataframe": ("data_validation_spark.display", None),
+    "get_statistics_dataframe": ("data_validation_spark.display", None),
+}
+
+
+def __getattr__(name: str):
+    target = _LAZY_EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    module = importlib.import_module(target[0])
+    return getattr(module, target[1] or name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_EXPORTS))
