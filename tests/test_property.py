@@ -1,0 +1,262 @@
+"""Property-based tests (hypothesis) over the pure driver-side kernels —
+the fuzz layer of the reference's test strategy (SURVEY.md §5), aimed at
+the math that golden tests only sample: histogram mass conservation,
+sketch/merge invariants, codec roundtrips, drift metric bounds.
+
+No SparkSession here: everything under test is driver-side numpy/python,
+so the suite stays fast and deterministic (hypothesis derandomized
+per-profile via explicit seeds/settings).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# ------------------------------------------------------------- quantiles ----
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=300
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_quantiles_histogram_mass_conserved(values, buckets):
+    from data_validation_spark.stats.quantiles import quantiles_histogram
+
+    values = sorted(values)
+    n = len(values) * 3
+    grid = [float(np.quantile(values, q)) for q in np.linspace(0, 1, 101)]
+    h = quantiles_histogram(grid, n, buckets)
+    if h is None:
+        return
+    # total mass equals the claimed count; bucket bounds are ordered
+    assert sum(b.sample_count for b in h.buckets) == pytest.approx(n, rel=1e-9)
+    for b in h.buckets:
+        assert b.low_value <= b.high_value
+    lows = [b.low_value for b in h.buckets]
+    assert lows == sorted(lows)
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=300
+    ),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=5),
+)
+def test_equi_width_histogram_mass_conserved(values, buckets, num_nan):
+    from data_validation_spark.stats.quantiles import equi_width_histogram
+
+    values = sorted(values)
+    n = len(values) * 2
+    grid = [float(np.quantile(values, q)) for q in np.linspace(0, 1, 101)]
+    h = equi_width_histogram(grid, n, buckets, num_nan=num_nan)
+    if h is None:
+        return
+    assert sum(b.sample_count for b in h.buckets) == pytest.approx(n, rel=1e-9)
+    assert h.num_nan == num_nan
+
+
+@SET
+@given(st.lists(st.floats(min_value=-1e5, max_value=1e5, allow_nan=False), min_size=1, max_size=400))
+def test_median_from_boundaries_between_extremes(values):
+    from data_validation_spark.stats.quantiles import median_from_boundaries
+
+    grid = [float(np.quantile(values, q)) for q in np.linspace(0, 1, 101)]
+    med = median_from_boundaries(grid)
+    assert min(values) - 1e-9 <= med <= max(values) + 1e-9
+
+
+# --------------------------------------------------------------- t-digest ---
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+        min_size=10,
+        max_size=2000,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_tdigest_split_merge_equals_sequential(values, n_splits):
+    from data_validation_spark.stats.sketches.tdigest import TDigest
+
+    arr = np.asarray(values)
+    seq = TDigest(compression=100)
+    seq.add(arr)
+    parts = [TDigest(compression=100) for _ in range(n_splits)]
+    for i, t in enumerate(parts):
+        chunk = arr[i::n_splits]
+        if chunk.size:
+            t.add(chunk)
+    merged = parts[0]
+    for t in parts[1:]:
+        merged = merged.merge(t)
+    assert merged.count == pytest.approx(seq.count)
+    assert merged.min == seq.min and merged.max == seq.max
+    rng = (arr.max() - arr.min()) or 1.0
+    for q in (0.25, 0.5, 0.75):
+        assert abs(merged.quantile(q) - seq.quantile(q)) <= 0.05 * rng + 1e-9
+        # both stay within the data envelope
+        assert arr.min() - 1e-9 <= merged.quantile(q) <= arr.max() + 1e-9
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+            st.floats(min_value=0.01, max_value=100.0),
+        ),
+        min_size=10,
+        max_size=800,
+    )
+)
+def test_tdigest_weighted_quantile_envelope(pairs):
+    from data_validation_spark.stats.sketches.tdigest import TDigest
+
+    x = np.array([p[0] for p in pairs])
+    w = np.array([p[1] for p in pairs])
+    td = TDigest(compression=100)
+    td.add(x, w)
+    assert td.count == pytest.approx(w.sum(), rel=1e-9)
+    order = np.argsort(x)
+    xs = x[order]
+    cw = np.cumsum(w[order])
+    # at an exact 50% mass boundary the weighted median is an INTERVAL
+    # [lower, upper]; the digest's interpolated value must land in it
+    lo = xs[np.searchsorted(cw, 0.5 * cw[-1], side="left")]
+    hi = xs[min(np.searchsorted(cw, 0.5 * cw[-1], side="right"), len(xs) - 1)]
+    rng = (x.max() - x.min()) or 1.0
+    tol = 0.1 * rng + 1e-9
+    assert lo - tol <= td.quantile(0.5) <= hi + tol
+
+
+# ------------------------------------------------------------------ HLL -----
+@SET
+@given(st.integers(min_value=1, max_value=3000), st.integers(min_value=2, max_value=4))
+def test_hll_merge_union_bound(n, splits):
+    from data_validation_spark.stats.sketches.hll import HyperLogLog
+
+    vals = [f"v{i}" for i in range(n)]
+    parts = [HyperLogLog() for _ in range(splits)]
+    for i, v in enumerate(vals):
+        parts[i % splits].add([v])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    one = HyperLogLog()
+    one.add(vals)
+    # merge of disjoint splits must estimate the SAME set as one-shot
+    assert merged.estimate() == one.estimate()
+    assert abs(merged.estimate() - n) <= max(0.05 * n, 2)
+
+
+# ---------------------------------------------------------------- drift -----
+@SET
+@given(
+    st.dictionaries(
+        st.sampled_from(list("abcdefgh")),
+        st.floats(min_value=0.0, max_value=1e6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.dictionaries(
+        st.sampled_from(list("abcdefgh")),
+        st.floats(min_value=0.0, max_value=1e6),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_jsd_and_linf_bounds(p, q):
+    from data_validation_spark.validate import drift as dm
+
+    if sum(p.values()) == 0 or sum(q.values()) == 0:
+        return
+    jsd = dm.jensen_shannon_divergence_counts(p, q)
+    assert -1e-12 <= jsd <= 1.0 + 1e-12
+    assert dm.jensen_shannon_divergence_counts(p, p) == pytest.approx(0.0, abs=1e-12)
+    label, linf = dm.linfty_distance(p, q) if hasattr(dm, "linfty_distance") else (None, None)
+    if linf is not None:
+        assert -1e-12 <= linf <= 1.0 + 1e-12
+
+
+# ----------------------------------------------------------------- codecs ---
+@SET
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_bmp_lossless_roundtrip(h, w, seed):
+    from data_validation_spark.stats import imagecodec as codec
+
+    rgb = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    for fmt in ("png", "bmp"):
+        out = codec.decode(codec.encode(fmt, rgb))
+        assert out is not None and np.array_equal(out, rgb)
+
+
+@SET
+@given(
+    st.integers(min_value=8, max_value=48),
+    st.integers(min_value=8, max_value=48),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=2, max_value=32),
+)
+def test_gif_lzw_lossless_roundtrip(h, w, seed, ncolors):
+    from data_validation_spark.stats import imagecodec as codec
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, ncolors, (h, w))]
+    out = codec.decode(codec.encode_gif_baseline(img))
+    assert out is not None and np.array_equal(out, img)
+
+
+@SET
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_decode_never_crashes_and_smooth_roundtrip(h, w, seed):
+    from data_validation_spark.stats import jpegcodec as jc
+
+    rng = np.random.RandomState(seed)
+    # smooth random field: low-frequency content the DCT represents well
+    base = rng.randint(0, 256, (4, 4, 3)).astype(np.float64)
+    yy = np.linspace(0, 3, h)
+    xx = np.linspace(0, 3, w)
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        img[:, :, c] = np.interp(yy, np.arange(4), base[:, 0, c])[:, None] + np.interp(
+            xx, np.arange(4), base[0, :, c]
+        )[None, :]
+    img = np.clip(img / 2, 0, 255).astype(np.uint8)
+    out = jc.decode(jc.encode(img, quality=90))
+    assert out is not None and out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 8.0  # smooth content decodes close
+
+
+@SET
+@given(st.binary(min_size=0, max_size=400))
+def test_decoders_reject_garbage_without_crashing(data):
+    from data_validation_spark.stats import imagecodec as codec
+    from data_validation_spark.stats import jpegcodec as jc
+
+    # must return None (or a valid array), never raise
+    codec.decode(data)
+    jc.decode(data)
+    codec.dimensions(data)
