@@ -529,3 +529,47 @@ def test_merge_stats_random_shards_fuzz(spark):
     assert merged.std_dev == pytest.approx(vals.std(), rel=1e-9)
     assert merged.min == pytest.approx(vals.min())
     assert merged.max == pytest.approx(vals.max())
+
+
+def test_checkpoint_crash_mid_run_resumes_without_recompute(spark, tmp_path):
+    # Interrupted-job semantics (north-rule resume): a crash while processing
+    # partition b leaves the ledger with only a's record (atomic artifacts),
+    # and the resume run recomputes ONLY b and c.
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.io.checkpoint import CheckpointLedger, run_partitioned
+    from data_validation_spark.pipeline import default_image_schema, validate_images
+
+    schema = default_image_schema()
+    ledger_dir = str(tmp_path / "ledger")
+    processed = []
+
+    def read_partition(p):
+        return images_df(spark, 200, "clean", partitions=2)
+
+    def crashing_validate(spark_, df, schema_, prev_stats=None, **kw):
+        part = processed and processed[-1]
+        processed.append("call")
+        if len(processed) == 2:  # second partition this run
+            raise RuntimeError("executor lost (simulated)")
+        return validate_images(spark_, df, schema_, prev_stats=prev_stats, **kw)
+
+    with pytest.raises(RuntimeError, match="executor lost"):
+        run_partitioned(
+            spark, ["a", "b", "c"], read_partition, schema, ledger_dir,
+            validate_fn=crashing_validate,
+        )
+    ledger = CheckpointLedger(ledger_dir)
+    assert set(ledger.completed()) == {"a"}  # b crashed before recording
+
+    resumed = []
+
+    def counting_validate(spark_, df, schema_, prev_stats=None, **kw):
+        resumed.append(1)
+        return validate_images(spark_, df, schema_, prev_stats=prev_stats, **kw)
+
+    r = run_partitioned(
+        spark, ["a", "b", "c"], read_partition, schema, ledger_dir,
+        validate_fn=counting_validate,
+    )
+    assert set(r) == {"b", "c"} and len(resumed) == 2  # a NOT recomputed
+    assert set(CheckpointLedger(ledger_dir).completed()) == {"a", "b", "c"}
