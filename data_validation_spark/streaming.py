@@ -34,10 +34,15 @@ class StreamingStatsCollector:
         options: Optional[StatsOptions] = None,
         schema: Optional[Schema] = None,
         on_anomalies: Optional[Callable[[int, Anomalies], None]] = None,
+        reference_statistics: Optional[DatasetStatsList] = None,
     ):
         self.options = options or StatsOptions()
         self.schema = schema
         self.on_anomalies = on_anomalies
+        # Fixed drift baseline (training-vs-serving monitoring shape): when
+        # set, every micro-batch drifts against THIS artifact; otherwise
+        # against the running accumulated artifact (self-drift detection).
+        self.reference_statistics = reference_statistics
         self.accumulated: Optional[DatasetStatsList] = None
         self.batches_seen = 0
 
@@ -47,7 +52,9 @@ class StreamingStatsCollector:
         stats = compute_statistics(batch_df, self.options)
         if self.schema is not None:
             anomalies = validate_statistics(
-                stats, self.schema, previous_statistics=self.accumulated
+                stats,
+                self.schema,
+                previous_statistics=self.reference_statistics or self.accumulated,
             )
             if self.on_anomalies is not None:
                 self.on_anomalies(epoch_id, anomalies)

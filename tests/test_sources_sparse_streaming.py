@@ -222,3 +222,55 @@ def test_streaming_sessionize(spark, tmp_path):
     finally:
         q.stop()
     assert ("u1", 2, 0, 0, 1) in got  # u1 @02:00 closed by watermark advance
+
+
+def test_streaming_drift_monitor_fixed_reference(spark, tmp_path):
+    # Training-vs-serving drift monitoring over a stream: each micro-batch
+    # drifts against a FIXED reference artifact; a distribution flip fires
+    # COMPARATOR_L_INFTY_HIGH on that batch only.
+    from data_validation_spark.anomalies import AnomalyType as AT
+    from data_validation_spark.schema import (
+        DriftComparator,
+        FeatureSpec,
+        FeatureType,
+        Schema,
+    )
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.streaming import StreamingStatsCollector
+
+    ref_df = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "s string")
+    reference = compute_statistics(ref_df)
+    schema = Schema(feature=[FeatureSpec(
+        name="s", type=FeatureType.BYTES,
+        drift_comparator=DriftComparator(infinity_norm_threshold=0.3),
+    )])
+
+    seen = {}
+    collector = StreamingStatsCollector(
+        schema=schema,
+        reference_statistics=reference,
+        on_anomalies=lambda epoch, a: seen.setdefault(epoch, a),
+    )
+    src = str(tmp_path / "drift_src")
+    # batch 0 matches the reference mix; batch 1 is flipped
+    spark.createDataFrame([("a",)] * 4 + [("b",)] * 1, "s string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("s string").parquet(src)
+    q = collector.attach(stream)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([("b",)] * 9 + [("a",)] * 1, "s string").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) == 2
+    epochs = sorted(seen)
+    assert AT.COMPARATOR_L_INFTY_HIGH not in seen[epochs[0]].types_for("s")
+    assert AT.COMPARATOR_L_INFTY_HIGH in seen[epochs[1]].types_for("s")
+    # drift measured against the fixed reference, not the running artifact
+    m = [x for x in seen[epochs[1]].drift_skew_info if x.feature == "s"][0]
+    assert m.value == pytest.approx(0.7, abs=0.01)  # |0.9 - 0.2| on label b
