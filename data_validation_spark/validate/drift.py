@@ -65,6 +65,11 @@ def jensen_shannon_divergence_counts(
         pa = map_1.get(k, 0.0) / a_sum
         pb = map_2.get(k, 0.0) / b_sum
         m = (pa + pb) / 2
+        # m can underflow to 0.0 for denormal probabilities (found by the
+        # hypothesis fuzz layer: pa=0, pb=5e-324 → m=0 while pb>0); the
+        # term's contribution is ≤ pb·1074 bits ≈ 1e-321 — skip it.
+        if m <= 0.0:
+            continue
         if pa > 0:
             kl_sum += pa * math.log2(pa / m)
         if pb > 0:
