@@ -61,7 +61,9 @@ from data_validation_spark.stats.options import StatsOptions  # noqa: F401
 _LAZY_EXPORTS = {
     # statistics (stats_api / stats_gen_lib)
     "compute_statistics": ("data_validation_spark.stats.engine", "compute_statistics"),
+    "generate_statistics_from_tfrecord": ("data_validation_spark.api", None),
     "generate_statistics_from_parquet": ("data_validation_spark.api", None),
+    "read_tfrecord": ("data_validation_spark.io.tfrecord", None),
     "generate_statistics_from_csv": ("data_validation_spark.api", None),
     "generate_statistics_from_dataframe": ("data_validation_spark.api", None),
     "merge_statistics": ("data_validation_spark.io.artifacts", "merge_stats"),

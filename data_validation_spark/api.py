@@ -22,6 +22,23 @@ if TYPE_CHECKING:
 
 
 # ----------------------------------------------------- statistics entries ---
+def generate_statistics_from_tfrecord(
+    spark: "SparkSession",
+    data_location: str,
+    stats_options: Optional["StatsOptions"] = None,
+    verify_crc: bool = False,
+) -> "DatasetStatsList":
+    """The reference's headline entry point (stats_gen_lib.py:46-106):
+    statistics over TFRecord files of serialized tf.Example protos, read by
+    the pure-Python TFRecord source (io/tfrecord.py, no TensorFlow)."""
+    from data_validation_spark.io.tfrecord import read_tfrecord
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+
+    df = read_tfrecord(spark, data_location, verify_crc=verify_crc)
+    return compute_statistics(df, stats_options or StatsOptions())
+
+
 def generate_statistics_from_parquet(
     spark: "SparkSession", path: str, stats_options: Optional["StatsOptions"] = None
 ) -> "DatasetStatsList":
