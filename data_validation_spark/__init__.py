@@ -76,6 +76,8 @@ _LAZY_EXPORTS = {
     "update_schema": ("data_validation_spark.validate.infer", None),
     "validate_instance": ("data_validation_spark.validate.instance", None),
     "validate_examples_in_dataframe": ("data_validation_spark.api", None),
+    "validate_examples_in_tfrecord": ("data_validation_spark.api", None),
+    "validate_examples_in_csv": ("data_validation_spark.api", None),
     "detect_feature_skew": ("data_validation_spark.validate.skew", None),
     # schema / anomalies text IO (schema_util / anomalies_util)
     "write_schema_text": ("data_validation_spark.api", None),

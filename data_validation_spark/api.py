@@ -104,6 +104,36 @@ def validate_examples_in_dataframe(
     return check_row_constraints(df, schema, key_col)
 
 
+def validate_examples_in_tfrecord(
+    spark: "SparkSession",
+    data_location: str,
+    schema: "Schema",
+    key_col: str,
+) -> "DataFrame":
+    """validate_examples_in_tfrecord (validation_lib.py:60-122) over the
+    native TFRecord source → violation rows."""
+    from data_validation_spark.io.tfrecord import read_tfrecord
+
+    return validate_examples_in_dataframe(
+        read_tfrecord(spark, data_location), schema, key_col
+    )
+
+
+def validate_examples_in_csv(
+    spark: "SparkSession",
+    data_location: str,
+    schema: "Schema",
+    key_col: str,
+    delimiter: str = ",",
+) -> "DataFrame":
+    """validate_examples_in_csv (validation_lib.py:125-150) → violation rows."""
+    from data_validation_spark.sources import read_csv
+
+    return validate_examples_in_dataframe(
+        read_csv(spark, data_location, delimiter=delimiter), schema, key_col
+    )
+
+
 # ----------------------------------------------------------- schema text ----
 def write_schema_text(schema: "Schema", output_path: str) -> None:
     """schema_util.write_schema_text:193-212 (JSON here, not text proto)."""

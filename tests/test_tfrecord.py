@@ -129,3 +129,27 @@ def test_generate_statistics_from_tfrecord_entry(spark, tmp_path):
     stats = dvs.generate_statistics_from_tfrecord(spark, str(tmp_path / "d.tfrecord"))
     n = stats.default_slice().feature("v").numeric
     assert n.min == 0.0 and n.max == 9.0
+
+
+def test_validate_examples_in_tfrecord_and_csv(spark, tmp_path):
+    import data_validation_spark as dvs
+    from data_validation_spark.schema import FeatureSpec, FeatureType, IntDomain, Schema
+
+    schema = Schema(feature=[FeatureSpec(
+        name="v", type=FeatureType.INT, int_domain=IntDomain(min=0, max=5))])
+
+    tfr.write_tfrecord_examples(
+        str(tmp_path / "v.tfrecord"),
+        [{"rid": [b"r1"], "v": [3]}, {"rid": [b"r2"], "v": [99]}],
+    )
+    viol = dvs.validate_examples_in_tfrecord(
+        spark, str(tmp_path / "v.tfrecord"), schema, key_col="rid"
+    ).collect()
+    assert [bytes(r["row_key"]) if isinstance(r["row_key"], (bytes, bytearray))
+            else r["row_key"] for r in viol] in ([b"r2"], ["r2"])
+
+    csv_path = str(tmp_path / "v.csv")
+    with open(csv_path, "w") as f:
+        f.write("rid,v\nr1,3\nr2,99\n")
+    viol2 = dvs.validate_examples_in_csv(spark, csv_path, schema, key_col="rid").collect()
+    assert [r["row_key"] for r in viol2] == ["r2"]
