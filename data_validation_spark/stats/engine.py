@@ -124,13 +124,28 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
             return run_sketch_pass(df, plans, slice_col, options)
         return _run_long_pass(df, plans, slice_col, options)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    def wq_job():
+        # Exact mode + weight column: weighted quantiles have no JVM builtin
+        # (percentile_approx is unweighted) — a dedicated weighted-t-digest
+        # job supplies the reference's WeightedNumericStatistics histograms.
+        # Sketch mode already carries them in its own pass.
+        if options.use_sketches or not options.weight_column:
+            return {}
+        from data_validation_spark.stats.sketches.runner import (
+            run_weighted_quantile_pass,
+        )
+
+        return run_weighted_quantile_pass(df, plans, slice_col, options)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
         wide_f = pool.submit(wide_job)
         quant_f = pool.submit(quant_job)
         long_f = pool.submit(long_job)
+        wq_f = pool.submit(wq_job)
         wide_rows = wide_f.result()
         quant_rows = quant_f.result()
         topk_data, uniq_data, arr_data, wtopk_data = long_f.result()
+        wq_data = wq_f.result()
 
     if not wide_rows:
         # Placeholder-for-empty-input parity (stats_impl.py:141-158).
@@ -144,7 +159,9 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         rd = row.asDict()
         rd.update(quant_by_slice.get(rd["slice_key"], {}))
         slices.append(
-            _assemble_slice(rd, plans, options, topk_data, uniq_data, arr_data, wtopk_data)
+            _assemble_slice(
+                rd, plans, options, topk_data, uniq_data, arr_data, wtopk_data, wq_data
+            )
         )
     slices.sort(key=lambda s: s.slice_key)
     return DatasetStatsList(slices)
@@ -267,7 +284,8 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
 
 
 def _assemble_slice(
-    rd, plans, options: StatsOptions, topk_data, uniq_data, arr_data, wtopk_data=None
+    rd, plans, options: StatsOptions, topk_data, uniq_data, arr_data, wtopk_data=None,
+    wq_data=None,
 ):
     slice_key = rd["slice_key"]
     num_examples = rd["num_examples"]
@@ -279,7 +297,7 @@ def _assemble_slice(
     for p in plans:
         ds.features[p.name] = _assemble_feature(
             p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data,
-            wtopk_data or {},
+            wtopk_data or {}, wq_data or {},
         )
     return ds
 
@@ -290,7 +308,8 @@ def _g(rd, p, stat, default=None):
 
 
 def _assemble_feature(
-    p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data, wtopk_data=None
+    p, rd, num_examples, slice_key, options, topk_data, uniq_data, arr_data,
+    wtopk_data=None, wq_data=None,
 ):
     fs = FeatureStats(name=p.name, type=p.stats_type)
     if p.source_type and p.source_type not in ("LONG", "DOUBLE", "STRING", "BINARY"):
@@ -418,7 +437,11 @@ def _assemble_feature(
         # [weighted equi-width, weighted quantiles] histograms,
         # basic_stats_generator.py:838-876) — emitted when a weight column is
         # configured and the sketch pass produced a weighted t-digest grid.
-        wdata = arr_data.get(key) if options.weight_column else None
+        wdata = None
+        if options.weight_column:
+            # sketch mode: weighted grid lives in arr_data; exact mode: in
+            # the dedicated weighted-quantile pass output
+            wdata = (wq_data or {}).get(key) or arr_data.get(key)
         if wdata and wdata.get("wquants") is not None:
             wq = wdata["wquants"]
             wfin = wdata["wfcnt"]

@@ -333,6 +333,73 @@ def run_sketch_pass(df, plans, slice_col, options):
     return topk_data, uniq_data, arr_data, (wtopk_data or dict(topk_data))
 
 
+def run_weighted_quantile_pass(df, plans, slice_col, options):
+    """Weighted-quantile-only pass for EXACT mode: when a weight column is
+    configured but ``use_sketches`` is off, the wide agg has weighted
+    moments and the long pass has weighted top-k, yet weighted QUANTILES
+    (reference WeightedNumericStatistics histograms) have no JVM builtin —
+    this job runs the same mapInPandas/two-tier-merge shape as the sketch
+    pass restricted to numeric features, returning
+    ``{(slice, feature): {wquants, wfcnt, wfsum, wfsumsq, wposinf, wneginf}}``.
+    The numeric-only long frame never feeds the string sketches, so the
+    reused FeatureAccumulator's CMS/HLL stay empty (allocation only)."""
+    num_plans = [p for p in plans if p.numeric]
+    if not num_plans:
+        return {}
+    long_df = E.long_format(
+        df, num_plans, slice_col, options.weight_column, include_scalar_numeric=True
+    )
+    if long_df is None:
+        return {}
+    opts = options
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple[str, str], FeatureAccumulator] = {}
+        for pdf in batches:
+            for (sk, feat), g in pdf.groupby(["slice_key", "feature"], sort=False):
+                acc = accs.get((sk, feat))
+                if acc is None:
+                    acc = accs[(sk, feat)] = FeatureAccumulator(opts)
+                nvs = g["num_value"].dropna()
+                if len(nvs):
+                    acc.add_numbers(
+                        nvs.to_numpy(dtype=np.float64),
+                        g["weight"][nvs.index].to_numpy(dtype=np.float64),
+                    )
+        rows = []
+        for (sk, feat), acc in accs.items():
+            acc.compact()
+            rows.append((sk, feat, pickle.dumps(acc, protocol=4)))
+        yield pd.DataFrame(rows, columns=["slice_key", "feature", "acc"])
+
+    partials = long_df.mapInPandas(partial, _PARTIAL_DDL)
+    if long_df.rdd.getNumPartitions() > FANOUT_THRESHOLD:
+        salted = partials.withColumn(
+            "salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(16))
+        )
+        partials = (
+            salted.groupBy("slice_key", "feature", "salt")
+            .applyInPandas(_merge_group_keep, _PARTIAL_DDL + ", salt bigint")
+            .drop("salt")
+        )
+    merged = partials.groupBy("slice_key", "feature").applyInPandas(
+        _merge_group_keep, _PARTIAL_DDL
+    )
+    qs = [i / _QUANTILE_CUTS for i in range(_QUANTILE_CUTS + 1)]
+    out: dict = {}
+    for r in merged.collect():
+        acc: FeatureAccumulator = pickle.loads(bytes(r["acc"]))
+        out[(r["slice_key"], r["feature"])] = {
+            "wquants": acc.wtd.quantiles(qs) if acc.wtd is not None and acc.fincnt else None,
+            "wfcnt": acc.wfcnt,
+            "wfsum": acc.wfsum,
+            "wfsumsq": acc.wfsumsq,
+            "wposinf": acc.wposinf,
+            "wneginf": acc.wneginf,
+        }
+    return out
+
+
 def _merge_group_keep(pdf: pd.DataFrame) -> pd.DataFrame:
     accs = [pickle.loads(bytes(b)) for b in pdf["acc"]]
     merged = accs[0]

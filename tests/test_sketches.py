@@ -289,3 +289,35 @@ def test_fanout_merge_tier_activates_and_preserves_results(spark, monkeypatch):
     assert dict(fanned.default_slice().feature("s").string.top_values) == (
         dict(base.default_slice().feature("s").string.top_values)
     )
+
+
+def test_weighted_quantiles_exact_mode_matches_sketch_mode(spark):
+    # Exact mode with a weight column must ALSO emit WeightedNumericStatistics
+    # median/histograms (reference emits them whenever weights are configured,
+    # regardless of generator flavor) — via the dedicated weighted-quantile
+    # job, agreeing with sketch mode within digest tolerance.
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(100, 20, 6000)
+    w = rng.uniform(0.5, 3.0, 6000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, w)], "x double, w double"
+    )
+    exact = compute_statistics(df, StatsOptions(weight_column="w", use_sketches=False))
+    sketch = compute_statistics(df, StatsOptions(weight_column="w", use_sketches=True))
+    ne = exact.default_slice().feature("x").numeric
+    ns = sketch.default_slice().feature("x").numeric
+    truth = _np_weighted_quantile(x, w, 0.5)
+    assert ne.weighted_median == pytest.approx(truth, abs=1.0)
+    assert ne.weighted_median == pytest.approx(ns.weighted_median, abs=1.0)
+    assert [h.type for h in ne.weighted_histograms] == ["STANDARD", "QUANTILES"]
+    for h in ne.weighted_histograms:
+        assert h.total_count() == pytest.approx(float(w.sum()), rel=0.01)
+    # unweighted quantities unaffected
+    assert ne.median == pytest.approx(ns.median, abs=1.0)
+
+    # no weight column → no weighted quantile job, no weighted stats
+    plain = compute_statistics(df.select("x"), StatsOptions())
+    assert plain.default_slice().feature("x").numeric.weighted_median is None
