@@ -97,6 +97,17 @@ class ImageDomain:
 
 
 @dataclass
+class URLDomain:
+    """Marker semantic domain (TFMD URLDomain — no constraints;
+    set via domain_info, ``custom_domain_util.cc:44-90``)."""
+
+
+@dataclass
+class MIDDomain:
+    """Marker semantic domain (TFMD MIDDomain, Knowledge-Graph MIDs)."""
+
+
+@dataclass
 class TokenConstraint:
     """Per-token sequence constraints (TFMD ``SequenceValueConstraints``,
     checked in ``natural_language_domain_util.cc:76-142``)."""
@@ -171,6 +182,8 @@ class FeatureSpec:
     image_domain: Optional[ImageDomain] = None
     natural_language_domain: Optional[NaturalLanguageDomain] = None
     time_domain: Optional[TimeDomain] = None
+    url_domain: Optional[URLDomain] = None
+    mid_domain: Optional[MIDDomain] = None
     domain: Optional[str] = None  # name of a shared StringDomain
     unique_constraints: Optional[UniqueConstraints] = None
     distribution_constraints: Optional[DistributionConstraints] = None
@@ -370,6 +383,8 @@ _NESTED = {
     (FeatureSpec, "natural_language_domain"): NaturalLanguageDomain,
     (NaturalLanguageDomain, "token_constraints"): TokenConstraint,
     (FeatureSpec, "time_domain"): TimeDomain,
+    (FeatureSpec, "url_domain"): URLDomain,
+    (FeatureSpec, "mid_domain"): MIDDomain,
     (FeatureSpec, "unique_constraints"): UniqueConstraints,
     (FeatureSpec, "distribution_constraints"): DistributionConstraints,
     (FeatureSpec, "drift_comparator"): DriftComparator,

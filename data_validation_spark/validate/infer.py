@@ -136,9 +136,23 @@ def _init_value_count(lo: int, hi: int) -> ValueCount:
 
 def _apply_domain_info(spec: FeatureSpec, fs: FeatureStats) -> None:
     """Attach the semantic domain named by the ``domain_info`` custom stat
-    (BestEffortUpdateCustomDomain role)."""
+    (BestEffortUpdateCustomDomain role, ``custom_domain_util.cc:44-90`` +
+    schema_test.cc:430-560 UpdateSchemaCustomDomains: a feature that already
+    carries ANY domain keeps it — domain_info never overwrites)."""
+    from data_validation_spark.validate.rules import _has_domain
+
+    if _has_domain(spec):
+        return
     info = str(fs.custom.get("domain_info") or "")
-    if "image_domain" in info and spec.image_domain is None:
+    if "url_domain" in info:
+        from data_validation_spark.schema import URLDomain
+
+        spec.url_domain = URLDomain()
+    elif "mid_domain" in info:
+        from data_validation_spark.schema import MIDDomain
+
+        spec.mid_domain = MIDDomain()
+    elif "image_domain" in info and spec.image_domain is None:
         spec.image_domain = ImageDomain()
     elif "natural_language_domain" in info and spec.natural_language_domain is None:
         from data_validation_spark.schema import NaturalLanguageDomain

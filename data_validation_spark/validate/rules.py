@@ -275,6 +275,8 @@ def _has_domain(spec: FeatureSpec) -> bool:
             "image_domain",
             "natural_language_domain",
             "time_domain",
+            "url_domain",
+            "mid_domain",
         )
     ) or bool(spec.domain)
 

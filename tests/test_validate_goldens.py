@@ -1311,3 +1311,63 @@ def test_golden_find_skew_linf_and_jsd():
         "The approximate Jensen-Shannon divergence between training and serving "
         "is 1 (up to six significant digits), above the threshold 0.1."
     )
+
+
+def test_golden_custom_domain_update_never_overwrites():
+    """schema_test.cc:430-560 UpdateSchemaCustomDomains — stats claim
+    `domain_info: url_domain {}` for every feature, but only the feature with
+    NO existing domain gains url_domain; nl/image/time/string domains are all
+    kept untouched (domain_info never overwrites, custom_domain_util.cc)."""
+    from data_validation_spark.schema import (
+        ImageDomain,
+        NaturalLanguageDomain,
+        TimeDomain,
+    )
+    from data_validation_spark.validate.infer import update_schema
+
+    schema = Schema(
+        feature=[
+            FeatureSpec(
+                name="nl_feature", type=FeatureType.BYTES,
+                presence=Presence(min_count=1), value_count=ValueCount(min=1),
+                natural_language_domain=NaturalLanguageDomain(),
+            ),
+            FeatureSpec(
+                name="image_feature", type=FeatureType.BYTES,
+                presence=Presence(min_count=1), value_count=ValueCount(min=1),
+                image_domain=ImageDomain(),
+            ),
+            FeatureSpec(
+                name="time_feature", type=FeatureType.BYTES,
+                presence=Presence(min_count=1), value_count=ValueCount(min=1),
+                time_domain=TimeDomain(string_format="%Y/%m/%d"),
+            ),
+            FeatureSpec(
+                name="string_feature", type=FeatureType.BYTES,
+                presence=Presence(min_count=1), value_count=ValueCount(min=1),
+                string_domain=StringDomain(name="", value=[]),
+            ),
+            FeatureSpec(
+                name="nodomain_feature", type=FeatureType.BYTES,
+                presence=Presence(min_count=1), value_count=ValueCount(min=1),
+            ),
+        ]
+    )
+    feats = []
+    for name in ("nl_feature", "image_feature", "time_feature",
+                 "string_feature", "nodomain_feature"):
+        fs = string_feature(name, {"v": 1})
+        fs.custom = {"domain_info": "url_domain {}"}
+        feats.append(fs)
+    stats = stats_of(feats, num_examples=1)
+    fixed = update_schema(schema, stats)
+
+    assert fixed.get_feature("nl_feature").natural_language_domain is not None
+    assert fixed.get_feature("nl_feature").url_domain is None
+    assert fixed.get_feature("image_feature").image_domain is not None
+    assert fixed.get_feature("image_feature").url_domain is None
+    assert fixed.get_feature("time_feature").time_domain.string_format == "%Y/%m/%d"
+    assert fixed.get_feature("time_feature").url_domain is None
+    assert fixed.get_feature("string_feature").string_domain is not None
+    assert fixed.get_feature("string_feature").url_domain is None
+    assert fixed.get_feature("nodomain_feature").url_domain is not None
