@@ -31,6 +31,7 @@ def lift_stats(
     min_x_count: int = 1,
     y_boundaries: list[float] | None = None,
     include_zero_counts: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns (x, y, lift, xy_count, x_count, y_rate) rows.
 
@@ -43,8 +44,18 @@ def lift_stats(
     ``include_zero_counts``: emit a row for every (x, y-series) pair even
     when x never co-occurs with y (lift 0.0) — the reference lists every x
     in each lift_series.
+
+    ``weight_col``: weighted lift (reference ExampleWeightMap path,
+    lift_stats_generator_test.py:1066 test_lift_weighted): every count
+    becomes a weight sum — lift = (w(x∧y)/w(x)) / (w(y)/W).
     """
-    total = df.where(F.col(y_col).isNotNull()).count()
+    wcol = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    total_row = (
+        df.where(F.col(y_col).isNotNull()).agg(F.sum(wcol).alias("t")).collect()[0]
+    )
+    total = float(total_row["t"] or 0.0)
     if total == 0:
         return df.sparkSession.createDataFrame(
             [], "x string, y string, lift double, xy_count bigint, x_count bigint, y_rate double"
@@ -59,11 +70,12 @@ def lift_stats(
     else:
         y_expr = F.col(y_col).cast("string")
     pairs = df.select(
-        F.col(x_col).cast("string").alias("x"), y_expr.alias("y")
+        F.col(x_col).cast("string").alias("x"), y_expr.alias("y"), wcol.alias("w")
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
-    xy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("xy_count"))
-    x_tot = pairs.groupBy("x").agg(F.count(F.lit(1)).alias("x_count"))
-    y_tot = pairs.groupBy("y").agg((F.count(F.lit(1)) / total).alias("y_rate"))
+    cnt = F.sum("w") if weight_col else F.count(F.lit(1))
+    xy = pairs.groupBy("x", "y").agg(cnt.alias("xy_count"))
+    x_tot = pairs.groupBy("x").agg(cnt.alias("x_count"))
+    y_tot = pairs.groupBy("y").agg((cnt / total).alias("y_rate"))
     if include_zero_counts:
         # every x appears in every y series (zero-co-occurrence → lift 0.0):
         # the x-totals × y-series grid is tiny (two small aggregates).

@@ -104,16 +104,20 @@ def _infer_feature(
         n = fs.numeric
         if n.min >= 0 and n.max <= 1 and fs.custom.get("source_type") == "BOOLEAN":
             spec.bool_domain = BoolDomain()
-    # String domain for low-cardinality string features.
-    if fs.type == "STRING" and fs.string is not None:
+    # Semantic domains from custom stats FIRST (custom_domain_util parity):
+    # any generator-emitted domain_info (image/NL/bool/time/url/mid) becomes
+    # the feature's semantic domain at inference time, and a semantic domain
+    # suppresses string-domain inference (the reference's domain dispatch
+    # gives semantic domains precedence; domain_info itself never overwrites
+    # a domain that already exists — schema_test.cc UpdateSchemaCustomDomains).
+    _apply_domain_info(spec, fs)
+    # String domain for low-cardinality string features without a semantic
+    # domain.
+    if fs.type == "STRING" and fs.string is not None and not _spec_has_domain(spec):
         u = fs.string.unique
         if 0 < u <= max_domain and fs.string.rank_histogram:
             values = sorted(b.label for b in fs.string.rank_histogram)
             spec.string_domain = StringDomain(value=values)
-    # Semantic domains from custom stats (custom_domain_util parity): any
-    # generator-emitted domain_info (image/NL/bool/time) becomes the feature's
-    # semantic domain at inference time.
-    _apply_domain_info(spec, fs)
     if "image_format_histogram" in fs.custom:
         hist = fs.custom["image_format_histogram"]
         total = sum(hist.values())
@@ -134,14 +138,18 @@ def _init_value_count(lo: int, hi: int) -> ValueCount:
     return ValueCount(min=1)
 
 
+def _spec_has_domain(spec: FeatureSpec) -> bool:
+    from data_validation_spark.validate.rules import _has_domain
+
+    return _has_domain(spec)
+
+
 def _apply_domain_info(spec: FeatureSpec, fs: FeatureStats) -> None:
     """Attach the semantic domain named by the ``domain_info`` custom stat
     (BestEffortUpdateCustomDomain role, ``custom_domain_util.cc:44-90`` +
     schema_test.cc:430-560 UpdateSchemaCustomDomains: a feature that already
     carries ANY domain keeps it — domain_info never overwrites)."""
-    from data_validation_spark.validate.rules import _has_domain
-
-    if _has_domain(spec):
+    if _spec_has_domain(spec):
         return
     info = str(fs.custom.get("domain_info") or "")
     if "url_domain" in info:

@@ -573,3 +573,58 @@ def test_checkpoint_crash_mid_run_resumes_without_recompute(spark, tmp_path):
     )
     assert set(r) == {"b", "c"} and len(resumed) == 2  # a NOT recomputed
     assert set(CheckpointLedger(ledger_dir).completed()) == {"a", "b", "c"}
+
+
+def test_lift_string_y_reference_golden(spark):
+    """lift_stats_generator_test.py:416 test_lift_string_y — exact lift
+    values, x/y counts, and (lift desc, x desc) ordering per y series."""
+    df = spark.createDataFrame(
+        [("a", "cat"), ("a", "dog"), ("b", "cat"), ("a", "dog")],
+        "categorical_x string, string_y string",
+    )
+    rows = lift_stats(
+        df, "categorical_x", "string_y", include_zero_counts=True
+    ).collect()
+    got = {(r["y"], r["x"]): r for r in rows}
+    assert got[("cat", "b")]["lift"] == pytest.approx(2.0)
+    assert got[("cat", "b")]["xy_count"] == 1 and got[("cat", "b")]["x_count"] == 1
+    assert got[("cat", "a")]["lift"] == pytest.approx(2 / 3)
+    assert got[("cat", "a")]["x_count"] == 3
+    assert got[("dog", "a")]["lift"] == pytest.approx(4 / 3)
+    assert got[("dog", "a")]["xy_count"] == 2
+    assert got[("dog", "b")]["lift"] == 0.0  # zero co-occurrence row present
+    assert got[("dog", "b")]["xy_count"] == 0
+
+
+def test_lift_weighted_reference_golden(spark):
+    """lift_stats_generator_test.py:1066 test_lift_weighted (categorical_x1
+    with the example weight): weighted counts replace counts everywhere —
+    lift(b,cat)=1.6, lift(a,cat)=0.4, lift(a,dog)=2.0."""
+    df = spark.createDataFrame(
+        [("a", "cat", 0.5), ("a", "dog", 0.5), ("b", "cat", 2.0), ("a", "dog", 1.0)],
+        "x string, y string, w double",
+    )
+    rows = lift_stats(df, "x", "y", weight_col="w").collect()
+    got = {(r["y"], r["x"]): r for r in rows}
+    assert got[("cat", "b")]["lift"] == pytest.approx(1.6)
+    assert got[("cat", "b")]["xy_count"] == pytest.approx(2.0)
+    assert got[("cat", "b")]["x_count"] == pytest.approx(2.0)
+    assert got[("cat", "a")]["lift"] == pytest.approx(0.4)
+    assert got[("cat", "a")]["xy_count"] == pytest.approx(0.5)
+    assert got[("dog", "a")]["lift"] == pytest.approx(2.0)
+    # weighted y rates: cat 2.5/4, dog 1.5/4
+    assert got[("cat", "b")]["y_rate"] == pytest.approx(2.5 / 4)
+    assert got[("dog", "a")]["y_rate"] == pytest.approx(1.5 / 4)
+
+
+def test_lift_min_x_count_reference(spark):
+    """lift_stats_generator_test.py:1756 test_lift_min_x_count — x values
+    below the support threshold are dropped from every series; :1829
+    filters-all → empty output."""
+    df = spark.createDataFrame(
+        [("a", "cat"), ("a", "dog"), ("b", "cat"), ("a", "dog")],
+        "x string, y string",
+    )
+    rows = lift_stats(df, "x", "y", min_x_count=2).collect()
+    assert {r["x"] for r in rows} == {"a"}
+    assert lift_stats(df, "x", "y", min_x_count=5).collect() == []
