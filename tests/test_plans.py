@@ -146,3 +146,36 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_child")
         spark.sql("DROP TABLE IF EXISTS bt_parent")
+
+
+def test_weighted_quantile_pass_scan_pruned(spark, tmp_path):
+    """Exact-mode weighted-quantile job (round 4): its long frame must scan
+    ONLY the numeric columns + the weight column — string/binary columns are
+    Catalyst-pruned out (ReadSchema check), so at 100 TB the weighted-digest
+    pass reads GBs, not the full table."""
+    from pyspark.sql import functions as F
+
+    from data_validation_spark.stats import exprs as E
+
+    df = spark.range(1000).select(
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.encode(F.concat(F.lit("blob"), F.col("id")), "utf-8").alias("b"),
+        (F.rand(1) + 0.5).alias("w"),
+    )
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    src = spark.read.parquet(p)
+
+    plans = E.classify_columns(src.select("x", "s", "b").schema, set())
+    num_plans = [pl for pl in plans if pl.numeric]
+    long_df = E.long_format(
+        src, num_plans, F.lit("All Examples"), "w", include_scalar_numeric=True
+    )
+    plan = plan_of(long_df)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"x", "w"}, read_cols
