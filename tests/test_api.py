@@ -69,3 +69,33 @@ def test_validate_examples_in_dataframe(spark):
     df = spark.createDataFrame([("r1", 3), ("r2", 99)], "id string, v bigint")
     v = dvs.validate_examples_in_dataframe(df, schema, key_col="id").collect()
     assert [r["row_key"] for r in v] == ["r2"]
+
+
+def test_pyfiles_archive_importable(tmp_path):
+    # spark-submit --py-files posture: the built zip alone must satisfy all
+    # package imports (no missing module, no filesystem dependence).
+    import subprocess
+    import sys
+
+    from tools.make_pyfiles import main as build_zip
+
+    out = build_zip()
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import data_validation_spark as d; "
+        "from data_validation_spark.stats import engine, exprs, quantiles; "
+        "from data_validation_spark.stats.sketches import runner, tdigest; "
+        "from data_validation_spark.validate import rules, infer, rowlevel, skew; "
+        "from data_validation_spark.io import artifacts, checkpoint, tfrecord; "
+        "from data_validation_spark.dedup import minhash, simhash, embedding; "
+        "from data_validation_spark import api, display, streaming, pipeline; "
+        "print('ZIPOK', d.__version__)" % out
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # away from the repo so the zip is the only source
+        timeout=120,
+    )
+    assert "ZIPOK" in r.stdout, r.stdout + r.stderr
