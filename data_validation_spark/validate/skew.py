@@ -52,6 +52,12 @@ class SkewResult:
     match_stats: MatchStats
     feature_skew: dict[str, FeatureSkew] = field(default_factory=dict)
     sample_pairs: Optional[DataFrame] = None
+    # (feature_name, base_value, test_value, count) rows for configured
+    # confusion features (reference ConfusionCount results).
+    confusion_counts: Optional[DataFrame] = None
+
+
+_MISSING_VALUE_PLACEHOLDER = "__MISSING_VALUE__"
 
 
 def detect_feature_skew(
@@ -63,8 +69,15 @@ def detect_feature_skew(
     allow_duplicate_identifiers: bool = False,
     sample_size: int = 0,
     sample_seed: int = 42,
+    confusion_features: Optional[list[str]] = None,
 ) -> SkewResult:
-    """Compare ``base`` vs ``test`` row-by-row on fingerprinted identifiers."""
+    """Compare ``base`` vs ``test`` row-by-row on fingerprinted identifiers.
+
+    ``confusion_features``: string features for confusion analysis
+    (reference ConfusionConfig, feature_skew_detector.py:350-404) — over
+    matched pairs, count every (base_value, test_value) combination with
+    missing values as ``__MISSING_VALUE__``; int/float features raise, as in
+    the reference."""
     if features_to_compare is None:
         features_to_compare = sorted(
             (set(base.columns) & set(test.columns)) - set(identifier_columns)
@@ -164,6 +177,41 @@ def detect_feature_skew(
         )
         if fs.base_count or fs.test_count or fs.diff_count:
             result.feature_skew[c] = fs
+
+    if confusion_features:
+        base_types = dict(base.dtypes)
+        for c in confusion_features:
+            if base_types.get(c) not in ("string", "binary"):
+                raise ValueError(
+                    f"{base_types.get(c)} features unsupported for confusion "
+                    "analysis."  # int64/float parity with the reference
+                )
+        # one shuffle: stack per-feature (base, test) value pairs over the
+        # matched rows, then a single groupBy count
+        stacked = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature_name"),
+                        F.coalesce(
+                            F.col(f"b.{c}").cast("string"),
+                            F.lit(_MISSING_VALUE_PLACEHOLDER),
+                        ).alias("base_value"),
+                        F.coalesce(
+                            F.col(f"t.{c}").cast("string"),
+                            F.lit(_MISSING_VALUE_PLACEHOLDER),
+                        ).alias("test_value"),
+                    )
+                    for c in confusion_features
+                ]
+            )
+        )
+        result.confusion_counts = (
+            joined.where(both)
+            .select(stacked.alias("p"))
+            .groupBy("p.feature_name", "p.base_value", "p.test_value")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
 
     if sample_size > 0:
         any_mismatch = None

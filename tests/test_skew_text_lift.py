@@ -628,3 +628,46 @@ def test_lift_min_x_count_reference(spark):
     rows = lift_stats(df, "x", "y", min_x_count=2).collect()
     assert {r["x"] for r in rows} == {"a"}
     assert lift_stats(df, "x", "y", min_x_count=5).collect() == []
+
+
+def test_confusion_analysis_reference_golden(spark):
+    """feature_skew_detector_test.py:807 test_confusion_analysis — exact
+    (base, test, feature, count) confusion rows over matched pairs, with the
+    __MISSING_VALUE__ placeholder for an absent side."""
+    base = spark.createDataFrame(
+        [("id0", "foo", "foo"), ("id1", "foo", "foo"), ("id2", "foo", "foo"),
+         ("id3", "foo", "foo"), ("id4", "bar", "bar"), ("id5", "bar", "bar"),
+         ("id6", "baz", "baz"), ("id7", "zip", "zap")],
+        "id string, value_skew string, value_noskew string",
+    )
+    test = spark.createDataFrame(
+        [("id0", "foo", "foo"), ("id1", "zim", "foo"), ("id2", "foo", "foo"),
+         ("id3", "bar", "foo"), ("id4", "bar", "bar"), ("id5", "foo", "bar"),
+         ("id6", "baz", "baz"), ("id7", None, "zap")],
+        "id string, value_skew string, value_noskew string",
+    )
+    r = detect_feature_skew(
+        base, test, ["id"], confusion_features=["value_skew", "value_noskew"]
+    )
+    got = {
+        (row["feature_name"], row["base_value"], row["test_value"]): row["count"]
+        for row in r.confusion_counts.collect()
+    }
+    expected = {
+        ("value_noskew", "foo", "foo"): 4,
+        ("value_noskew", "bar", "bar"): 2,
+        ("value_noskew", "baz", "baz"): 1,
+        ("value_noskew", "zap", "zap"): 1,
+        ("value_skew", "foo", "foo"): 2,
+        ("value_skew", "foo", "zim"): 1,
+        ("value_skew", "foo", "bar"): 1,
+        ("value_skew", "bar", "bar"): 1,
+        ("value_skew", "bar", "foo"): 1,
+        ("value_skew", "baz", "baz"): 1,
+        ("value_skew", "zip", "__MISSING_VALUE__"): 1,
+    }
+    assert got == expected
+
+    with pytest.raises(ValueError, match="unsupported for confusion analysis"):
+        df_int = spark.createDataFrame([("a", 1)], "id string, val bigint")
+        detect_feature_skew(df_int, df_int, ["id"], confusion_features=["val"])
