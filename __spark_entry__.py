@@ -1531,26 +1531,26 @@ def q_weighted_sketch_stats(spark, sf_dir):
     )
     n = stats.default_slice().feature("x").numeric
 
-    # exact weighted median via value-grouped cumulative weights (50 rows)
+    # weighted-median RANK check via value-grouped cumulative weights
+    # (50 rows): the digest's guarantee is on rank, and l_quantity is
+    # DISCRETE (steps 2% of range apart), so a value-distance bound would
+    # reject rank-perfect estimates that interpolate between steps. Assert
+    # the weighted mass strictly below / above the estimate each ≤ 51% W.
     grp = sorted(
         li.groupBy("x").agg(F.sum("w").alias("ws")).collect(),
         key=lambda r: r["x"],
     )
     total_w = sum(r["ws"] for r in grp)
-    acc = 0.0
-    exact_med = grp[-1]["x"]
-    for r in grp:
-        acc += r["ws"]
-        if acc >= 0.5 * total_w:
-            exact_med = r["x"]
-            break
+    below = sum(r["ws"] for r in grp if r["x"] < n.weighted_median)
+    above = sum(r["ws"] for r in grp if r["x"] > n.weighted_median)
     ex = li.agg(
         (F.sum(F.col("x") * F.col("w")) / F.sum("w")).alias("wm"),
         F.min("x").alias("mn"),
         F.max("x").alias("mx"),
     ).collect()[0]
-    rng = float(ex["mx"]) - float(ex["mn"])
-    wmedian_ok = int(abs(n.weighted_median - float(exact_med)) <= max(0.01 * rng, 1e-9))
+    wmedian_ok = int(
+        below <= 0.51 * total_w and above <= 0.51 * total_w
+    )
     wmean_ok = int(abs(n.weighted_mean - float(ex["wm"])) <= 1e-6 * abs(float(ex["wm"])))
     std_hist = next(h for h in n.weighted_histograms if h.type == "STANDARD")
     whist_ok = int(abs(std_hist.total_count() - total_w) <= 0.01 * total_w)

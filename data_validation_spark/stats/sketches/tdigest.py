@@ -77,22 +77,39 @@ class TDigest:
         means = self.means[order]
         weights = self.weights[order]
         total = weights.sum()
-        # k1 scale function: centroid size limit 4·total·q(1−q)/compression
+        if total <= 0:
+            self.means = means
+            self.weights = weights
+            return
+        # Canonical k1-scale merge (Dunning's merging digest): adjacent
+        # centroids merge while the k-span k(q_right) − k(q_left) ≤ 1 with
+        # k(q) = (δ/2π)·asin(2q−1). Unlike a flat "weight ≤ max(limit, 1)"
+        # floor this never merges a heavy weighted sample across distinct
+        # values (the floor assumed unit-weight counts; hypothesis found the
+        # fractional-weight case where it smeared a point mass) and keeps
+        # tail resolution with a ~δ bound on centroid count.
+        from math import asin, pi
+        kf = self.compression / (2.0 * pi)
+
+        def k_of(q: float) -> float:
+            return kf * asin(max(-1.0, min(1.0, 2.0 * q - 1.0)))
+
         new_means: list[float] = []
         new_weights: list[float] = []
         cur_m = means[0]
         cur_w = weights[0]
         acc = 0.0  # weight before current centroid
+        k_left = k_of(0.0)
         for i in range(1, n):
-            q = (acc + cur_w / 2) / total if total else 0.0
-            limit = 4.0 * total * q * (1.0 - q) / self.compression
-            if cur_w + weights[i] <= max(limit, 1.0):
+            q_right = (acc + cur_w + weights[i]) / total
+            if k_of(q_right) - k_left <= 1.0:
                 cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
                 cur_w += weights[i]
             else:
                 new_means.append(cur_m)
                 new_weights.append(cur_w)
                 acc += cur_w
+                k_left = k_of(acc / total)
                 cur_m = means[i]
                 cur_w = weights[i]
         new_means.append(cur_m)
@@ -102,6 +119,15 @@ class TDigest:
 
     # ------------------------------------------------------------- quantile
     def quantile(self, q: float) -> float:
+        """Inverse CDF with boundary-zone interpolation: each centroid spans
+        its own weight interval; values interpolate between neighboring
+        centroid means only inside a transition zone of half the SMALLER
+        neighbor's weight around each boundary, and the interior of a
+        centroid returns its mean. For unit-weight (continuous) streams this
+        is identical to the classic midpoint interpolation; for a heavy
+        single-sample centroid (weighted discrete data) it keeps the rank
+        error bounded instead of smearing the point mass toward neighbors
+        (found by the hypothesis rank-error property)."""
         self.compact()
         n = self.means.size
         if n == 0:
@@ -109,22 +135,35 @@ class TDigest:
         if n == 1:
             return float(self.means[0])
         q = min(max(q, 0.0), 1.0)
-        total = self.weights.sum()
+        w = self.weights
+        means = self.means
+        C = np.cumsum(w)
+        total = C[-1]
         target = q * total
-        cum = np.cumsum(self.weights) - self.weights / 2
-        if target <= cum[0]:
-            lo, hi = self._min, float(self.means[0])
-            frac = target / cum[0] if cum[0] else 0.0
-            return lo + (hi - lo) * frac
-        if target >= cum[-1]:
-            lo, hi = float(self.means[-1]), self._max
-            rest = total - cum[-1]
-            frac = (target - cum[-1]) / rest if rest else 1.0
-            return lo + (hi - lo) * frac
-        idx = np.searchsorted(cum, target)
-        lo_c, hi_c = cum[idx - 1], cum[idx]
-        frac = (target - lo_c) / (hi_c - lo_c) if hi_c > lo_c else 0.0
-        return float(self.means[idx - 1] + (self.means[idx] - self.means[idx - 1]) * frac)
+        i = int(np.searchsorted(C, target, side="left"))
+        i = min(i, n - 1)
+        # leading / trailing half-centroid edges interpolate to min / max
+        if i == 0 and target <= w[0] / 2:
+            half = w[0] / 2
+            frac = target / half if half else 0.0
+            return float(self._min + (means[0] - self._min) * frac)
+        if i == n - 1 and target >= total - w[-1] / 2:
+            half = w[-1] / 2
+            frac = (target - (total - half)) / half if half else 1.0
+            return float(means[-1] + (self._max - means[-1]) * frac)
+        left_edge = C[i] - w[i]
+        right_edge = C[i]
+        if i > 0:
+            z = min(w[i - 1], w[i]) / 2
+            if z and target < left_edge + z:
+                frac = (target - (left_edge - z)) / (2 * z)
+                return float(means[i - 1] + (means[i] - means[i - 1]) * frac)
+        if i < n - 1:
+            z = min(w[i], w[i + 1]) / 2
+            if z and target > right_edge - z:
+                frac = (target - (right_edge - z)) / (2 * z)
+                return float(means[i] + (means[i + 1] - means[i]) * frac)
+        return float(means[i])
 
     def quantiles(self, qs: list[float]) -> list[float]:
         return [self.quantile(q) for q in qs]

@@ -130,16 +130,17 @@ def test_tdigest_weighted_quantile_envelope(pairs):
     td = TDigest(compression=100)
     td.add(x, w)
     assert td.count == pytest.approx(w.sum(), rel=1e-9)
-    order = np.argsort(x)
-    xs = x[order]
-    cw = np.cumsum(w[order])
-    # at an exact 50% mass boundary the weighted median is an INTERVAL
-    # [lower, upper]; the digest's interpolated value must land in it
-    lo = xs[np.searchsorted(cw, 0.5 * cw[-1], side="left")]
-    hi = xs[min(np.searchsorted(cw, 0.5 * cw[-1], side="right"), len(xs) - 1)]
-    rng = (x.max() - x.min()) or 1.0
-    tol = 0.1 * rng + 1e-9
-    assert lo - tol <= td.quantile(0.5) <= hi + tol
+    # The digest's guarantee is on RANK, not value: between two point
+    # masses it interpolates (hypothesis found [0:w8.5, 1:w9] → 0.105,
+    # value error ~1 but rank error 0.014), so assert the weighted mass
+    # strictly below / strictly above the estimate each stay ≤ (0.5 + ε)W.
+    est = td.quantile(0.5)
+    W = w.sum()
+    below = float(w[x < est].sum())
+    above = float(w[x > est].sum())
+    eps = 0.1
+    assert below <= (0.5 + eps) * W + 1e-9
+    assert above <= (0.5 + eps) * W + 1e-9
 
 
 # ------------------------------------------------------------------ HLL -----
