@@ -15,12 +15,18 @@ import numpy as np
 
 
 class TDigest:
-    __slots__ = ("compression", "means", "weights", "_buf_v", "_buf_w", "count", "_min", "_max")
+    __slots__ = ("compression", "means", "weights", "points", "_buf_v",
+                 "_buf_w", "count", "_min", "_max")
 
     def __init__(self, compression: int = 200):
         self.compression = compression
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
+        # points[i] is True when centroid i holds a SINGLE distinct value
+        # (Dunning's singleton handling): such a centroid is an indivisible
+        # point mass and must not be interpolated across — critical for
+        # weighted discrete data, where one heavy value forms one centroid.
+        self.points = np.empty(0, dtype=bool)
         self._buf_v: list[np.ndarray] = []
         self._buf_w: list[np.ndarray] = []
         self.count = 0.0
@@ -56,6 +62,7 @@ class TDigest:
         other.compact()
         out.means = np.concatenate([self.means, other.means])
         out.weights = np.concatenate([self.weights, other.weights])
+        out.points = np.concatenate([self.points, other.points])
         out.count = self.count + other.count
         out._min = min(self._min, other._min)
         out._max = max(self._max, other._max)
@@ -70,16 +77,22 @@ class TDigest:
             self._buf_v, self._buf_w = [], []
             self.means = np.concatenate([self.means, bv])
             self.weights = np.concatenate([self.weights, bw])
+            # every raw sample is a point (single distinct value)
+            self.points = np.concatenate(
+                [self.points, np.ones(bv.size, dtype=bool)]
+            )
         n = self.means.size
         if n == 0:
             return
         order = np.argsort(self.means, kind="mergesort")
         means = self.means[order]
         weights = self.weights[order]
+        points = self.points[order]
         total = weights.sum()
         if total <= 0:
             self.means = means
             self.weights = weights
+            self.points = points
             return
         # Canonical k1-scale merge (Dunning's merging digest): adjacent
         # centroids merge while the k-span k(q_right) − k(q_left) ≤ 1 with
@@ -96,26 +109,40 @@ class TDigest:
 
         new_means: list[float] = []
         new_weights: list[float] = []
+        new_points: list[bool] = []
         cur_m = means[0]
         cur_w = weights[0]
+        cur_p = bool(points[0])
         acc = 0.0  # weight before current centroid
         k_left = k_of(0.0)
         for i in range(1, n):
             q_right = (acc + cur_w + weights[i]) / total
             if k_of(q_right) - k_left <= 1.0:
-                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
-                cur_w += weights[i]
+                if cur_p and points[i] and means[i] == cur_m:
+                    # identical point values: keep the mean bit-exact and
+                    # the centroid remains a point mass
+                    cur_w += weights[i]
+                else:
+                    cur_m = (cur_m * cur_w + means[i] * weights[i]) / (
+                        cur_w + weights[i]
+                    )
+                    cur_w += weights[i]
+                    cur_p = False
             else:
                 new_means.append(cur_m)
                 new_weights.append(cur_w)
+                new_points.append(cur_p)
                 acc += cur_w
                 k_left = k_of(acc / total)
                 cur_m = means[i]
                 cur_w = weights[i]
+                cur_p = bool(points[i])
         new_means.append(cur_m)
         new_weights.append(cur_w)
+        new_points.append(cur_p)
         self.means = np.asarray(new_means)
         self.weights = np.asarray(new_weights)
+        self.points = np.asarray(new_points, dtype=bool)
 
     # ------------------------------------------------------------- quantile
     def quantile(self, q: float) -> float:
@@ -137,29 +164,35 @@ class TDigest:
         q = min(max(q, 0.0), 1.0)
         w = self.weights
         means = self.means
+        # Interpolatable half-width in mass units: a point centroid (single
+        # distinct value) is an indivisible step — half-width 0 — while a
+        # mixed centroid spreads half its mass to each side. Transition
+        # zones take the SMALLER neighboring half-width, so interpolation
+        # never crosses a point mass (rank-correct on weighted discrete
+        # data) and reduces to classic midpoint interpolation for merged
+        # continuous centroids.
+        h = np.where(self.points, 0.0, w / 2.0)
         C = np.cumsum(w)
         total = C[-1]
         target = q * total
         i = int(np.searchsorted(C, target, side="left"))
         i = min(i, n - 1)
-        # leading / trailing half-centroid edges interpolate to min / max
-        if i == 0 and target <= w[0] / 2:
-            half = w[0] / 2
-            frac = target / half if half else 0.0
+        # leading / trailing edges interpolate to min / max
+        if i == 0 and target <= h[0]:
+            frac = target / h[0] if h[0] else 0.0
             return float(self._min + (means[0] - self._min) * frac)
-        if i == n - 1 and target >= total - w[-1] / 2:
-            half = w[-1] / 2
-            frac = (target - (total - half)) / half if half else 1.0
+        if i == n - 1 and target >= total - h[-1] and h[-1]:
+            frac = (target - (total - h[-1])) / h[-1]
             return float(means[-1] + (self._max - means[-1]) * frac)
         left_edge = C[i] - w[i]
         right_edge = C[i]
         if i > 0:
-            z = min(w[i - 1], w[i]) / 2
+            z = min(h[i - 1], h[i])
             if z and target < left_edge + z:
                 frac = (target - (left_edge - z)) / (2 * z)
                 return float(means[i - 1] + (means[i] - means[i - 1]) * frac)
         if i < n - 1:
-            z = min(w[i], w[i + 1]) / 2
+            z = min(h[i], h[i + 1])
             if z and target > right_edge - z:
                 frac = (target - (right_edge - z)) / (2 * z)
                 return float(means[i] + (means[i + 1] - means[i]) * frac)
