@@ -22,6 +22,7 @@ from data_validation_spark.stats.result import DatasetStatsList
 NL_MATCH_FRACTION = 0.8
 NL_MIN_EXAMPLES = 100
 _AVG_WORD_MIN, _AVG_WORD_MAX = 2.5, 8.0  # plausible-natural-language band
+_MIN_WORDS_PER_VALUE = 3  # reference _MIN_WORDS_PER_VALUE
 
 
 def token_count_col(col) -> "F.Column":
@@ -421,7 +422,10 @@ def attach_nl_stats(
     awl = avg_token_length_col(text_col)
     matches = F.when(
         F.col(text_col).isNotNull()
-        & (token_count_col(text_col) > 0)
+        # AverageWordHeuristicNLClassifier parity
+        # (natural_language_domain_inferring_stats_generator.py:40-42): at
+        # least _MIN_WORDS_PER_VALUE=3 words AND avg word length in band.
+        & (token_count_col(text_col) >= _MIN_WORDS_PER_VALUE)
         & (awl >= _AVG_WORD_MIN)
         & (awl <= _AVG_WORD_MAX),
         1,

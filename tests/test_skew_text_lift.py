@@ -671,3 +671,43 @@ def test_confusion_analysis_reference_golden(spark):
     with pytest.raises(ValueError, match="unsupported for confusion analysis"):
         df_int = spark.createDataFrame([("a", 1)], "id string, val bigint")
         detect_feature_skew(df_int, df_int, ["id"], confusion_features=["val"])
+
+
+def test_nl_heuristic_reference_boundaries(spark):
+    """AverageWordHeuristicNLClassifier goldens
+    (natural_language_domain_inferring_stats_generator_test.py:41-76 +
+    constants :40-50): 'Hello this is some text' has avg word length 3.8 →
+    inside the [2.5, 8] band; empty / spaces-only / <3-word values never
+    match; the 80%-of-≥100-values rule gates domain inference."""
+    from data_validation_spark.stats.text import attach_nl_stats
+
+    five_words = "Hello this is some text"  # avg word length 19/5 = 3.8
+    rows = (
+        [(five_words,)] * 90           # matches
+        + [("ab xy " + "q" * 40,)] * 5  # avg word len (2+2+40)/3 ≈ 14.7 → no
+        + [("",)] * 3                   # empty → no
+        + [("   ",)] * 1                # spaces only → no
+        + [("two words",)] * 1          # < 3 words → no (min_words_per_value)
+    )
+    df = spark.createDataFrame(rows, "caption string")
+    stats = compute_statistics(df, StatsOptions(feature_allowlist=["caption"]))
+    attach_nl_stats(stats, df, "caption")
+    fs = stats.default_slice().feature("caption")
+    assert fs.custom["nl_match_fraction"] == pytest.approx(0.9)
+    assert fs.custom["domain_info"] == "natural_language_domain {}"
+
+    # below the 80% match ratio: no domain inferred
+    rows2 = [(five_words,)] * 70 + [("xx",)] * 30
+    df2 = spark.createDataFrame(rows2, "caption string")
+    s2 = compute_statistics(df2, StatsOptions(feature_allowlist=["caption"]))
+    attach_nl_stats(s2, df2, "caption")
+    f2 = s2.default_slice().feature("caption")
+    assert f2.custom["nl_match_fraction"] == pytest.approx(0.7)
+    assert "domain_info" not in f2.custom
+
+    # below the 100-value threshold: no domain even at 100% match
+    rows3 = [(five_words,)] * 50
+    df3 = spark.createDataFrame(rows3, "caption string")
+    s3 = compute_statistics(df3, StatsOptions(feature_allowlist=["caption"]))
+    attach_nl_stats(s3, df3, "caption")
+    assert "domain_info" not in s3.default_slice().feature("caption").custom
