@@ -68,8 +68,11 @@ def read_frames(path: str, verify_crc: bool = False) -> Iterator[bytes]:
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
-            if len(header) < 12:
+            if not header:
                 return
+            if len(header) < 12:
+                # a file cut mid-header is corruption, not clean EOF
+                raise IOError(f"truncated TFRecord header in {path}")
             (length,) = struct.unpack("<Q", header[:8])
             if verify_crc:
                 (lcrc,) = struct.unpack("<I", header[8:12])
@@ -238,21 +241,25 @@ def write_tfrecord_examples(
 # ----------------------------------------------------------- Spark source ---
 def _infer_schema(sample: list[dict[str, list]]) -> dict[str, str]:
     """feature → 'bytes'|'float'|'int' plus scalar/list shape from a sample."""
-    kinds: dict[str, tuple[str, bool]] = {}
+    kinds: dict[str, tuple[Optional[str], bool]] = {}
     for ex in sample:
         for name, values in ex.items():
+            # empty value lists carry no type evidence — leave the feature
+            # untyped until a non-empty occurrence (default 'int' at the end)
             kind = (
-                "bytes"
-                if values and isinstance(values[0], (bytes, bytearray))
+                None
+                if not values
+                else "bytes"
+                if isinstance(values[0], (bytes, bytearray))
                 else "float"
-                if values and isinstance(values[0], float)
+                if isinstance(values[0], float)
                 else "int"
             )
             prev = kinds.get(name)
             multi = len(values) != 1 or (prev[1] if prev else False)
-            kinds[name] = (kind if prev is None else prev[0], multi)
+            kinds[name] = (kind if prev is None or prev[0] is None else prev[0], multi)
     return {
-        name: (kind if not multi else f"array<{kind}>")
+        name: ((kind or "int") if not multi else f"array<{kind or 'int'}>")
         for name, (kind, multi) in kinds.items()
     }
 

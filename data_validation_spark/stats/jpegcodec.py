@@ -554,7 +554,9 @@ def _decode(data: bytes) -> Optional[np.ndarray]:
             plane = np.repeat(plane, vmax // cv, axis=0)
         out_planes.append(plane[:h, :w])
 
-    if len(out_planes) == 1:
+    if len(out_planes) < 3:
+        # 1 component = grayscale; 2 components (rare, e.g. luma+alpha-ish
+        # encodings) — treat plane 0 as luma and replicate to RGB
         yp = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(yp[:, :, None], 3, axis=2)
     yp, cbp, crp = out_planes

@@ -57,8 +57,13 @@ def lift_stats(
     )
     total = float(total_row["t"] or 0.0)
     if total == 0:
+        # weighted counts are weight sums (double); keep the empty-result
+        # schema identical to the non-empty path so unions don't break
+        cnt_t = "double" if weight_col else "bigint"
         return df.sparkSession.createDataFrame(
-            [], "x string, y string, lift double, xy_count bigint, x_count bigint, y_rate double"
+            [],
+            f"x string, y string, lift double, xy_count {cnt_t}, "
+            f"x_count {cnt_t}, y_rate double",
         )
     if y_boundaries:
         b = sorted(float(v) for v in y_boundaries)

@@ -83,9 +83,21 @@ def detect_feature_skew(
             (set(base.columns) & set(test.columns)) - set(identifier_columns)
         )
 
+    # Confusion features ride along even when excluded from
+    # features_to_compare — the reference's ConfusionConfig is independent of
+    # the compared-feature set (feature_skew_detector.py:350-404).
+    carried = list(features_to_compare)
+    for c in confusion_features or []:
+        if c not in base.columns or c not in test.columns:
+            raise ValueError(
+                f"confusion feature {c!r} must exist in both base and test"
+            )
+        if c not in carried:
+            carried.append(c)
+
     fp = F.xxhash64(*[F.col(c).cast("string") for c in identifier_columns])
-    b = base.select(fp.alias("__fp"), *features_to_compare)
-    t = test.select(fp.alias("__fp"), *features_to_compare)
+    b = base.select(fp.alias("__fp"), *carried)
+    t = test.select(fp.alias("__fp"), *carried)
 
     # ONE action for everything (duplicate-id counters included): each side
     # pre-aggregates by fingerprint (map-side combined), the full-outer join
@@ -99,7 +111,7 @@ def detect_feature_skew(
         def preagg(df):
             return df.groupBy("__fp").agg(
                 F.count(F.lit(1)).alias("__n"),
-                *[F.first(c).alias(c) for c in features_to_compare],
+                *[F.first(c).alias(c) for c in carried],
             )
 
         b2 = preagg(b).withColumnRenamed("__n", "__bn")

@@ -118,3 +118,59 @@ def test_truncated_and_garbage_bytes_return_none():
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
     assert jc.decode(bytes(prog)) is None
+
+
+def test_two_component_jpeg_decodes_as_luma():
+    """2-component baseline JPEGs (legal per T.81, Nf=1..4) decode with
+    plane 0 treated as luma and replicated to RGB, instead of erroring into
+    decode() -> None. The stream is hand-assembled from the module's own
+    encode primitives (interleaved 1x1/1x1 sampling)."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 40
+    y_plane = np.clip(
+        np.linspace(30, 220, w)[None, :] + rng.normal(0, 2, (h, w)), 0, 255
+    )
+    c_plane = np.full((h, w), 128.0)
+
+    qlum = jc._quality_scaled(jc.QTBL_LUM, 97)
+    qch = jc._quality_scaled(jc.QTBL_CHROM, 97)
+    yb = jc._plane_blocks(jc._pad_edge(y_plane, 8), qlum)
+    cb = jc._plane_blocks(jc._pad_edge(c_plane, 8), qch)
+    dc_l = jc._build_codes(jc.DC_LUM_BITS, jc.DC_LUM_VALS)
+    ac_l = jc._build_codes(jc.AC_LUM_BITS, jc.AC_LUM_VALS)
+    dc_c = jc._build_codes(jc.DC_CHROM_BITS, jc.DC_CHROM_VALS)
+    ac_c = jc._build_codes(jc.AC_CHROM_BITS, jc.AC_CHROM_VALS)
+    bw = jc._BitWriter()
+    preds = [0, 0]
+    for mv in range(yb.shape[0]):
+        for mh in range(yb.shape[1]):
+            preds[0] = jc._encode_block(bw, yb[mv, mh], preds[0], dc_l, ac_l)
+            preds[1] = jc._encode_block(bw, cb[mv, mh], preds[1], dc_c, ac_c)
+    bw.pad_to_byte()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(qlum[jc.ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qch[jc.ZIGZAG].astype(np.uint8)))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 2) + bytes([1, 0x11, 0, 2, 0x11, 1]))
+    for cls_id, bits, vals in (
+        (0x00, jc.DC_LUM_BITS, jc.DC_LUM_VALS),
+        (0x10, jc.AC_LUM_BITS, jc.AC_LUM_VALS),
+        (0x01, jc.DC_CHROM_BITS, jc.DC_CHROM_VALS),
+        (0x11, jc.AC_CHROM_BITS, jc.AC_CHROM_VALS),
+    ):
+        out += seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, b"\x02" + bytes([1, 0x00, 2, 0x11]) + b"\x00\x3f\x00")
+    out += bw.buf
+    out += b"\xff\xd9"
+
+    rgb = jc.decode(bytes(out))
+    assert rgb is not None and rgb.shape == (h, w, 3)
+    # all three channels replicate plane 0
+    assert np.array_equal(rgb[..., 0], rgb[..., 1])
+    assert np.array_equal(rgb[..., 0], rgb[..., 2])
+    assert _psnr(rgb[..., 0], np.round(y_plane).astype(np.uint8)) >= 40.0

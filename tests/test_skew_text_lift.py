@@ -711,3 +711,51 @@ def test_nl_heuristic_reference_boundaries(spark):
     s3 = compute_statistics(df3, StatsOptions(feature_allowlist=["caption"]))
     attach_nl_stats(s3, df3, "caption")
     assert "domain_info" not in s3.default_slice().feature("caption").custom
+
+
+def test_confusion_feature_outside_compared_set(spark):
+    """ConfusionConfig is independent of features_to_compare
+    (feature_skew_detector.py:350-404): a confusion feature excluded from the
+    compared set must still produce confusion rows, not an analysis error."""
+    base = spark.createDataFrame(
+        [("id0", "a", "x"), ("id1", "b", "y")],
+        "id string, cmp string, conf string",
+    )
+    test = spark.createDataFrame(
+        [("id0", "a", "x"), ("id1", "b", "z")],
+        "id string, cmp string, conf string",
+    )
+    r = detect_feature_skew(
+        base, test, ["id"],
+        features_to_compare=["cmp"],          # excludes 'conf'
+        confusion_features=["conf"],
+    )
+    got = {
+        (row["base_value"], row["test_value"]): row["count"]
+        for row in r.confusion_counts.collect()
+    }
+    assert got == {("x", "x"): 1, ("y", "z"): 1}
+    assert set(r.feature_skew) <= {"cmp"}  # conf not silently compared
+
+    with pytest.raises(ValueError, match="must exist in both"):
+        detect_feature_skew(
+            base, test, ["id"], features_to_compare=["cmp"],
+            confusion_features=["nope"],
+        )
+
+
+def test_lift_weighted_empty_input_schema(spark):
+    """Weighted lift's empty-input early return must carry the same schema
+    (double counts) as the non-empty weighted path."""
+    df = spark.createDataFrame([], "x string, y string, w double")
+    empty = lift_stats(df, "x", "y", weight_col="w")
+    assert dict(empty.dtypes)["xy_count"] == "double"
+    assert dict(empty.dtypes)["x_count"] == "double"
+    nonempty = lift_stats(
+        spark.createDataFrame([("a", "p", 2.0)], "x string, y string, w double"),
+        "x", "y", weight_col="w",
+    )
+    assert dict(nonempty.dtypes) == dict(empty.dtypes)
+    # unweighted empty stays bigint
+    empty_u = lift_stats(spark.createDataFrame([], "x string, y string"), "x", "y")
+    assert dict(empty_u.dtypes)["xy_count"] == "bigint"

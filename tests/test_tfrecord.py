@@ -153,3 +153,33 @@ def test_validate_examples_in_tfrecord_and_csv(spark, tmp_path):
         f.write("rid,v\nr1,3\nr2,99\n")
     viol2 = dvs.validate_examples_in_csv(spark, csv_path, schema, key_col="rid").collect()
     assert [r["row_key"] for r in viol2] == ["r2"]
+
+
+def test_truncated_header_raises(tmp_path):
+    """A file cut mid-header (1-11 bytes of a 12-byte header) is corruption,
+    not clean EOF."""
+    recs = [b"payload-one"]
+    p = str(tmp_path / "t.tfrecord")
+    tfr.write_frames(p, recs)
+    data = open(p, "rb").read()
+    cut = str(tmp_path / "cut.tfrecord")
+    with open(cut, "wb") as f:
+        f.write(data + b"\x05\x00\x00")  # 3 stray header bytes at EOF
+    with pytest.raises(IOError, match="truncated TFRecord header"):
+        list(tfr.read_frames(cut))
+    # exact record boundary is still clean EOF
+    assert list(tfr.read_frames(p)) == recs
+
+
+def test_infer_schema_skips_empty_value_lists():
+    """Empty value lists carry no type evidence: a feature that is empty in
+    early records but bytes later must infer as bytes, not int."""
+    sample = [
+        {"f": [], "g": [1]},
+        {"f": [b"abc", b"de"], "g": [2]},
+    ]
+    inferred = tfr._infer_schema(sample)
+    assert inferred["f"] == "array<bytes>"
+    assert inferred["g"] == "int"
+    # all-empty stays defaulted (int), shaped as a list
+    assert tfr._infer_schema([{"e": []}])["e"] == "array<int>"
