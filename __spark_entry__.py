@@ -1472,18 +1472,24 @@ def q_knn_mi(spark, sf_dir):
     MI for dependent pairs, and AMI of the independent pair must be ≈ 0."""
     from data_validation_spark.stats.mi import estimated_knn_mutual_information
 
+    # cache the 2-column projection once: three derived frames × (MI +
+    # shuffled-MI) + the row count would otherwise re-scan lineitem ~7×
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("double").alias("q"),
         (F.pmod(F.col("l_partkey"), F.lit(1000)).cast("double") / 1000.0).alias("u"),
-    )
-    low_noise = li.select("q", (F.col("q") + 2.0 * F.col("u")).alias("y"))
-    high_noise = li.select("q", (F.col("q") + 20.0 * F.col("u")).alias("y"))
-    indep = li.select("q", (50.0 * F.col("u")).alias("y"))
+    ).cache()
+    try:
+        n_rows = int(li.count())  # also materializes the cache up front
+        low_noise = li.select("q", (F.col("q") + 2.0 * F.col("u")).alias("y"))
+        high_noise = li.select("q", (F.col("q") + 20.0 * F.col("u")).alias("y"))
+        indep = li.select("q", (50.0 * F.col("u")).alias("y"))
 
-    kw = dict(num_partitions=5, k=3, max_rows_per_partition=1000, adjusted=True)
-    r_low = estimated_knn_mutual_information(low_noise, "q", "y", **kw)
-    r_high = estimated_knn_mutual_information(high_noise, "q", "y", **kw)
-    r_ind = estimated_knn_mutual_information(indep, "q", "y", **kw)
+        kw = dict(num_partitions=5, k=3, max_rows_per_partition=1000, adjusted=True)
+        r_low = estimated_knn_mutual_information(low_noise, "q", "y", **kw)
+        r_high = estimated_knn_mutual_information(high_noise, "q", "y", **kw)
+        r_ind = estimated_knn_mutual_information(indep, "q", "y", **kw)
+    finally:
+        li.unpersist()
 
     mi_low, mi_high, mi_ind = (
         r_low["mi"]["median"], r_high["mi"]["median"], r_ind["mi"]["median"],
@@ -1492,7 +1498,7 @@ def q_knn_mi(spark, sf_dir):
     return spark.createDataFrame(
         [
             (
-                int(li.count()),
+                n_rows,
                 int(mi_low > mi_high + 0.2),
                 int(mi_high > mi_ind + 0.2),
                 int(mi_ind < 0.15),

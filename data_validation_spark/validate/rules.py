@@ -747,6 +747,20 @@ def _check_int_domain(fs, spec, sk, out):
     if spec.int_domain is None:
         return
     d = spec.int_domain
+    if fs.type == "FLOAT":
+        # IntDomain on a float feature: incompatible domain for the type
+        # (int_domain_util.cc:170-175 — "IntDomain incompatible with feature
+        # type <type>", kInvalidValues short description).
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.DOMAIN_INVALID_FOR_TYPE,
+                "Invalid values",
+                "IntDomain incompatible with feature type FLOAT",
+                sk,
+            )
+        )
+        return
     if fs.type == "STRING" and fs.string is not None:
         # int domain on a string feature: every observed value must parse as
         # an integer (int_domain_util.cc string-parsing semantics).
@@ -944,6 +958,22 @@ def _check_bool_domain(fs, spec, sk, out):
     if spec.bool_domain is None:
         return
     d = spec.bool_domain
+    if d.true_value and d.false_value and d.true_value == d.false_value:
+        # UpdateBoolDomainSelf (bool_domain_util.cc:78-91): true and false
+        # values equal is a malformed domain; the reference clears false_value
+        # and reports with this exact description.
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.INVALID_DOMAIN_SPECIFICATION,
+                "Malformed BoolDomain",
+                f"True and false value equal for BoolDomain:{d.true_value}. "
+                "The suggested change is to clear the false_value, but a "
+                "domain expert should review this change.",
+                sk,
+            )
+        )
+        return
     if fs.type == "INT" and fs.numeric is not None:
         # UpdateBoolDomain INT branch (bool_domain_util.cc:189-212): the first
         # out-of-{0,1} extreme reports and converts; exact reference strings.

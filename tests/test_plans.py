@@ -179,3 +179,41 @@ def test_weighted_quantile_pass_scan_pruned(spark, tmp_path):
     assert m is not None, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert read_cols == {"x", "w"}, read_cols
+
+
+def test_exact_weighted_long_pass_fused(spark, tmp_path):
+    """Round 5: exact mode + weight column runs top-k/uniques AND the
+    weighted t-digest quantiles as ONE unioned action (3 jobs total:
+    wide agg, percentile grid, this union) instead of round-4's dedicated
+    4th job. The union's physical plan must contain exactly one scan per
+    branch, with column-disjoint ReadSchemas (categorical+weight vs
+    numeric+weight) — i.e. the long pass reads each table column at most
+    once."""
+    from pyspark.sql import functions as F
+
+    from data_validation_spark.stats.engine import _run_long_pass, compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+
+    df = spark.range(500).select(
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("v"), (F.col("id") % 7).cast("string")).alias("s"),
+        (F.rand(3) + 0.5).alias("w"),
+    )
+    p = str(tmp_path / "wt.parquet")
+    df.write.parquet(p)
+    src = spark.read.parquet(p)
+
+    stats = compute_statistics(src, StatsOptions(weight_column="w"))
+    fx = stats.default_slice().feature("x")
+    assert fx.numeric is not None and fx.numeric.weighted_histograms
+
+    union = _run_long_pass.last_union_frame
+    plan = plan_of(union)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 2, plan  # topk branch + weighted-digest branch
+    colsets = [
+        {c.split(":")[0] for c in s.split(",") if c} for s in schemas
+    ]
+    assert sorted(colsets, key=sorted) == sorted(
+        [{"s", "w"}, {"x", "w"}], key=sorted
+    ), colsets
