@@ -141,56 +141,101 @@ def _zigzagless_int64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _parse_feature(buf: bytes) -> list:
+    """Serialized Feature message → list of bytes|float|int."""
+    values: list = []
+    for f4, wt4, v4 in _iter_fields(buf):
+        if f4 == 1:  # BytesList
+            values = [bv for f5, _, bv in _iter_fields(v4) if f5 == 1]
+        elif f4 == 2:  # FloatList
+            floats: list = []
+            for f5, wt5, v5 in _iter_fields(v4):
+                if f5 != 1:
+                    continue
+                if wt5 == 2:  # packed
+                    floats.extend(np.frombuffer(v5, dtype="<f4").tolist())
+                else:  # unpacked 32-bit
+                    floats.append(struct.unpack("<f", v5)[0])
+            values = floats
+        elif f4 == 3:  # Int64List
+            ints: list = []
+            for f5, wt5, v5 in _iter_fields(v4):
+                if f5 != 1:
+                    continue
+                if wt5 == 2:  # packed varints
+                    pos = 0
+                    while pos < len(v5):
+                        iv, pos = _read_varint(v5, pos)
+                        ints.append(_zigzagless_int64(iv))
+                else:
+                    ints.append(_zigzagless_int64(v5))
+            values = ints
+    return values
+
+
+def _parse_features(buf: bytes) -> dict[str, list]:
+    """Serialized Features message → {name: value list}."""
+    out: dict[str, list] = {}
+    for f2, wt2, entry in _iter_fields(buf):
+        if f2 != 1 or wt2 != 2:  # Features.feature map entry
+            continue
+        name = None
+        values: list = []
+        for f3, wt3, v3 in _iter_fields(entry):
+            if f3 == 1:  # key
+                name = v3.decode("utf-8")
+            elif f3 == 2:  # value: Feature
+                values = _parse_feature(v3)
+        if name is not None:
+            out[name] = values
+    return out
+
+
 def parse_example(buf: bytes) -> dict[str, list]:
     """Serialized tf.Example → {feature_name: list of bytes|float|int}."""
     out: dict[str, list] = {}
     for field, wt, val in _iter_fields(buf):
-        if field != 1 or wt != 2:  # Example.features
-            continue
-        for f2, wt2, entry in _iter_fields(val):
-            if f2 != 1 or wt2 != 2:  # Features.feature map entry
-                continue
-            name = None
-            values: list = []
-            for f3, wt3, v3 in _iter_fields(entry):
-                if f3 == 1:  # key
-                    name = v3.decode("utf-8")
-                elif f3 == 2:  # value: Feature
-                    for f4, wt4, v4 in _iter_fields(v3):
-                        if f4 == 1:  # BytesList
-                            values = [
-                                bv for f5, _, bv in _iter_fields(v4) if f5 == 1
-                            ]
-                        elif f4 == 2:  # FloatList
-                            floats: list = []
-                            for f5, wt5, v5 in _iter_fields(v4):
-                                if f5 != 1:
-                                    continue
-                                if wt5 == 2:  # packed
-                                    floats.extend(
-                                        np.frombuffer(v5, dtype="<f4").tolist()
-                                    )
-                                else:  # unpacked 32-bit
-                                    floats.append(
-                                        struct.unpack("<f", v5)[0]
-                                    )
-                            values = floats
-                        elif f4 == 3:  # Int64List
-                            ints: list = []
-                            for f5, wt5, v5 in _iter_fields(v4):
-                                if f5 != 1:
-                                    continue
-                                if wt5 == 2:  # packed varints
-                                    pos = 0
-                                    while pos < len(v5):
-                                        iv, pos = _read_varint(v5, pos)
-                                        ints.append(_zigzagless_int64(iv))
-                                else:
-                                    ints.append(_zigzagless_int64(v5))
-                            values = ints
-            if name is not None:
-                out[name] = values
+        if field == 1 and wt == 2:  # Example.features
+            out.update(_parse_features(val))
     return out
+
+
+def parse_sequence_example(
+    buf: bytes,
+) -> tuple[dict[str, list], dict[str, list[list]]]:
+    """Serialized tf.SequenceExample → (context, sequences).
+
+    ``context`` is {name: value list} like :func:`parse_example`;
+    ``sequences`` is {name: list of per-step value lists} — one inner list
+    per Feature entry of the FeatureList (an empty/kind-less entry decodes
+    to ``[]``, preserving the reference's missing-step shape).
+    Wire format (public example.proto): SequenceExample{1: Features context,
+    2: FeatureLists}, FeatureLists{1: map<string, FeatureList>},
+    FeatureList{1: repeated Feature}.
+    """
+    context: dict[str, list] = {}
+    sequences: dict[str, list[list]] = {}
+    for field, wt, val in _iter_fields(buf):
+        if field == 1 and wt == 2:  # context: Features
+            context.update(_parse_features(val))
+        elif field == 2 and wt == 2:  # feature_lists: FeatureLists
+            for f2, wt2, entry in _iter_fields(val):
+                if f2 != 1 or wt2 != 2:  # map entry
+                    continue
+                name = None
+                steps: list[list] = []
+                for f3, wt3, v3 in _iter_fields(entry):
+                    if f3 == 1:
+                        name = v3.decode("utf-8")
+                    elif f3 == 2:  # FeatureList
+                        steps = [
+                            _parse_feature(v4)
+                            for f4, wt4, v4 in _iter_fields(v3)
+                            if f4 == 1 and wt4 == 2
+                        ]
+                if name is not None:
+                    sequences[name] = steps
+    return context, sequences
 
 
 # --------------------------------------------------------------- encoder ----
@@ -212,24 +257,50 @@ def _ld(field: int, payload: bytes) -> bytes:
     return _varint((field << 3) | 2) + _varint(len(payload)) + payload
 
 
-def encode_example(features: dict[str, list]) -> bytes:
-    """{name: list of bytes|str|float|int} → serialized tf.Example."""
+def _encode_feature(values: list) -> bytes:
+    """Value list → serialized Feature message payload."""
+    if values and isinstance(values[0], (bytes, bytearray, str)):
+        items = b"".join(
+            _ld(1, v.encode("utf-8") if isinstance(v, str) else bytes(v))
+            for v in values
+        )
+        return _ld(1, items)
+    if values and isinstance(values[0], float):
+        packed = np.asarray(values, dtype="<f4").tobytes()
+        return _ld(2, _ld(1, packed))
+    packed = b"".join(_varint(int(v)) for v in values)
+    return _ld(3, _ld(1, packed))
+
+
+def _encode_features(features: dict[str, list]) -> bytes:
+    """{name: values} → serialized Features message payload."""
     entries = b""
     for name, values in features.items():
-        if values and isinstance(values[0], (bytes, bytearray, str)):
-            items = b"".join(
-                _ld(1, v.encode("utf-8") if isinstance(v, str) else bytes(v))
-                for v in values
-            )
-            feat = _ld(1, items)
-        elif values and isinstance(values[0], float):
-            packed = np.asarray(values, dtype="<f4").tobytes()
-            feat = _ld(2, _ld(1, packed))
-        else:
-            packed = b"".join(_varint(int(v)) for v in values)
-            feat = _ld(3, _ld(1, packed))
-        entries += _ld(1, _ld(1, name.encode("utf-8")) + _ld(2, feat))
-    return _ld(1, entries)
+        entries += _ld(
+            1, _ld(1, name.encode("utf-8")) + _ld(2, _encode_feature(values))
+        )
+    return entries
+
+
+def encode_example(features: dict[str, list]) -> bytes:
+    """{name: list of bytes|str|float|int} → serialized tf.Example."""
+    return _ld(1, _encode_features(features))
+
+
+def encode_sequence_example(
+    context: dict[str, list], sequences: dict[str, list[list]]
+) -> bytes:
+    """(context, {name: per-step value lists}) → serialized
+    tf.SequenceExample. A ``None`` step encodes as a kind-less Feature entry
+    (the reference's 'missing step'); ``[]`` as an empty int64_list. Both
+    decode back to ``[]``."""
+    lists = b""
+    for name, steps in sequences.items():
+        fl = b"".join(
+            _ld(1, b"" if s is None else _encode_feature(s)) for s in steps
+        )
+        lists += _ld(1, _ld(1, name.encode("utf-8")) + _ld(2, fl))
+    return _ld(1, _encode_features(context)) + _ld(2, lists)
 
 
 def write_tfrecord_examples(
@@ -328,6 +399,118 @@ def read_tfrecord(
                         else:
                             rows[n].append(values[0] if values else None)
                 yield pd.DataFrame(rows, columns=names)
+
+    files_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+    return files_df.mapInPandas(load, ddl)
+
+
+SEQUENCE_STRUCT = "##SEQUENCE##"
+
+
+def write_tfrecord_sequence_examples(
+    path: str, examples: list[tuple[dict[str, list], dict[str, list[list]]]]
+) -> None:
+    write_frames(path, [encode_sequence_example(c, s) for c, s in examples])
+
+
+def read_tfrecord_sequence_examples(
+    spark,
+    path: str,
+    verify_crc: bool = False,
+    sample_records: int = 100,
+):
+    """TFRecord(tf.SequenceExample) files → DataFrame; one task per shard.
+
+    Context features become top-level columns (scalar unwrap, like
+    :func:`read_tfrecord`); sequence features become fields of ONE struct
+    column named ``##SEQUENCE##`` typed ``array<array<T>>`` — the engine's
+    struct flattening then names their stats ``##SEQUENCE##.<name>`` with
+    nestedness 2, matching the reference TFXIO's SERIALIZED_PATH naming
+    (``tf_sequence_example_record.TFSequenceExampleRecord``;
+    integration_tests/sequence_example_e2e_test.py). A feature list absent
+    from a record is NULL; a present list keeps one inner list per step.
+    """
+    import pandas as pd
+
+    paths = sorted(
+        p
+        for pat in ([path] if isinstance(path, str) else path)
+        for p in (_glob.glob(os.path.join(pat, "*")) if os.path.isdir(pat) else _glob.glob(pat))
+        if os.path.isfile(p)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no TFRecord files match {path!r}")
+
+    ctx_sample, seq_kinds = [], {}
+    for i, frame in enumerate(read_frames(paths[0], verify_crc)):
+        if i >= sample_records:
+            break
+        ctx, seqs = parse_sequence_example(frame)
+        ctx_sample.append(ctx)
+        for name, steps in seqs.items():
+            flat = [v for s in steps for v in s]
+            kind = (
+                None
+                if not flat
+                else "bytes"
+                if isinstance(flat[0], (bytes, bytearray))
+                else "float"
+                if isinstance(flat[0], float)
+                else "int"
+            )
+            if seq_kinds.get(name) is None:
+                seq_kinds[name] = kind
+    ctx_schema = _infer_schema(ctx_sample)
+
+    ctx_names = sorted(ctx_schema)
+    seq_names = sorted(seq_kinds)
+    ddl_parts = [
+        f"`{n}` " + (
+            f"array<{_SPARK_TYPES[ctx_schema[n][6:-1]]}>"
+            if ctx_schema[n].startswith("array<")
+            else _SPARK_TYPES[ctx_schema[n]]
+        )
+        for n in ctx_names
+    ]
+    if seq_names:
+        fields = ", ".join(
+            f"`{n}`: array<array<{_SPARK_TYPES[seq_kinds[n] or 'int']}>>"
+            for n in seq_names
+        )
+        ddl_parts.append(f"`{SEQUENCE_STRUCT}` struct<{fields}>")
+    ddl = ", ".join(ddl_parts)
+    fixed_ctx = dict(ctx_schema)
+
+    def load(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ctx_names + ([SEQUENCE_STRUCT] if seq_names else [])
+        for pdf in iterator:
+            for fpath in pdf["path"]:
+                rows: dict[str, list] = {n: [] for n in cols}
+                for frame in read_frames(fpath, verify_crc):
+                    ctx, seqs = parse_sequence_example(frame)
+                    for n in ctx_names:
+                        values = ctx.get(n)
+                        spec = fixed_ctx[n]
+                        if values is None:
+                            rows[n].append(None)
+                        elif spec.startswith("array<"):
+                            rows[n].append(list(values))
+                        else:
+                            rows[n].append(values[0] if values else None)
+                    if seq_names:
+                        rows[SEQUENCE_STRUCT].append(
+                            {
+                                n: (
+                                    [list(s) for s in seqs[n]]
+                                    if n in seqs
+                                    else None
+                                )
+                                for n in seq_names
+                            }
+                        )
+                yield pd.DataFrame(rows, columns=cols)
 
     files_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         len(paths)

@@ -291,6 +291,17 @@ class Schema:
         for f in self.feature:
             if f.name == name:
                 return f
+        # Dotted path into struct_domain children ("parent.child"), the
+        # engine's stats naming for StructType columns — longest-prefix walk
+        # so literal dotted top-level names (flattened schemas) still win above.
+        if "." in name:
+            for f in self.feature:
+                if f.struct_domain is not None and name.startswith(f.name + "."):
+                    child = Schema(feature=f.struct_domain.feature).get_feature(
+                        name[len(f.name) + 1 :]
+                    )
+                    if child is not None:
+                        return child
         return None
 
     def feature_names(self) -> list[str]:

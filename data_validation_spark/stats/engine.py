@@ -359,6 +359,14 @@ def _assemble_feature(
         common.weighted_num_missing = total_w - common.weighted_num_non_missing
 
     if p.stats_type in (E.STRUCT, E.UNKNOWN):
+        if p.stats_type == E.STRUCT and p.nest_depth == 0 and nonmissing > 0:
+            # A present scalar struct counts as one value (reference TFXIO
+            # StructuredTensor semantics; the sequence-e2e golden's
+            # ##SEQUENCE## feature carries value_count {min:1 max:1}).
+            common.min_num_values = 1
+            common.max_num_values = 1
+            common.avg_num_values = 1.0
+            common.tot_num_values = nonmissing
         return fs
 
     if p.nest_depth == 0:
