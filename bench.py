@@ -20,6 +20,31 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 IMAGES_N = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "400000"))
 
+# Raw-CPU calibration (round-5, VERDICT r4 ask): this host throttles
+# intermittently (same-code suite times spanned 42.6-65.6 s across round-4
+# windows), so absolute cross-round comparisons need a throttle reference.
+# The probe is fixed work (zlib + a pure-python loop, ~0.7 s nominal), run
+# before, between, and after the timed sections; queries_normalized scales
+# each query by (CAL_NOMINAL / median(probe)) — i.e. what the time would be
+# on an unthrottled window. CAL_NOMINAL pins the best observed unthrottled
+# probe on this host; it must stay FIXED across rounds for comparability.
+CAL_NOMINAL = 0.60
+
+
+def calibrate() -> float:
+    import zlib
+
+    buf = bytes(range(256)) * 40000  # ~10 MB, deterministic
+    t0 = time.perf_counter()
+    for _ in range(8):
+        zlib.compress(buf, 6)
+    s = 0
+    for i in range(3_000_000):
+        s += i ^ (i >> 3)
+    assert s != 0
+    return time.perf_counter() - t0
+
+
 BENCH_QUERIES = [
     "tpch_q1",
     "colstats_lineitem",
@@ -58,6 +83,7 @@ def main() -> None:
     # one-time generation (cached parquet); excluded from timed section
     images_path = ensure_images(spark, IMAGES_N, "clean")
 
+    cals = [calibrate()]
     timings: dict[str, float] = {}
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
@@ -66,6 +92,8 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+
+    cals.append(calibrate())
 
     # Operator-only timings for the queries whose queries() entries carry
     # in-query ground-truth verification (augmented inputs, subset brute-force
@@ -99,7 +127,6 @@ def main() -> None:
 
     from data_validation_spark.stats import jpegcodec
 
-    rng = np.random.RandomState(0)
     yy, xx = np.mgrid[0:64, 0:64]
     imgs = [
         np.clip(
@@ -108,10 +135,13 @@ def main() -> None:
         for i in range(100)
     ]
     encoded = [jpegcodec.encode(im, quality=85) for im in imgs]
-    t0 = time.time()
-    for e in encoded:
-        assert jpegcodec.decode(e) is not None
-    jpeg_decode_per_sec = round(len(encoded) / (time.time() - t0), 1)
+    best = float("inf")
+    for _ in range(3):  # best-of-3: single-threaded microbench, throttle-prone
+        t0 = time.perf_counter()
+        for e in encoded:
+            assert jpegcodec.decode(e) is not None
+        best = min(best, time.perf_counter() - t0)
+    jpeg_decode_per_sec = round(len(encoded) / best, 1)
 
     # flagship: full stats + constraint + row-level pass over the images table
     images = spark.read.parquet(images_path)
@@ -139,6 +169,13 @@ def main() -> None:
     timings["images_validate"] = round(dt, 3)
     images_per_sec = IMAGES_N / dt if dt > 0 else 0.0
 
+    cals.append(calibrate())
+    cal_med = sorted(cals)[len(cals) // 2]
+    # throttle factor: >1 means this window ran slower than the unthrottled
+    # reference; normalized times estimate unthrottled-window equivalents
+    throttle = cal_med / CAL_NOMINAL
+    normalized = {k: round(v / throttle, 3) for k, v in timings.items()}
+
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
     print(
@@ -148,9 +185,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_normalized": normalized,
+                "value_normalized": round(sum(normalized.values()), 3),
+                "calibration_seconds": [round(c, 3) for c in cals],
+                "calibration_nominal": CAL_NOMINAL,
+                "throttle_factor": round(throttle, 3),
                 "op_seconds": op_seconds,
                 "verify_seconds": verify_seconds,
                 "jpeg_decode_img_per_sec_1core": jpeg_decode_per_sec,
+                "images_per_sec_normalized": round(images_per_sec * throttle, 1),
                 "sf": sf,
                 "images_n": IMAGES_N,
                 "images_per_sec": round(images_per_sec, 1),
