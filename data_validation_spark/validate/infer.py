@@ -265,6 +265,20 @@ def update_schema(schema: Schema, statistics: DatasetStatsList) -> Schema:
         elif t == "INVALID_SCHEMA_SPECIFICATION" and spec.presence is not None:
             if spec.presence.min_fraction < 0.0:
                 spec.presence.min_fraction = 0.0
+        elif t == "DOMAIN_INVALID_FOR_TYPE":
+            # reference ClearDomain (schema.cc:829-830): drop the offending
+            # domain so the type keeps validating
+            spec.domain = None
+            spec.int_domain = None
+            spec.float_domain = None
+            spec.string_domain = None
+            spec.bool_domain = None
+            spec.image_domain = None
+            spec.natural_language_domain = None
+            spec.time_domain = None
+        elif t == "INVALID_DOMAIN_SPECIFICATION" and spec.bool_domain is not None:
+            # UpdateBoolDomainSelf's suggested fix: clear false_value
+            spec.bool_domain.false_value = ""
         elif t == "DERIVED_FEATURE_INVALID_SOURCE" and fs is not None:
             spec.validation_derived_source = fs.custom.get("validation_derived_source")
             spec.lifecycle_stage = "VALIDATION_DERIVED"

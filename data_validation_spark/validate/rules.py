@@ -581,13 +581,30 @@ def validate_feature(
             )
         )
 
-    # ---- domains ------------------------------------------------------------
-    _check_int_domain(fs, spec, sk, out)
-    _check_float_domain(fs, spec, sk, out)
-    _check_string_domain(fs, spec, schema, sk, out)
-    _check_bool_domain(fs, spec, sk, out)
-    _check_image_domain(fs, spec, sk, out)
-    _check_nl_domain(fs, spec, sk, out)
+    # ---- domain/type compatibility (schema.cc:81-115,820-831) ---------------
+    # The declared schema type must be in the domain kind's allowed set
+    # (AllowedFeatureTypes); on mismatch the reference reports
+    # DOMAIN_INVALID_FOR_TYPE, clears the domain, and skips its checks.
+    bad_domain = _domain_type_mismatch(spec)
+    if bad_domain is not None:
+        out.anomalies.append(
+            _anom(
+                spec.name,
+                AnomalyType.DOMAIN_INVALID_FOR_TYPE,
+                "The domain does not match the type",
+                f'The domain "{bad_domain}" does not match the type: '
+                f"{spec.type.value}",
+                sk,
+            )
+        )
+    else:
+        # ---- domains --------------------------------------------------------
+        _check_int_domain(fs, spec, sk, out)
+        _check_float_domain(fs, spec, sk, out)
+        _check_string_domain(fs, spec, schema, sk, out)
+        _check_bool_domain(fs, spec, sk, out)
+        _check_image_domain(fs, spec, sk, out)
+        _check_nl_domain(fs, spec, sk, out)
 
     # ---- unique constraints (feature_util.cc:665-698) ------------------------
     if spec.unique_constraints:
@@ -743,32 +760,72 @@ def _observed_range(fs: FeatureStats):
     return lo, hi
 
 
+def _domain_type_mismatch(spec: FeatureSpec):
+    """AllowedFeatureTypes (``schema.cc:81-115``): which declared schema
+    types each domain kind accepts. Returns the offending domain_info field
+    name (reference ``GetDomainInfoName`` = proto field name) or None."""
+    t = spec.type
+    if t is None:
+        return None
+    B, I, F, S = (
+        FeatureType.BYTES,
+        FeatureType.INT,
+        FeatureType.FLOAT,
+        FeatureType.STRUCT,
+    )
+    checks = (
+        ("domain", bool(spec.domain), {B}),
+        ("bool_domain", spec.bool_domain is not None, {I, B, F}),
+        ("int_domain", spec.int_domain is not None, {I, B}),
+        ("float_domain", spec.float_domain is not None, {F, B}),
+        ("string_domain", spec.string_domain is not None, {B}),
+        ("struct_domain", spec.struct_domain is not None, {S}),
+        (
+            "natural_language_domain",
+            spec.natural_language_domain is not None,
+            {B, I},
+        ),
+        ("image_domain", spec.image_domain is not None, {B}),
+        ("time_domain", spec.time_domain is not None, {I, B}),
+    )
+    for name, present, allowed in checks:
+        if present and t not in allowed:
+            return name
+    return None
+
+
 def _check_int_domain(fs, spec, sk, out):
     if spec.int_domain is None:
         return
     d = spec.int_domain
-    if fs.type == "FLOAT":
-        # IntDomain on a float feature: incompatible domain for the type
-        # (int_domain_util.cc:170-175 — "IntDomain incompatible with feature
-        # type <type>", kInvalidValues short description).
-        out.anomalies.append(
-            _anom(
-                spec.name,
-                AnomalyType.DOMAIN_INVALID_FOR_TYPE,
-                "Invalid values",
-                "IntDomain incompatible with feature type FLOAT",
-                sk,
-            )
-        )
-        return
-    if fs.type == "STRING" and fs.string is not None:
-        # int domain on a string feature: every observed value must parse as
-        # an integer (int_domain_util.cc string-parsing semantics).
+    int64_lo, int64_hi = -(1 << 63), (1 << 63) - 1
+    if fs.string is not None and fs.type in ("STRING", "INT"):
+        # int domain on a string / categorical-int feature: every observed
+        # value must parse as an int64 (int_domain_util.cc:97-122 string
+        # path; SimpleAtoi also rejects int64 overflow). On an INT-typed
+        # feature with bounds, an unparseable value makes the DOMAIN invalid
+        # (int_domain_util.cc:158-168); on a BYTES/STRING feature it is an
+        # INT_TYPE_NOT_INT_STRING value anomaly (:150-157).
         lo = hi = None
         for b in fs.string.rank_histogram:
             try:
                 v = int(b.label)
+                if not int64_lo <= v <= int64_hi:
+                    raise ValueError
             except ValueError:
+                if fs.type == "INT":
+                    if d.min is not None or d.max is not None:
+                        out.anomalies.append(
+                            _anom(
+                                spec.name,
+                                AnomalyType.DOMAIN_INVALID_FOR_TYPE,
+                                "Invalid values",
+                                "Integer had values that were not valid Int64, "
+                                f'such as "{b.label}".',
+                                sk,
+                            )
+                        )
+                    return
                 out.anomalies.append(
                     _anom(
                         spec.name,
@@ -787,6 +844,24 @@ def _check_int_domain(fs, spec, sk, out):
     else:
         lo, hi = _observed_range(fs)
         if lo is None:
+            return
+        # IntDomain is interpreted as castable-to-int64
+        # (int_domain_util.cc:77-92): observed values beyond int64 with
+        # bounds configured invalidate the domain rather than the values.
+        if (d.min is not None or d.max is not None) and (
+            lo < float(int64_lo) or hi > float(int64_hi)
+        ):
+            bad = lo if lo < float(int64_lo) else hi
+            out.anomalies.append(
+                _anom(
+                    spec.name,
+                    AnomalyType.DOMAIN_INVALID_FOR_TYPE,
+                    "Invalid values",
+                    "Integer had values that were not valid Int64, such as "
+                    f'"{bad:.6f}".',
+                    sk,
+                )
+            )
             return
     if d.min is not None and lo < d.min:
         out.anomalies.append(

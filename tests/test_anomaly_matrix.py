@@ -156,9 +156,11 @@ def _scenarios():
         {},
     ))
     out.append((
-        "int_domain_on_float",  # round-5 rule; int_domain_util.cc:170-175
+        "int_domain_on_float",  # round-5 rule; schema.cc:81-115,820-831
         make_stats([make_feature("a", type_="FLOAT", numeric=NumericStats(min=0.5, max=1.5))]),
-        Schema(feature=[FeatureSpec(name="a", int_domain=IntDomain(min=0, max=2))]),
+        Schema(feature=[FeatureSpec(
+            name="a", type=FeatureType.FLOAT, int_domain=IntDomain(min=0, max=2),
+        )]),
         {},
     ))
     out.append((

@@ -792,3 +792,64 @@ def test_annotated_enum_multi_reason_golden():
     assert info["type"] == AT.MULTIPLE_REASONS.value
     assert info["short_description"] == "Multiple errors"
     assert len(info["reasons"]) == 2
+
+
+def test_domain_type_mismatch_reference():
+    """AllowedFeatureTypes gate (schema.cc:81-115,820-831): a domain on an
+    incompatible DECLARED type reports DOMAIN_INVALID_FOR_TYPE with the
+    reference's exact rendering and skips the domain's own checks."""
+    stats = make_stats(
+        [make_feature("a", type_="FLOAT", numeric=NumericStats(min=-5.0, max=99.0))]
+    )
+    schema = Schema(feature=[FeatureSpec(
+        name="a", type=FeatureType.FLOAT, int_domain=IntDomain(min=0, max=50),
+    )])
+    r = validate_statistics(stats, schema)
+    assert types(r, "a") == {AT.DOMAIN_INVALID_FOR_TYPE}
+    a = next(x for x in r.anomalies if x.type == AT.DOMAIN_INVALID_FOR_TYPE)
+    assert a.short_description == "The domain does not match the type"
+    assert a.description == 'The domain "int_domain" does not match the type: FLOAT'
+    # int_domain on INT and BYTES types stays allowed
+    ok = Schema(feature=[FeatureSpec(
+        name="a", type=FeatureType.INT, int_domain=IntDomain(min=-10, max=100),
+    )])
+    stats_int = make_stats([make_feature("a", numeric=NumericStats(min=-5, max=99))])
+    assert validate_statistics(stats_int, ok).passed
+    # string_domain on INT type → mismatch ("domain"/"string_domain" are BYTES-only)
+    s2 = Schema(feature=[FeatureSpec(
+        name="a", type=FeatureType.INT, string_domain=StringDomain(value=["x"]),
+    )])
+    assert AT.DOMAIN_INVALID_FOR_TYPE in types(validate_statistics(stats_int, s2), "a")
+
+
+def test_int_domain_invalid_int64_reference_goldens():
+    """int_domain_test.cc:89-103 'Too large categorical int' and :128-138
+    'Too large int with bounds': values that are not valid Int64 invalidate
+    the DOMAIN (not the values) on INT-typed features with bounds."""
+    # categorical INT: rank-histogram label beyond int64
+    f = _string_feature("bar", {"50000000000000000000000000000": 1.0,
+                                "10000000000000000000000000000": 1.0})
+    f.type = "INT"
+    stats = make_stats([f])
+    schema = Schema(feature=[FeatureSpec(name="bar", int_domain=IntDomain(max=1000))])
+    r = validate_statistics(stats, schema)
+    assert AT.DOMAIN_INVALID_FOR_TYPE in types(r, "bar")
+    a = next(x for x in r.anomalies if x.type == AT.DOMAIN_INVALID_FOR_TYPE)
+    assert a.short_description == "Invalid values"
+    assert "were not valid Int64" in a.description
+    # numeric INT: num_stats max beyond int64 with bounds
+    big = make_stats([make_feature("bar", numeric=NumericStats(
+        min=-1e20, max=1e20))])
+    r2 = validate_statistics(big, schema)
+    assert AT.DOMAIN_INVALID_FOR_TYPE in types(r2, "bar")
+    # no bounds → no anomaly (int_domain_util.cc 'Large int no bounds')
+    nb = Schema(feature=[FeatureSpec(name="bar", int_domain=IntDomain())])
+    assert validate_statistics(big, nb).passed
+    # in-int64-range large values with bounds → plain range checks apply
+    ok = make_stats([make_feature("bar", numeric=NumericStats(
+        min=-1.5279e18, max=1.5279e18))])
+    okschema = Schema(feature=[FeatureSpec(
+        name="bar", int_domain=IntDomain(max=1528000000000000000))])
+    assert AT.DOMAIN_INVALID_FOR_TYPE not in types(
+        validate_statistics(ok, okschema), "bar"
+    )
