@@ -149,6 +149,10 @@ class ComparatorThreshold:
     infinity_norm_threshold: Optional[float] = None
     jensen_shannon_divergence_threshold: Optional[float] = None
     normalized_abs_difference_threshold: Optional[float] = None
+    # HistogramSelection source for the JSD comparator (reference
+    # jensen_shannon_divergence.source, statistics_view.cc:489-509):
+    # "STANDARD" (equi-width, outlier-sensitive) or "QUANTILES".
+    jensen_shannon_source: str = "STANDARD"
 
 
 @dataclass

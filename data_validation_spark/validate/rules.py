@@ -1371,7 +1371,7 @@ def _check_comparators(fs, spec, prev, serving, ds, out):
                         )
                     )
         if comparator.jensen_shannon_divergence_threshold is not None:
-            val = _jsd(fs, ofs)
+            val = _jsd(fs, ofs, comparator.jensen_shannon_source)
             if val is not None:
                 out.drift_skew_info.append(
                     DriftSkewMeasurement(
@@ -1444,15 +1444,20 @@ def _linf(fs, ofs) -> tuple[Optional[float], Optional[str]]:
     return val, label
 
 
-def _jsd(fs, ofs) -> Optional[float]:
+def _jsd(fs, ofs, source: str = "STANDARD") -> Optional[float]:
+    """``source`` selects the histogram type for numeric JSD — STANDARD
+    (equi-width; outlier-sensitive) or QUANTILES — reference
+    HistogramSelection (statistics_view.cc:489-509, metrics.cc:418-435)."""
     if fs.string is not None and ofs.string is not None:
         return drift_metrics.jensen_shannon_divergence_counts(
             fs.string.value_counts(), ofs.string.value_counts()
         )
     if fs.numeric is not None and ofs.numeric is not None:
-        return drift_metrics.jensen_shannon_divergence_histograms(
-            fs.numeric.histogram("STANDARD"), ofs.numeric.histogram("STANDARD")
-        )
+        h1 = fs.numeric.histogram(source)
+        h2 = ofs.numeric.histogram(source)
+        if h1 is None or h2 is None:
+            return None
+        return drift_metrics.jensen_shannon_divergence_histograms(h1, h2)
     return None
 
 

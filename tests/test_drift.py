@@ -213,3 +213,53 @@ def test_jsd_rank_histogram_reference_golden():
         {"b": 2.0, "a": 2.0, "c": 1.0}, {"a": 2.0, "Z": 1.0, "Y": 1.0, "X": 1.0}
     )
     assert got == pytest.approx(0.6, abs=1e-5)
+
+
+def test_drift_skew_metrics_integration(spark):
+    """Port of integration_tests/drift_skew_metrics_test.py (both cases;
+    shift grid reduced from 10 to 3 points for runtime): the STANDARD and
+    QUANTILES JSD sources agree on clean normal-vs-shifted-normal data, and
+    a single huge outlier saturates STANDARD JSD (>0.99, more bins do not
+    help) while QUANTILES stays robust (<0.15 at 10 buckets, <0.02 at
+    100)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_validation_spark.schema import DriftComparator
+    from data_validation_spark.sources import from_pandas
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+    from data_validation_spark.validate.infer import infer_schema
+    from data_validation_spark.validate.rules import validate_statistics
+
+    def stats_of(arr, qbuckets=10):
+        df = from_pandas(spark, pd.DataFrame({"foo": arr}))
+        return compute_statistics(
+            df, StatsOptions(num_quantiles_histogram_buckets=qbuckets)
+        )
+
+    def js(stats1, stats2, source):
+        schema = infer_schema(stats1)
+        schema.get_feature("foo").drift_comparator = DriftComparator(
+            jensen_shannon_divergence_threshold=0.0,
+            jensen_shannon_source=source,
+        )
+        r = validate_statistics(stats1, schema, previous_statistics=stats2)
+        m = r.drift_skew_info[0]
+        assert m.metric == "JENSEN_SHANNON_DIVERGENCE"
+        return m.value
+
+    gen = np.random.default_rng(44)
+    for shift in (0.0, 1.0, 2.0):
+        s1 = stats_of(gen.standard_normal(1000))
+        s2 = stats_of(shift + gen.standard_normal(1000))
+        assert abs(js(s1, s2, "STANDARD") - js(s1, s2, "QUANTILES")) < 0.1
+
+    arr1 = gen.standard_normal(10000)
+    arr2 = np.concatenate([arr1, np.array([1e8])])
+    for qbuckets, q_limit in ((10, 0.15), (100, 0.02)):
+        s1 = stats_of(arr1, qbuckets)
+        s2 = stats_of(arr2, qbuckets)
+        assert js(s1, s2, "QUANTILES") < q_limit
+        # STANDARD is saturated by the outlier regardless of bucket count
+        assert js(s1, s2, "STANDARD") > 0.99
