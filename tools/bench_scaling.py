@@ -86,14 +86,25 @@ def main():
     # cancels in the ratio — so efficiency is estimated per PAIRED round
     # (low and high measured back-to-back) and the best paired round is the
     # headline (closest to an unthrottled host).
+    # Raw-CPU probe bracketing each paired round (same probe as bench.py):
+    # cal >> CAL_NOMINAL marks a throttled window, so a failing paired ratio
+    # can be attributed to the host rather than the engine.
+    sys.path.insert(0, REPO)
+    from bench import CAL_NOMINAL, calibrate
+
     rounds = []
     r_low = r_high = None
     for i in range(runs):
+        c0 = calibrate()
         a = run_level(low, path, 1)
         b = run_level(high, path, 1)
+        c1 = calibrate()
         eff_i = (b["images_per_sec"] / a["images_per_sec"]) / (high / low)
         rounds.append({"round": i, "low_sec": a["sec"], "high_sec": b["sec"],
-                       "paired_efficiency": round(eff_i, 3)})
+                       "paired_efficiency": round(eff_i, 3),
+                       "calibration": [round(c0, 3), round(c1, 3)],
+                       "throttle_factor": round(
+                           max(c0, c1) / CAL_NOMINAL, 3)})
         print(json.dumps(rounds[-1]))
         if r_low is None or a["sec"] < r_low["sec"]:
             r_low = a
