@@ -45,6 +45,32 @@ def calibrate() -> float:
     return time.perf_counter() - t0
 
 
+# The 1-core probe has a blind spot: the host sometimes caps ALL-CORE
+# capacity while single-thread speed reads clean (observed 2026-08-17: a
+# 32-core flagship ran 2x slow in a window whose 1-core probes read 0.91x
+# nominal). An 8-way multiprocessing probe catches that mode. Nominal pinned
+# to the best observed on this host; keep FIXED across rounds.
+CAL_MP_NOMINAL = 0.14
+
+
+def _mp_work(_):
+    import zlib
+
+    buf = bytes(range(256)) * 20000
+    for _ in range(4):
+        zlib.compress(buf, 6)
+    return 0
+
+
+def calibrate_mp(procs: int = 8) -> float:
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_mp_work, range(procs))
+    return time.perf_counter() - t0
+
+
 BENCH_QUERIES = [
     "tpch_q1",
     "colstats_lineitem",
@@ -170,6 +196,9 @@ def main() -> None:
     images_per_sec = IMAGES_N / dt if dt > 0 else 0.0
 
     cals.append(calibrate())
+    # warm the pool-fork path once, then measure multi-core capacity twice
+    calibrate_mp()
+    mp_cals = [calibrate_mp(), calibrate_mp()]
     cal_med = sorted(cals)[len(cals) // 2]
     # throttle factor: >1 means this window ran slower than the unthrottled
     # reference; normalized times estimate unthrottled-window equivalents
@@ -190,6 +219,9 @@ def main() -> None:
                 "calibration_seconds": [round(c, 3) for c in cals],
                 "calibration_nominal": CAL_NOMINAL,
                 "throttle_factor": round(throttle, 3),
+                "calibration_mp_seconds": [round(c, 3) for c in mp_cals],
+                "calibration_mp_nominal": CAL_MP_NOMINAL,
+                "throttle_factor_mp": round(min(mp_cals) / CAL_MP_NOMINAL, 3),
                 "op_seconds": op_seconds,
                 "verify_seconds": verify_seconds,
                 "jpeg_decode_img_per_sec_1core": jpeg_decode_per_sec,
