@@ -23,7 +23,9 @@ IMAGES_N = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "400000"))
 # Raw-CPU calibration (round-5, VERDICT r4 ask): this host throttles
 # intermittently (same-code suite times spanned 42.6-65.6 s across round-4
 # windows), so absolute cross-round comparisons need a throttle reference.
-# The probe is fixed work (zlib + a pure-python loop, ~0.7 s nominal), run
+# The probe is fixed work (zlib + a pure-python loop, CAL_NOMINAL=0.60 s
+# on an unthrottled window — the constant below is the single source of
+# truth and must NOT be re-pinned from a comment), run
 # before, between, and after the timed sections; queries_normalized scales
 # each query by (CAL_NOMINAL / median(probe)) — i.e. what the time would be
 # on an unthrottled window. CAL_NOMINAL pins the best observed unthrottled

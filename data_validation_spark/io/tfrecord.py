@@ -310,22 +310,57 @@ def write_tfrecord_examples(
 
 
 # ----------------------------------------------------------- Spark source ---
+def _resolve_paths(path) -> list[str]:
+    """Expand a path / glob / directory / list thereof into sorted files."""
+    paths = sorted(
+        p
+        for pat in ([path] if isinstance(path, str) else path)
+        for p in (
+            _glob.glob(os.path.join(pat, "*"))
+            if os.path.isdir(pat)
+            else _glob.glob(pat)
+        )
+        if os.path.isfile(p)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no TFRecord files match {path!r}")
+    return paths
+
+
+def _value_kind(values: list) -> Optional[str]:
+    """'bytes'|'float'|'int' from a value list; None when empty (an empty
+    list carries no type evidence)."""
+    if not values:
+        return None
+    v = values[0]
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, float):
+        return "float"
+    return "int"
+
+
+def _append_feature_values(rows, ex, names, schema) -> None:
+    """Append one parsed record's values per column (scalar unwrap, missing
+    → NULL) — shared by the Example and SequenceExample loaders."""
+    for n in names:
+        values = ex.get(n)
+        spec = schema[n]
+        if values is None:
+            rows[n].append(None)
+        elif spec.startswith("array<"):
+            rows[n].append(list(values))
+        else:
+            rows[n].append(values[0] if values else None)
+
+
 def _infer_schema(sample: list[dict[str, list]]) -> dict[str, str]:
     """feature → 'bytes'|'float'|'int' plus scalar/list shape from a sample."""
     kinds: dict[str, tuple[Optional[str], bool]] = {}
     for ex in sample:
         for name, values in ex.items():
-            # empty value lists carry no type evidence — leave the feature
             # untyped until a non-empty occurrence (default 'int' at the end)
-            kind = (
-                None
-                if not values
-                else "bytes"
-                if isinstance(values[0], (bytes, bytearray))
-                else "float"
-                if isinstance(values[0], float)
-                else "int"
-            )
+            kind = _value_kind(values)
             prev = kinds.get(name)
             multi = len(values) != 1 or (prev[1] if prev else False)
             kinds[name] = (kind if prev is None or prev[0] is None else prev[0], multi)
@@ -355,14 +390,7 @@ def read_tfrecord(
     """
     import pandas as pd
 
-    paths = sorted(
-        p
-        for pat in ([path] if isinstance(path, str) else path)
-        for p in (_glob.glob(os.path.join(pat, "*")) if os.path.isdir(pat) else _glob.glob(pat))
-        if os.path.isfile(p)
-    )
-    if not paths:
-        raise FileNotFoundError(f"no TFRecord files match {path!r}")
+    paths = _resolve_paths(path)
 
     if schema is None:
         sample = []
@@ -388,16 +416,9 @@ def read_tfrecord(
             for fpath in pdf["path"]:
                 rows: dict[str, list] = {n: [] for n in names}
                 for frame in read_frames(fpath, verify_crc):
-                    ex = parse_example(frame)
-                    for n in names:
-                        values = ex.get(n)
-                        spec = fixed_schema[n]
-                        if values is None:
-                            rows[n].append(None)
-                        elif spec.startswith("array<"):
-                            rows[n].append(list(values))
-                        else:
-                            rows[n].append(values[0] if values else None)
+                    _append_feature_values(
+                        rows, parse_example(frame), names, fixed_schema
+                    )
                 yield pd.DataFrame(rows, columns=names)
 
     files_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
@@ -418,6 +439,8 @@ def write_tfrecord_sequence_examples(
 def read_tfrecord_sequence_examples(
     spark,
     path: str,
+    context_schema: Optional[dict[str, str]] = None,
+    sequence_kinds: Optional[dict[str, str]] = None,
     verify_crc: bool = False,
     sample_records: int = 100,
 ):
@@ -431,38 +454,34 @@ def read_tfrecord_sequence_examples(
     (``tf_sequence_example_record.TFSequenceExampleRecord``;
     integration_tests/sequence_example_e2e_test.py). A feature list absent
     from a record is NULL; a present list keeps one inner list per step.
+
+    ``context_schema`` / ``sequence_kinds`` override inference (feature →
+    'bytes'|'float'|'int', context also 'array<...>'): like
+    :func:`read_tfrecord`'s ``schema``, the escape hatch when a feature
+    first appears past the first ``sample_records`` records of the first
+    shard — inference only sees that prefix.
     """
     import pandas as pd
 
-    paths = sorted(
-        p
-        for pat in ([path] if isinstance(path, str) else path)
-        for p in (_glob.glob(os.path.join(pat, "*")) if os.path.isdir(pat) else _glob.glob(pat))
-        if os.path.isfile(p)
-    )
-    if not paths:
-        raise FileNotFoundError(f"no TFRecord files match {path!r}")
+    paths = _resolve_paths(path)
 
-    ctx_sample, seq_kinds = [], {}
-    for i, frame in enumerate(read_frames(paths[0], verify_crc)):
-        if i >= sample_records:
-            break
-        ctx, seqs = parse_sequence_example(frame)
-        ctx_sample.append(ctx)
-        for name, steps in seqs.items():
-            flat = [v for s in steps for v in s]
-            kind = (
-                None
-                if not flat
-                else "bytes"
-                if isinstance(flat[0], (bytes, bytearray))
-                else "float"
-                if isinstance(flat[0], float)
-                else "int"
-            )
-            if seq_kinds.get(name) is None:
-                seq_kinds[name] = kind
-    ctx_schema = _infer_schema(ctx_sample)
+    if context_schema is None or sequence_kinds is None:
+        ctx_sample, seq_kinds = [], {}
+        for i, frame in enumerate(read_frames(paths[0], verify_crc)):
+            if i >= sample_records:
+                break
+            ctx, seqs = parse_sequence_example(frame)
+            ctx_sample.append(ctx)
+            for name, steps in seqs.items():
+                flat = [v for s in steps for v in s]
+                if seq_kinds.get(name) is None:
+                    seq_kinds[name] = _value_kind(flat)
+        if context_schema is None:
+            context_schema = _infer_schema(ctx_sample)
+        if sequence_kinds is None:
+            sequence_kinds = seq_kinds
+    ctx_schema = context_schema
+    seq_kinds = sequence_kinds
 
     ctx_names = sorted(ctx_schema)
     seq_names = sorted(seq_kinds)
@@ -490,15 +509,7 @@ def read_tfrecord_sequence_examples(
                 rows: dict[str, list] = {n: [] for n in cols}
                 for frame in read_frames(fpath, verify_crc):
                     ctx, seqs = parse_sequence_example(frame)
-                    for n in ctx_names:
-                        values = ctx.get(n)
-                        spec = fixed_ctx[n]
-                        if values is None:
-                            rows[n].append(None)
-                        elif spec.startswith("array<"):
-                            rows[n].append(list(values))
-                        else:
-                            rows[n].append(values[0] if values else None)
+                    _append_feature_values(rows, ctx, ctx_names, fixed_ctx)
                     if seq_names:
                         rows[SEQUENCE_STRUCT].append(
                             {

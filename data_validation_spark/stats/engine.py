@@ -50,6 +50,13 @@ from data_validation_spark.stats.result import (
 
 _QUANTILE_CUTS = 100  # fine grid size; 10× the default 10 histogram buckets
 
+# Test hook: when True, _run_long_pass records its fused union frame in
+# _last_union_frame for plan assertions. Off by default — retaining the
+# frame would pin its lineage (and the source DataFrame) in module state
+# for the life of a long-running driver.
+CAPTURE_UNION_FRAME = False
+_last_union_frame = None
+
 
 def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) -> DatasetStatsList:
     """Compute the full statistics artifact for ``df``."""
@@ -294,7 +301,9 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
     out = finals[0]
     for f in finals[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
-    _run_long_pass.last_union_frame = out  # test hook: plan assertions
+    if CAPTURE_UNION_FRAME:
+        global _last_union_frame
+        _last_union_frame = out
     for r in out.collect():
         key = (r["slice_key"], r["feature"])
         if r["kind"] == "topk":

@@ -266,16 +266,22 @@ def update_schema(schema: Schema, statistics: DatasetStatsList) -> Schema:
             if spec.presence.min_fraction < 0.0:
                 spec.presence.min_fraction = 0.0
         elif t == "DOMAIN_INVALID_FOR_TYPE":
-            # reference ClearDomain (schema.cc:829-830): drop the offending
-            # domain so the type keeps validating
-            spec.domain = None
-            spec.int_domain = None
-            spec.float_domain = None
-            spec.string_domain = None
-            spec.bool_domain = None
-            spec.image_domain = None
-            spec.natural_language_domain = None
-            spec.time_domain = None
+            # reference ClearDomain (schema.cc:829-830): drop only the
+            # OFFENDING domain(s) so compatible domains keep validating.
+            # Two emitters: the type-compatibility gate (re-derive the
+            # offending set) and the IntDomain int64-castability check
+            # (type-compatible → clear int_domain, int_domain_util.cc
+            # clear_field semantics).
+            from data_validation_spark.validate.rules import (
+                _domain_type_mismatches,
+            )
+
+            bad = _domain_type_mismatches(spec)
+            if bad:
+                for dname in bad:
+                    setattr(spec, dname, None)
+            else:
+                spec.int_domain = None
         elif t == "INVALID_DOMAIN_SPECIFICATION" and spec.bool_domain is not None:
             # UpdateBoolDomainSelf's suggested fix: clear false_value
             spec.bool_domain.false_value = ""

@@ -236,6 +236,13 @@ def _flatten_struct_domains(schema: Schema) -> Schema:
     def expand(spec: FeatureSpec, prefix: str = "") -> None:
         spec.name = prefix + spec.name
         sd = spec.struct_domain
+        if sd is not None and spec.type is not None and spec.type != FeatureType.STRUCT:
+            # struct_domain on a non-STRUCT declared type: leave the domain
+            # in place (the AllowedFeatureTypes gate reports it) and do NOT
+            # validate its children — the reference's ClearDomain drops the
+            # whole struct_domain (schema.cc:820-831).
+            flat.append(spec)
+            return
         spec.struct_domain = None
         flat.append(spec)
         if sd:
@@ -582,11 +589,13 @@ def validate_feature(
         )
 
     # ---- domain/type compatibility (schema.cc:81-115,820-831) ---------------
-    # The declared schema type must be in the domain kind's allowed set
-    # (AllowedFeatureTypes); on mismatch the reference reports
-    # DOMAIN_INVALID_FOR_TYPE, clears the domain, and skips its checks.
-    bad_domain = _domain_type_mismatch(spec)
-    if bad_domain is not None:
+    # The declared schema type must be in each domain kind's allowed set
+    # (AllowedFeatureTypes); a mismatched domain reports
+    # DOMAIN_INVALID_FOR_TYPE and only ITS checks are skipped (the reference
+    # clears just the offending domain_info oneof — here the dataclass can
+    # carry several domains, so compatible ones keep validating).
+    bad_domains = _domain_type_mismatches(spec)
+    for bad_domain in bad_domains:
         out.anomalies.append(
             _anom(
                 spec.name,
@@ -597,13 +606,19 @@ def validate_feature(
                 sk,
             )
         )
-    else:
-        # ---- domains --------------------------------------------------------
+
+    # ---- domains ------------------------------------------------------------
+    if "int_domain" not in bad_domains:
         _check_int_domain(fs, spec, sk, out)
+    if "float_domain" not in bad_domains:
         _check_float_domain(fs, spec, sk, out)
+    if "domain" not in bad_domains and "string_domain" not in bad_domains:
         _check_string_domain(fs, spec, schema, sk, out)
+    if "bool_domain" not in bad_domains:
         _check_bool_domain(fs, spec, sk, out)
+    if "image_domain" not in bad_domains:
         _check_image_domain(fs, spec, sk, out)
+    if "natural_language_domain" not in bad_domains:
         _check_nl_domain(fs, spec, sk, out)
 
     # ---- unique constraints (feature_util.cc:665-698) ------------------------
@@ -760,13 +775,13 @@ def _observed_range(fs: FeatureStats):
     return lo, hi
 
 
-def _domain_type_mismatch(spec: FeatureSpec):
+def _domain_type_mismatches(spec: FeatureSpec) -> set:
     """AllowedFeatureTypes (``schema.cc:81-115``): which declared schema
-    types each domain kind accepts. Returns the offending domain_info field
-    name (reference ``GetDomainInfoName`` = proto field name) or None."""
+    types each domain kind accepts. Returns the set of offending domain_info
+    field names (reference ``GetDomainInfoName`` = proto field names)."""
     t = spec.type
     if t is None:
-        return None
+        return set()
     B, I, F, S = (
         FeatureType.BYTES,
         FeatureType.INT,
@@ -788,10 +803,9 @@ def _domain_type_mismatch(spec: FeatureSpec):
         ("image_domain", spec.image_domain is not None, {B}),
         ("time_domain", spec.time_domain is not None, {I, B}),
     )
-    for name, present, allowed in checks:
-        if present and t not in allowed:
-            return name
-    return None
+    return {
+        name for name, present, allowed in checks if present and t not in allowed
+    }
 
 
 def _check_int_domain(fs, spec, sk, out):
@@ -848,6 +862,10 @@ def _check_int_domain(fs, spec, sk, out):
         # IntDomain is interpreted as castable-to-int64
         # (int_domain_util.cc:77-92): observed values beyond int64 with
         # bounds configured invalidate the domain rather than the values.
+        # Strict > deliberately: float(int64_hi) rounds up to 2^63, so a max
+        # of exactly 2.0**63 passes — the reference's own double comparison
+        # (`num_stats().max() > LLONG_MAX`, :85-88) has the same boundary
+        # behavior, and parity wins over mathematical tightness here.
         if (d.min is not None or d.max is not None) and (
             lo < float(int64_lo) or hi > float(int64_hi)
         ):

@@ -191,7 +191,8 @@ def test_exact_weighted_long_pass_fused(spark, tmp_path):
     once."""
     from pyspark.sql import functions as F
 
-    from data_validation_spark.stats.engine import _run_long_pass, compute_statistics
+    from data_validation_spark.stats import engine
+    from data_validation_spark.stats.engine import compute_statistics
     from data_validation_spark.stats.options import StatsOptions
 
     df = spark.range(500).select(
@@ -203,11 +204,15 @@ def test_exact_weighted_long_pass_fused(spark, tmp_path):
     df.write.parquet(p)
     src = spark.read.parquet(p)
 
-    stats = compute_statistics(src, StatsOptions(weight_column="w"))
+    engine.CAPTURE_UNION_FRAME = True
+    try:
+        stats = compute_statistics(src, StatsOptions(weight_column="w"))
+        union = engine._last_union_frame
+    finally:
+        engine.CAPTURE_UNION_FRAME = False
+        engine._last_union_frame = None
     fx = stats.default_slice().feature("x")
     assert fx.numeric is not None and fx.numeric.weighted_histograms
-
-    union = _run_long_pass.last_union_frame
     plan = plan_of(union)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert len(schemas) == 2, plan  # topk branch + weighted-digest branch

@@ -853,3 +853,48 @@ def test_int_domain_invalid_int64_reference_goldens():
     assert AT.DOMAIN_INVALID_FOR_TYPE not in types(
         validate_statistics(ok, okschema), "bar"
     )
+
+
+def test_domain_mismatch_does_not_suppress_other_domains():
+    """Round-5 review fix: one mismatched domain must not disable validation
+    of the feature's OTHER, compatible domains (the dataclass can carry
+    several; the reference's proto oneof cannot)."""
+    stats = make_stats([make_feature("a", numeric=NumericStats(min=-50, max=99))])
+    schema = Schema(feature=[FeatureSpec(
+        name="a", type=FeatureType.INT,
+        int_domain=IntDomain(min=0, max=10),           # compatible, violated
+        image_domain=ImageDomain(max_image_byte_size=1),  # INT-incompatible
+    )])
+    got = types(validate_statistics(stats, schema), "a")
+    assert AT.DOMAIN_INVALID_FOR_TYPE in got          # image_domain flagged
+    assert AT.INT_TYPE_SMALL_INT in got               # int_domain still checked
+    assert AT.INT_TYPE_BIG_INT in got
+
+
+def test_struct_domain_on_non_struct_type_flagged():
+    """Round-5 review fix: struct_domain on a non-STRUCT declared type fires
+    the AllowedFeatureTypes gate (previously flattening cleared the domain
+    before the gate ran); its children are not validated; update_schema
+    clears only the offending domain."""
+    from data_validation_spark.schema import StructDomain
+
+    stats = make_stats([make_feature("a", numeric=NumericStats(min=1, max=2))])
+    schema = Schema(feature=[FeatureSpec(
+        name="a", type=FeatureType.INT,
+        int_domain=IntDomain(min=0, max=10),
+        struct_domain=StructDomain(feature=[
+            FeatureSpec(name="child", presence=Presence(min_count=1)),
+        ]),
+    )])
+    r = validate_statistics(stats, schema)
+    got = types(r, "a")
+    assert AT.DOMAIN_INVALID_FOR_TYPE in got
+    a = next(x for x in r.anomalies if x.type == AT.DOMAIN_INVALID_FOR_TYPE)
+    assert a.description == 'The domain "struct_domain" does not match the type: INT'
+    # the mis-typed struct's children never validate (reference ClearDomain)
+    assert types(r, "a.child") == set()
+    fixed = update_schema(schema, stats)
+    spec = fixed.get_feature("a")
+    assert spec.struct_domain is None
+    assert spec.int_domain is not None  # compatible domain survives the repair
+    assert validate_statistics(stats, fixed).passed
