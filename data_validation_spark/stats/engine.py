@@ -116,11 +116,13 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         return df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
 
     def quant_job():
-        # percentile_approx grids run as their own job: they'd force the whole
-        # wide agg into ObjectHashAggregate (no codegen); here Catalyst prunes
-        # the scan to just the referenced numeric columns (asserted in
-        # tests/test_plans.py) while the main agg keeps WholeStageCodegen.
-        if not quant_exprs:
+        # percentile_approx grids can't share the wide agg: they'd force it
+        # into ObjectHashAggregate (no codegen). SKETCH mode runs them as
+        # their own column-pruned job (num-values histograms only — the
+        # quantile grids ride the sketch pass); EXACT mode folds them into
+        # the fused long union instead (see _run_long_pass), so exact mode
+        # submits exactly TWO jobs: wide agg + fused union.
+        if not quant_exprs or not options.use_sketches:
             return []
         return df.groupBy(slice_col.alias("slice_key")).agg(*quant_exprs).collect()
 
@@ -128,11 +130,11 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         if options.use_sketches:
             from data_validation_spark.stats.sketches.runner import run_sketch_pass
 
-            return (*run_sketch_pass(df, plans, slice_col, options), {})
-        # Exact mode: top-k/uniques + array-element stats + (when a weight
-        # column is set) weighted t-digest quantiles, all in ONE action —
-        # see _run_long_pass.
-        return _run_long_pass(df, plans, slice_col, options)
+            return (*run_sketch_pass(df, plans, slice_col, options), {}, {})
+        # Exact mode: top-k/uniques + array-element stats + percentile grids
+        # + (when a weight column is set) weighted t-digest quantiles, all
+        # in ONE action — see _run_long_pass.
+        return _run_long_pass(df, plans, slice_col, options, quant_exprs)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         wide_f = pool.submit(wide_job)
@@ -140,13 +142,16 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         long_f = pool.submit(long_job)
         wide_rows = wide_f.result()
         quant_rows = quant_f.result()
-        topk_data, uniq_data, arr_data, wtopk_data, wq_data = long_f.result()
+        (topk_data, uniq_data, arr_data, wtopk_data, wq_data,
+         quant_long) = long_f.result()
 
     if not wide_rows:
         # Placeholder-for-empty-input parity (stats_impl.py:141-158).
         return DatasetStatsList([DatasetStats(options.default_slice_key, 0, features={})])
 
     quant_by_slice = {r["slice_key"]: r.asDict() for r in quant_rows}
+    for sk, grids in quant_long.items():  # exact mode: grids from the union
+        quant_by_slice.setdefault(sk, {}).update(grids)
 
     # ---- assembly ----------------------------------------------------------
     slices = []
@@ -166,25 +171,29 @@ def _want_topk(p: E.ColumnPlan, options: StatsOptions) -> bool:
     return p.stats_type == E.STRING or p.name in options.categorical_features
 
 
-def _run_long_pass(df, plans, slice_col, options: StatsOptions):
-    """Exact top-k/uniques + array-element numeric stats + (when a weight
-    column is configured) weighted t-digest quantiles — ONE Spark action.
+def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None):
+    """Exact top-k/uniques + array-element numeric stats + percentile grids
+    + (when a weight column is configured) weighted t-digest quantiles —
+    ONE Spark action.
 
     Each concern builds a small (KB-scale) lazy result frame; their union is
     collected once. Catalyst compiles the union into column-disjoint
     parquet scans — categorical columns for top-k, nested numeric columns
-    for array stats, numeric + weight columns for the weighted digests
-    (plan-asserted in tests/test_plans.py) — so the long pass reads each
-    table column at most once and exact mode submits exactly three jobs
-    (wide agg, percentile grid, this union). Round 4 ran the weighted
-    digest as a 4th concurrent full job; at 100 TB that was one whole
-    extra pass over the numeric columns."""
+    for array stats, scalar numeric columns for the percentile grids,
+    numeric + weight columns for the weighted digests (plan-asserted in
+    tests/test_plans.py) — so the long pass reads each table column at most
+    once and exact mode submits exactly TWO jobs (wide agg + this union).
+    Round 4 ran the weighted digest and the percentile grids as separate
+    concurrent jobs; at 100 TB each was an extra scan wave. The grid branch
+    is the only ObjectHashAggregate (percentile_approx) and it is isolated
+    in its own union branch, so the other branches keep WholeStageCodegen."""
     long_df = E.long_format(df, plans, slice_col, options.weight_column)
     topk_data: dict = {}
     uniq_data: dict = {}
     arr_data: dict = {}
     wtopk_data: dict = {}
     wq_data: dict = {}
+    quant_long: dict = {}
     finals = []
 
     any_topk = long_df is not None and any(p.categorical for p in plans)
@@ -295,8 +304,28 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
                 )
             )
 
+    if quant_exprs:
+        # percentile-grid branch: per-slice wide agg exploded to long
+        # (slice_key, feature=alias__stat, quants=grid) so it unions with
+        # the other result frames; scan pruned to the scalar numeric columns
+        qagg = df.groupBy(slice_col.alias("slice_key")).agg(*quant_exprs)
+        qcols = [c for c in qagg.columns if c != "slice_key"]
+        stacked = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("feature"), F.col(c).alias("quants"))
+                    for c in qcols
+                ]
+            )
+        )
+        finals.append(
+            qagg.select(
+                F.lit("qgrid").alias("kind"), "slice_key", stacked.alias("p")
+            ).select("kind", "slice_key", "p.feature", "p.quants")
+        )
+
     if not finals:
-        return topk_data, uniq_data, arr_data, wtopk_data, wq_data
+        return topk_data, uniq_data, arr_data, wtopk_data, wq_data, quant_long
 
     out = finals[0]
     for f in finals[1:]:
@@ -318,10 +347,13 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions):
             uniq_data[key] = r["unique"]
         elif r["kind"] == "arr":
             arr_data[key] = r.asDict()
+        elif r["kind"] == "qgrid":
+            # feature holds the wide-agg alias (e.g. "c3__quants")
+            quant_long.setdefault(r["slice_key"], {})[r["feature"]] = r["quants"]
         else:  # wacc
             wq_data[key] = decode_weighted_digest(r["acc"])
 
-    return topk_data, uniq_data, arr_data, wtopk_data, wq_data
+    return topk_data, uniq_data, arr_data, wtopk_data, wq_data, quant_long
 
 
 def _assemble_slice(

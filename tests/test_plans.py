@@ -182,13 +182,13 @@ def test_weighted_quantile_pass_scan_pruned(spark, tmp_path):
 
 
 def test_exact_weighted_long_pass_fused(spark, tmp_path):
-    """Round 5: exact mode + weight column runs top-k/uniques AND the
-    weighted t-digest quantiles as ONE unioned action (3 jobs total:
-    wide agg, percentile grid, this union) instead of round-4's dedicated
-    4th job. The union's physical plan must contain exactly one scan per
-    branch, with column-disjoint ReadSchemas (categorical+weight vs
-    numeric+weight) — i.e. the long pass reads each table column at most
-    once."""
+    """Round 5: exact mode runs top-k/uniques, the percentile grids, AND
+    (weighted) the t-digest quantiles as ONE unioned action — exact mode
+    submits exactly TWO jobs (wide agg + this union) instead of round-4's
+    four. The union's physical plan must contain exactly one scan per
+    branch with column-pruned ReadSchemas (categorical+weight / scalar
+    numeric / numeric+weight), and the percentile_approx branch must be
+    the only ObjectHashAggregate (everything else keeps hash agg)."""
     from pyspark.sql import functions as F
 
     from data_validation_spark.stats import engine
@@ -215,10 +215,12 @@ def test_exact_weighted_long_pass_fused(spark, tmp_path):
     assert fx.numeric is not None and fx.numeric.weighted_histograms
     plan = plan_of(union)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert len(schemas) == 2, plan  # topk branch + weighted-digest branch
+    # top-k branch + weighted-digest branch + percentile-grid branch
+    assert len(schemas) == 3, plan
     colsets = [
         {c.split(":")[0] for c in s.split(",") if c} for s in schemas
     ]
     assert sorted(colsets, key=sorted) == sorted(
-        [{"s", "w"}, {"x", "w"}], key=sorted
+        [{"s", "w"}, {"x"}, {"x", "w"}], key=sorted
     ), colsets
+    assert "ObjectHashAggregate" in plan  # the isolated grid branch
