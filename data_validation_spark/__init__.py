@@ -44,7 +44,9 @@ from data_validation_spark.schema import (  # noqa: F401
     DriftComparator,
 )
 from data_validation_spark.anomalies import Anomaly, AnomalyType, Severity  # noqa: F401
+from data_validation_spark.paths import FeaturePath  # noqa: F401
 from data_validation_spark.stats.result import (  # noqa: F401
+    CrossFeatureStats,
     DatasetStats,
     FeatureStats,
     Histogram,
@@ -84,6 +86,28 @@ _LAZY_EXPORTS = {
     "load_schema_text": ("data_validation_spark.api", None),
     "write_anomalies_text": ("data_validation_spark.api", None),
     "load_anomalies_text": ("data_validation_spark.api", None),
+    # schema accessors (schema_util)
+    "get_feature": ("data_validation_spark.schema_util", None),
+    "get_domain": ("data_validation_spark.schema_util", None),
+    "set_domain": ("data_validation_spark.schema_util", None),
+    "generate_dummy_schema_with_paths": ("data_validation_spark.schema_util", None),
+    # stats views + accessors + sharded/text/binary IO (stats_util)
+    "DatasetListView": ("data_validation_spark.stats_view", None),
+    "DatasetView": ("data_validation_spark.stats_view", None),
+    "FeatureView": ("data_validation_spark.stats_view", None),
+    "CrossFeatureView": ("data_validation_spark.stats_view", None),
+    "get_feature_stats": ("data_validation_spark.stats_view", None),
+    "get_custom_stats": ("data_validation_spark.stats_view", None),
+    "get_slice_stats": ("data_validation_spark.stats_view", None),
+    "write_stats_text": ("data_validation_spark.stats_view", None),
+    "load_stats_text": ("data_validation_spark.stats_view", None),
+    "write_stats_binary": ("data_validation_spark.stats_view", None),
+    "load_stats_binary": ("data_validation_spark.stats_view", None),
+    "load_sharded_statistics": ("data_validation_spark.stats_view", None),
+    "write_sharded_statistics": ("data_validation_spark.stats_view", None),
+    "default_sharded_output_suffix": ("data_validation_spark.stats_view", None),
+    "default_sharded_output_supported": ("data_validation_spark.stats_view", None),
+    "attach_cross_feature_stats": ("data_validation_spark.stats_view", None),
     # display (display_util)
     "display_schema": ("data_validation_spark.display", None),
     "display_anomalies": ("data_validation_spark.display", None),
@@ -92,6 +116,37 @@ _LAZY_EXPORTS = {
     "get_anomalies_dataframe": ("data_validation_spark.display", None),
     "get_drift_skew_dataframe": ("data_validation_spark.display", None),
     "get_statistics_dataframe": ("data_validation_spark.display", None),
+    "get_skew_result_dataframe": ("data_validation_spark.display", None),
+    "get_match_stats_dataframe": ("data_validation_spark.display", None),
+    "get_confusion_count_dataframes": ("data_validation_spark.display", None),
+    "get_statistics_html": ("data_validation_spark.display", None),
+    "visualize_statistics": ("data_validation_spark.display", None),
+    "compare_slices": ("data_validation_spark.display", None),
+    # extensibility base classes (stats_generator analogues)
+    "StatsGenerator": ("data_validation_spark.generators", None),
+    "CombinerStatsGenerator": ("data_validation_spark.generators", None),
+    "CombinerFeatureStatsGenerator": ("data_validation_spark.generators", None),
+    "TransformStatsGenerator": ("data_validation_spark.generators", None),
+    "run_combiner_generators": ("data_validation_spark.generators", None),
+    "wrap_feature_stats_generator": ("data_validation_spark.generators", None),
+    # PTransform-style reference names → Spark-first callables
+    "GenerateStatistics": ("data_validation_spark.stats.engine", "compute_statistics"),
+    "MergeDatasetFeatureStatisticsList": ("data_validation_spark.io.artifacts", "merge_stats"),
+    "DetectFeatureSkew": ("data_validation_spark.validate.skew", "detect_feature_skew"),
+    "WriteStatisticsToBinaryFile": ("data_validation_spark.stats_view", None),
+    "WriteStatisticsToTFRecord": ("data_validation_spark.stats_view", None),
+    "WriteStatisticsToRecordsAndBinaryFile": ("data_validation_spark.stats_view", None),
+    "write_stats_tfrecord": ("data_validation_spark.stats_view", None),
+    "load_stats_tfrecord": ("data_validation_spark.stats_view", None),
+    "write_statistics_to_records_and_binary": ("data_validation_spark.stats_view", None),
+    # slicing config builder (slicing_util.get_feature_value_slicer)
+    "experimental_get_feature_value_slicer": (
+        "data_validation_spark.stats.slicing",
+        "get_feature_value_slicer",
+    ),
+    "get_feature_value_slicer": ("data_validation_spark.stats.slicing", None),
+    # cross-feature stats generator (cross_feature_stats_generator analogue)
+    "cross_feature_stats": ("data_validation_spark.stats.lift", None),
 }
 
 

@@ -164,10 +164,11 @@ def load_anomalies_text(input_path: str) -> "Anomalies":
 
 
 def load_statistics(input_path: str) -> "DatasetStatsList":
-    """stats_util.load_statistics role (JSON artifact)."""
-    from data_validation_spark.io.artifacts import load_stats
+    """stats_util.load_statistics role: sniffs the gzip-binary artifact
+    magic, else reads the JSON text form (stats_view.load_statistics)."""
+    from data_validation_spark.stats_view import load_statistics as _load
 
-    return load_stats(input_path)
+    return _load(input_path)
 
 
 def write_statistics(stats: "DatasetStatsList", output_path: str) -> None:

@@ -180,3 +180,287 @@ def display_statistics(stats: "DatasetStatsList", max_rows: int = 50) -> str:
     if truncated:
         txt += f"\n… ({len(df) - max_rows} more rows)"
     return txt
+
+
+# ------------------------------------------------------ skew-result tables --
+def get_skew_result_dataframe(skew_results) -> pd.DataFrame:
+    """FeatureSkew results as a DataFrame — reference
+    display_util.py:717-750 column-for-column. Accepts an iterable of
+    FeatureSkew objects or a SkewResult (its feature_skew values are used)."""
+    if hasattr(skew_results, "feature_skew"):
+        skew_results = skew_results.feature_skew.values()
+    rows = [
+        (
+            fs.feature,
+            fs.base_count,
+            fs.test_count,
+            fs.match_count,
+            fs.base_only,
+            fs.test_only,
+            fs.mismatch_count,
+            fs.diff_count,
+        )
+        for fs in skew_results
+    ]
+    columns = [
+        "feature_name",
+        "base_count",
+        "test_count",
+        "match_count",
+        "base_only",
+        "test_only",
+        "mismatch_count",
+        "diff_count",
+    ]
+    return (
+        pd.DataFrame(rows, columns=columns)
+        .sort_values("feature_name")
+        .reset_index(drop=True)
+    )
+
+
+def get_match_stats_dataframe(match_stats) -> pd.DataFrame:
+    """MatchStats as a one-row DataFrame — reference display_util.py:753-770
+    columns. Our detector tracks per-side duplicate counts; the reference's
+    single ``duplicate_id_count`` is their sum, and the missing-id-feature
+    counters are emitted when the stats object carries them (0 otherwise)."""
+    return pd.DataFrame.from_dict(
+        {
+            "base_with_id_count": [match_stats.base_with_id_count],
+            "test_with_id_count": [match_stats.test_with_id_count],
+            "identifiers_count": [match_stats.identifiers_count],
+            "ids_missing_in_base_count": [match_stats.ids_missing_in_base_count],
+            "ids_missing_in_test_count": [match_stats.ids_missing_in_test_count],
+            "matching_pairs_count": [match_stats.matching_pairs_count],
+            "base_missing_id_count": [getattr(match_stats, "base_missing_id_count", 0)],
+            "test_missing_id_count": [getattr(match_stats, "test_missing_id_count", 0)],
+            "duplicate_id_count": [
+                match_stats.duplicate_id_count_base
+                + match_stats.duplicate_id_count_test
+            ],
+        }
+    )
+
+
+def get_confusion_count_dataframes(confusion) -> dict:
+    """Per-feature confusion tables — reference display_util.py:772-810:
+    for each confusion feature, the unequal (base, test) value pairs with
+    pair/base/test counts, sorted by base value then fraction-of-base.
+    Accepts the detector's ``confusion_counts`` Spark DataFrame (collected
+    here — it is per-category-pair sized) or any iterable of rows with
+    (feature_name, base_value, test_value, count)."""
+    if hasattr(confusion, "collect"):
+        confusion = confusion.collect()
+    per_feature: dict[str, list] = {}
+    for r in confusion:
+        per_feature.setdefault(r[0], []).append((r[1], r[2], int(r[3])))
+
+    def _build_df(pairs):
+        base_count: dict[str, int] = {}
+        test_count: dict[str, int] = {}
+        for b, t, n in pairs:
+            base_count[b] = base_count.get(b, 0) + n
+            test_count[t] = test_count.get(t, 0) + n
+        df = pd.DataFrame(
+            pairs, columns=("Base value", "Test value", "Pair count")
+        )
+        df["Base count"] = df["Base value"].map(base_count)
+        df["Test count"] = df["Test value"].map(test_count)
+        df["Fraction of base"] = df["Pair count"] / df["Base count"]
+        df = (
+            df[df["Base value"] != df["Test value"]]
+            .sort_values(["Base value", "Fraction of base"])
+            .reset_index(drop=True)
+        )
+        return df[
+            ["Base value", "Test value", "Pair count", "Base count", "Test count"]
+        ]
+
+    return {name: _build_df(pairs) for name, pairs in sorted(per_feature.items())}
+
+
+# --------------------------------------------------- statistics HTML / viz --
+def _get_default_slice_stats(stats: "DatasetStatsList") -> "DatasetStatsList":
+    from data_validation_spark.stats.result import DatasetStatsList
+
+    if len(stats.slices) == 1:
+        return stats
+    from data_validation_spark.stats_view import DatasetListView
+
+    return DatasetStatsList([DatasetListView(stats).get_default_slice_or_die().proto()])
+
+
+def _project_statistics(
+    stats: "DatasetStatsList", allowlist_features=None, denylist_features=None
+) -> "DatasetStatsList":
+    """Allowlist/denylist feature projection — reference
+    display_util._project_statistics:339-364."""
+    from dataclasses import replace
+
+    from data_validation_spark.paths import normalize_feature_id
+    from data_validation_spark.stats.result import DatasetStatsList
+
+    if allowlist_features is None and denylist_features is None:
+        return stats
+    if allowlist_features is not None:
+        keep = {normalize_feature_id(p).to_path() for p in allowlist_features}
+        pred = lambda name: name in keep  # noqa: E731
+    else:
+        drop = {normalize_feature_id(p).to_path() for p in denylist_features}
+        pred = lambda name: name not in drop  # noqa: E731
+    return DatasetStatsList(
+        [
+            replace(sl, features={n: f for n, f in sl.features.items() if pred(n)})
+            for sl in stats.slices
+        ]
+    )
+
+
+def _get_combined_statistics(
+    lhs_statistics: "DatasetStatsList",
+    rhs_statistics: "DatasetStatsList" = None,
+    lhs_name=None,
+    rhs_name=None,
+    allowlist_features=None,
+    denylist_features=None,
+) -> "DatasetStatsList":
+    """Combine lhs/rhs default-slice stats into a two-dataset artifact —
+    reference display_util._get_combined_statistics:377-436 (same naming
+    fallbacks, including the reset to lhs_/rhs_statistics on a name clash)."""
+    from dataclasses import replace
+
+    from data_validation_spark.stats.result import DatasetStatsList
+
+    if not hasattr(lhs_statistics, "slices"):
+        raise TypeError(
+            "lhs_statistics is of type %s, should be a DatasetStatsList "
+            "artifact." % type(lhs_statistics).__name__
+        )
+    lhs_statistics = _get_default_slice_stats(lhs_statistics)
+    if lhs_name is None:
+        lhs_name = lhs_statistics.slices[0].slice_key or "lhs_statistics"
+    lhs_statistics = _project_statistics(
+        lhs_statistics, allowlist_features, denylist_features
+    )
+    datasets = [lhs_statistics.slices[0]]
+
+    if rhs_statistics is not None:
+        if not hasattr(rhs_statistics, "slices"):
+            raise TypeError(
+                "rhs_statistics is of type %s, should be a DatasetStatsList "
+                "artifact." % type(rhs_statistics).__name__
+            )
+        rhs_statistics = _get_default_slice_stats(rhs_statistics)
+        if rhs_name is None:
+            rhs_name = rhs_statistics.slices[0].slice_key or "rhs_statistics"
+        if lhs_name == rhs_name:
+            lhs_name, rhs_name = "lhs_statistics", "rhs_statistics"
+        rhs_statistics = _project_statistics(
+            rhs_statistics, allowlist_features, denylist_features
+        )
+        datasets.append(replace(rhs_statistics.slices[0], slice_key=rhs_name))
+
+    datasets[0] = replace(datasets[0], slice_key=lhs_name)
+    return DatasetStatsList(datasets)
+
+
+_HTML_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>Statistics overview</title>
+<style>
+body {{ font-family: sans-serif; margin: 1.5em; }}
+table {{ border-collapse: collapse; margin-bottom: 2em; }}
+th, td {{ border: 1px solid #ccc; padding: 4px 10px; text-align: right; }}
+th {{ background: #f0f0f0; }} td:first-child, th:first-child {{ text-align: left; }}
+h2 {{ margin-bottom: 0.3em; }}
+</style></head>
+<body data-statistics-b64="{payload}">
+{sections}
+</body></html>"""
+
+
+def get_statistics_html(
+    lhs_statistics: "DatasetStatsList",
+    rhs_statistics: "DatasetStatsList" = None,
+    lhs_name: str = "lhs_statistics",
+    rhs_name: str = "rhs_statistics",
+    allowlist_features=None,
+    denylist_features=None,
+) -> str:
+    """Self-contained HTML overview of one (or a compared pair of)
+    statistics artifacts — the reference (display_util.py:437-506) embeds the
+    base64 proto in a Facets iframe; we have no notebook/Facets dependency,
+    so this renders per-feature summary tables directly and embeds the
+    combined artifact JSON base64 in ``data-statistics-b64`` (the
+    machine-readable payload, same role as the reference's ``protostr``)."""
+    import base64
+
+    from data_validation_spark.stats.result import DatasetStatsList
+
+    combined = _get_combined_statistics(
+        lhs_statistics,
+        rhs_statistics,
+        lhs_name,
+        rhs_name,
+        allowlist_features,
+        denylist_features,
+    )
+    if len(combined.slices) == 1 and combined.slices[0].num_examples == 0:
+        return "<p>Empty dataset.</p>"
+    payload = base64.b64encode(
+        combined.to_json(indent=None).encode("utf-8")
+    ).decode("ascii")
+    sections = []
+    for sl in combined.slices:
+        df = get_statistics_dataframe(DatasetStatsList([sl]))
+        body = df.drop(columns=["slice_key"]).to_html(index=False, na_rep="")
+        sections.append(
+            "<h2>%s</h2><p>%d examples</p>\n%s"
+            % (sl.slice_key, sl.num_examples, body)
+        )
+    return _HTML_PAGE.format(payload=payload, sections="\n".join(sections))
+
+
+def visualize_statistics(
+    lhs_statistics: "DatasetStatsList",
+    rhs_statistics: "DatasetStatsList" = None,
+    lhs_name: str = "lhs_statistics",
+    rhs_name: str = "rhs_statistics",
+    allowlist_features=None,
+    denylist_features=None,
+) -> str:
+    """Reference display_util.visualize_statistics:508-547 — renders in an
+    IPython notebook when one is attached, and always returns the HTML (the
+    spark-submit-driver-friendly form)."""
+    assert (
+        not allowlist_features or not denylist_features
+    ), "Only specify one of allowlist_features and denylist_features."
+    html = get_statistics_html(
+        lhs_statistics,
+        rhs_statistics,
+        lhs_name,
+        rhs_name,
+        allowlist_features,
+        denylist_features,
+    )
+    try:  # pragma: no cover - notebook-only path
+        from IPython.display import HTML, display
+
+        display(HTML(html))
+    except ImportError:
+        pass
+    return html
+
+
+def compare_slices(
+    statistics: "DatasetStatsList", lhs_slice_key: str, rhs_slice_key: str
+) -> str:
+    """Compare two slices of one artifact — reference
+    display_util.compare_slices:549-573; raises ValueError on an unknown
+    slice key."""
+    from data_validation_spark.stats_view import get_slice_stats
+
+    lhs_stats = get_slice_stats(statistics, lhs_slice_key)
+    rhs_stats = get_slice_stats(statistics, rhs_slice_key)
+    return visualize_statistics(
+        lhs_stats, rhs_stats, lhs_name=lhs_slice_key, rhs_name=rhs_slice_key
+    )

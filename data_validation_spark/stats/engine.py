@@ -136,14 +136,47 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         # in ONE action — see _run_long_pass.
         return _run_long_pass(df, plans, slice_col, options, quant_exprs)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    def custom_gen_job():
+        # User-defined generators (StatsOptions.generators) — their combiner
+        # pass and any transform generators run as additional concurrent
+        # jobs; outputs merge into the artifact per slice after assembly.
+        if not options.generators:
+            return {}
+        from data_validation_spark.generators import (
+            CombinerFeatureStatsGenerator,
+            CombinerStatsGenerator,
+            TransformStatsGenerator,
+            run_combiner_generators,
+        )
+
+        combiners = [
+            g
+            for g in options.generators
+            if isinstance(g, (CombinerStatsGenerator, CombinerFeatureStatsGenerator))
+        ]
+        per_slice = run_combiner_generators(
+            df,
+            combiners,
+            slice_col=slice_col,
+            stat_cols=stat_cols,
+            default_slice_key=options.default_slice_key,
+        ) if combiners else {}
+        for g in options.generators:
+            if isinstance(g, TransformStatsGenerator):
+                for sk, ds in g.apply(df).items():
+                    per_slice.setdefault(sk, []).append((g.name, ds))
+        return per_slice
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
         wide_f = pool.submit(wide_job)
         quant_f = pool.submit(quant_job)
         long_f = pool.submit(long_job)
+        gen_f = pool.submit(custom_gen_job)
         wide_rows = wide_f.result()
         quant_rows = quant_f.result()
         (topk_data, uniq_data, arr_data, wtopk_data, wq_data,
          quant_long) = long_f.result()
+        custom_gen_out = gen_f.result()
 
     if not wide_rows:
         # Placeholder-for-empty-input parity (stats_impl.py:141-158).
@@ -164,7 +197,12 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
             )
         )
     slices.sort(key=lambda s: s.slice_key)
-    return DatasetStatsList(slices)
+    artifact = DatasetStatsList(slices)
+    if custom_gen_out:
+        from data_validation_spark.generators import merge_generator_output
+
+        artifact = merge_generator_output(artifact, custom_gen_out)
+    return artifact
 
 
 def _want_topk(p: E.ColumnPlan, options: StatsOptions) -> bool:

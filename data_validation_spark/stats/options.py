@@ -65,3 +65,10 @@ class StatsOptions:
     # Cardinality guard: skip exact top-k for columns whose approx distinct
     # count exceeds this (rank histogram would be meaningless + shuffle-heavy).
     max_topk_cardinality: int = 1_000_000
+
+    # User-defined statistics generators (reference StatsOptions.generators,
+    # stats_options.py:66-70): CombinerStatsGenerator /
+    # CombinerFeatureStatsGenerator / TransformStatsGenerator instances run
+    # alongside the built-in passes; their output merges into the artifact
+    # per slice (see data_validation_spark.generators).
+    generators: list = field(default_factory=list)

@@ -155,6 +155,24 @@ class FeatureStats:
     string: Optional[StringStats] = None
     bytes: Optional[BytesStats] = None
     custom: dict[str, Any] = field(default_factory=dict)
+    # Derived-feature provenance (reference FeatureNameStatistics.
+    # validation_derived_source): {"deriver_name": str,
+    # "source_paths": [dotted path, ...]} when this feature was derived
+    # during validation; None for ordinary features.
+    validation_derived_source: Optional[dict] = None
+
+
+@dataclass
+class CrossFeatureStats:
+    """Pairwise numeric cross-feature statistics (reference
+    CrossFeatureStatistics / NumericCrossStatistics, populated by
+    ``cross_feature_stats_generator.py``)."""
+
+    path_x: str
+    path_y: str
+    count: int = 0
+    correlation: Optional[float] = None
+    covariance: Optional[float] = None
 
 
 @dataclass
@@ -165,6 +183,7 @@ class DatasetStats:
     num_examples: int = 0
     weighted_num_examples: Optional[float] = None
     features: dict[str, FeatureStats] = field(default_factory=dict)
+    cross_features: list[CrossFeatureStats] = field(default_factory=list)
 
     def feature(self, name: str) -> Optional[FeatureStats]:
         return self.features.get(name)
@@ -234,6 +253,7 @@ _CLASSES = {
         StringStats,
         BytesStats,
         FeatureStats,
+        CrossFeatureStats,
         DatasetStats,
         DatasetStatsList,
     )

@@ -38,6 +38,36 @@ class SliceSpec:
     features: dict[str, Optional[list]] = field(default_factory=dict)
 
 
+def get_feature_value_slicer(features: dict) -> SliceSpec:
+    """Build a slicer from a {feature_name: values-or-None} mapping —
+    reference ``slicing_util.get_feature_value_slicer:48-120`` (exported as
+    ``experimental_get_feature_value_slicer``): None slices on every distinct
+    value; a list restricts to those values. The reference returns a
+    record-batch function; here the same config becomes a
+    :class:`SliceSpec` for ``StatsOptions.slice_specs``. Same input
+    validation: values must be an iterable (not a bare scalar/string) of
+    strings or integers."""
+    out: dict[str, Optional[list]] = {}
+    for name, values in features.items():
+        if values is None:
+            out[name] = None
+            continue
+        if isinstance(values, (str, bytes)) or not hasattr(values, "__iter__"):
+            raise TypeError(
+                "Feature values must be specified in an iterable, got %s for "
+                "feature %s." % (type(values).__name__, name)
+            )
+        vals = list(values)
+        for v in vals:
+            if isinstance(v, bool) or not isinstance(v, (str, int)):
+                raise NotImplementedError(
+                    "Only string and int feature values are supported, got "
+                    "%s for feature %s." % (type(v).__name__, name)
+                )
+        out[name] = vals
+    return SliceSpec(features=out)
+
+
 def _feature_part(df: DataFrame, name: str, values: Optional[list]) -> Column:
     """Array of ``name_<value>`` parts for one feature of one row; empty when
     the row has no (allowed) value for the feature."""
