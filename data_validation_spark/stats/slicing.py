@@ -90,9 +90,14 @@ def _feature_part(df: DataFrame, name: str, values: Optional[list]) -> Column:
 
 def _spec_keys(df: DataFrame, spec: SliceSpec) -> Column:
     """Array of slice keys one spec yields for a row: the cross product of its
-    per-feature parts (empty if any feature has no value — inner join)."""
+    per-feature parts (empty if any feature has no value — inner join).
+    A spec feature absent from the data is skipped, not an error — the
+    remaining features form the keys (reference
+    slicing_util_test.py:95-121, one-feature-not-in-batch)."""
     keys: Optional[Column] = None
     for name in sorted(spec.features):
+        if name not in df.columns:
+            continue
         part = _feature_part(df, name, spec.features[name])
         if keys is None:
             keys = part

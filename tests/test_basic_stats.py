@@ -340,3 +340,55 @@ def test_struct_domain_validates_children(spark):
     assert ("s.x", AT.INT_TYPE_BIG_INT) in got       # 99 > 10 via dotted path
     assert ("s.gone", AT.SCHEMA_MISSING_COLUMN) in got
     assert not any(f == "s.label" for f, _ in got)
+
+
+def test_feature_value_slicer_reference_goldens(spark):
+    """Reference slicing_util_test.py:36-158 goldens: exact slice keys and
+    per-slice row membership for the {'a': None, 'b': None} cross-product
+    slicer, the value-restricted {'a': [2]} slicer, and the
+    one-feature-not-in-batch skip."""
+    from data_validation_spark.stats.slicing import get_feature_value_slicer
+
+    rows = [
+        ([1], ["dog"]),
+        ([2, 1], ["cat"]),
+        ([3], ["wolf"]),
+        ([2, 1, 1], ["dog", "wolf"]),
+        ([3], ["wolf"]),
+    ]
+    df = spark.createDataFrame(rows, "a array<long>, b array<string>")
+
+    stats = compute_statistics(
+        df, StatsOptions(slice_specs=[get_feature_value_slicer({"a": None, "b": None})])
+    )
+    by = {s.slice_key: s.num_examples for s in stats.slices}
+    assert by == {
+        "All Examples": 5,
+        "a_1_b_dog": 2,
+        "a_1_b_cat": 1,
+        "a_2_b_cat": 1,
+        "a_2_b_dog": 1,
+        "a_1_b_wolf": 1,
+        "a_2_b_wolf": 1,
+        "a_3_b_wolf": 2,
+    }
+
+    # value-restricted slicer (test_get_feature_value_slicer_single_feature)
+    stats2 = compute_statistics(
+        df, StatsOptions(slice_specs=[get_feature_value_slicer({"a": [2]})])
+    )
+    by2 = {s.slice_key: s.num_examples for s in stats2.slices}
+    assert by2 == {"All Examples": 5, "a_2": 2}
+
+    # a spec feature absent from the data is skipped, not an error
+    # (test_get_feature_value_slicer_one_feature_not_in_batch)
+    stats3 = compute_statistics(
+        df,
+        StatsOptions(
+            slice_specs=[
+                get_feature_value_slicer({"not_an_actual_feature": None, "a": [2]})
+            ]
+        ),
+    )
+    by3 = {s.slice_key: s.num_examples for s in stats3.slices}
+    assert by3 == {"All Examples": 5, "a_2": 2}

@@ -379,3 +379,49 @@ def test_full_reference_export_surface():
     write_schema_text write_stats_text""".split()
     missing = [n for n in names if getattr(dvs, n, None) is None]
     assert not missing, missing
+
+
+# --------------------- reference-test goldens (exact message regexes) -------
+# Ported from schema_util_test.py:149-205,327-347,617-631 and
+# stats_util_test.py:355-371 — the reference's own assertRaisesRegex
+# patterns must match our exceptions.
+def test_reference_error_message_goldens():
+    schema = Schema()
+    from data_validation_spark.schema import FeatureSpec
+
+    schema.feature.append(FeatureSpec(name="feature1"))
+    with pytest.raises(ValueError, match="Feature.*not found in the schema"):
+        dvs.get_feature(schema, "feature2")
+    with pytest.raises(ValueError, match="does not refer to a valid STRUCT feature"):
+        dvs.get_feature(schema, FeaturePath(["feature1", "sub_feature2"]))
+    with pytest.raises(ValueError, match="has no domain associated"):
+        dvs.get_domain(schema, "feature1")
+    schema.string_domain.append(StringDomain(name="domain1", value=["a", "b"]))
+    with pytest.raises(ValueError, match="Invalid global string domain"):
+        dvs.set_domain(schema, "feature1", "domain2")
+    with pytest.raises(TypeError, match="domain is of type"):
+        dvs.set_domain(Schema(), "feature", {})
+    # struct sub-feature miss (schema_util_test.py:162-180)
+    s2 = dvs.generate_dummy_schema_with_paths([["feature1", "sub_feature1"]])
+    with pytest.raises(ValueError, match="Feature.*not found in the schema"):
+        dvs.get_feature(s2, FeaturePath(["feature1", "sub_feature2"]))
+
+
+def test_get_derived_feature_ambiguous_reference_golden():
+    # stats_util_test.py:355-371: two features sharing one derived source
+    src = {"deriver_name": "my_deriver_name", "source_paths": ["f0_step1.f0_step2", "f1"]}
+    ds = DatasetStats(
+        slice_key="All Examples",
+        features={
+            "d1": FeatureStats("d1", "FLOAT", validation_derived_source=dict(src)),
+            "d2": FeatureStats("d2", "FLOAT", validation_derived_source=dict(src)),
+        },
+    )
+    view = dvs.DatasetListView(DatasetStatsList([ds])).get_default_slice()
+    with pytest.raises(ValueError, match="Ambiguous result, 2 features matched"):
+        view.get_derived_feature(
+            "my_deriver_name",
+            [FeaturePath(["f0_step1", "f0_step2"]), FeaturePath(["f1"])],
+        )
+    assert view.get_derived_feature("mismatched_name", ["f0_step1.f0_step2", "f1"]) is None
+    assert view.get_derived_feature("my_deriver_name", []) is None
