@@ -425,3 +425,58 @@ def test_get_derived_feature_ambiguous_reference_golden():
         )
     assert view.get_derived_feature("mismatched_name", ["f0_step1.f0_step2", "f1"]) is None
     assert view.get_derived_feature("my_deriver_name", []) is None
+
+
+def test_display_skew_confusion_reference_goldens():
+    """display_util_test.py:959-1129 ported: exact frames (string values in
+    place of the reference's proto bytes_value)."""
+    from data_validation_spark.validate.skew import FeatureSkew
+
+    skew_results = [
+        FeatureSkew("foo", base_count=101, test_count=102, match_count=103,
+                    base_only=104, test_only=105, mismatch_count=106),
+        FeatureSkew("bar", base_count=201, test_count=202, match_count=203,
+                    base_only=204, test_only=205, mismatch_count=206),
+        FeatureSkew("baz"),
+    ]
+    df = dvs.get_skew_result_dataframe(skew_results)
+    expected = pd.DataFrame(
+        [
+            # our diff_count is the identity base_only+test_only+mismatch
+            # (the reference proto carries it as an independent field)
+            ["bar", 201, 202, 203, 204, 205, 206, 615],
+            ["baz", 0, 0, 0, 0, 0, 0, 0],
+            ["foo", 101, 102, 103, 104, 105, 106, 315],
+        ],
+        columns=["feature_name", "base_count", "test_count", "match_count",
+                 "base_only", "test_only", "mismatch_count", "diff_count"],
+    )
+    assert df.equals(expected)
+
+    # empty input keeps the full column set
+    empty = dvs.get_skew_result_dataframe([])
+    assert list(empty.columns) == list(expected.columns) and len(empty) == 0
+
+    confusion = [
+        ("foo", "val1", "val1", 99),
+        ("foo", "val1", "val2", 1),
+        ("foo", "val2", "val3", 1),
+        ("foo", "val3", "val3", 100),
+        ("bar", "val1", "val2", 1),
+    ]
+    dfs = dvs.get_confusion_count_dataframes(confusion)
+    assert set(dfs.keys()) == {"foo", "bar"}
+    assert dfs["foo"].equals(
+        pd.DataFrame(
+            [["val1", "val2", 1, 100, 1], ["val2", "val3", 1, 1, 101]],
+            columns=["Base value", "Test value", "Pair count", "Base count",
+                     "Test count"],
+        )
+    )
+    assert dfs["bar"].equals(
+        pd.DataFrame(
+            [["val1", "val2", 1, 1, 1]],
+            columns=["Base value", "Test value", "Pair count", "Base count",
+                     "Test count"],
+        )
+    )
