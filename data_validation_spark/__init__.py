@@ -120,6 +120,7 @@ _LAZY_EXPORTS = {
     "get_match_stats_dataframe": ("data_validation_spark.display", None),
     "get_confusion_count_dataframes": ("data_validation_spark.display", None),
     "get_statistics_html": ("data_validation_spark.display", None),
+    "get_natural_language_statistics_dataframes": ("data_validation_spark.display", None),
     "visualize_statistics": ("data_validation_spark.display", None),
     "compare_slices": ("data_validation_spark.display", None),
     # extensibility base classes (stats_generator analogues)

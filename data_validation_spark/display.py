@@ -451,6 +451,99 @@ def visualize_statistics(
     return html
 
 
+def _nl_histogram_df(low, high, counts) -> pd.DataFrame:
+    """Histogram-bucket frame — reference display_util._get_histogram_dataframe
+    columns (high_values/low_values/sample_counts)."""
+    return pd.DataFrame.from_dict(
+        {
+            "high_values": list(high),
+            "low_values": list(low),
+            "sample_counts": list(counts),
+        }
+    )
+
+
+def _nl_token_length_histogram(nl: dict) -> pd.DataFrame:
+    """Token-length histogram frame from the engine's equal-mass quantile
+    grid (each bucket holds total_tokens / nbuckets samples)."""
+    q = nl.get("token_length_quantiles") or []
+    if len(q) < 2:
+        return _nl_histogram_df([], [], [])
+    per_bucket = nl.get("total_tokens", 0) / (len(q) - 1)
+    return _nl_histogram_df(q[:-1], q[1:], [per_bucket] * (len(q) - 1))
+
+
+def _nl_token_statistics(nl: dict) -> pd.DataFrame:
+    """Per-token stats frame — reference display_util._get_token_statistics
+    columns; ``positions`` cells hold per-token position-histogram frames."""
+    nbuckets = nl.get("num_position_buckets", 10)
+    cols = {
+        "token_name": [],
+        "frequency": [],
+        "fraction_of_sequences": [],
+        "per_sequence_min_frequency": [],
+        "per_sequence_max_frequency": [],
+        "per_sequence_avg_frequency": [],
+        "positions": [],
+    }
+    for token, st in (nl.get("token_statistics") or {}).items():
+        cols["token_name"].append(token)
+        cols["frequency"].append(st["frequency"])
+        cols["fraction_of_sequences"].append(st["fraction_of_sequences"])
+        cols["per_sequence_min_frequency"].append(st["per_sequence_min_frequency"])
+        cols["per_sequence_max_frequency"].append(st["per_sequence_max_frequency"])
+        cols["per_sequence_avg_frequency"].append(st["per_sequence_avg_frequency"])
+        pos = st.get("positions") or {}
+        buckets = sorted(int(b) for b in pos)
+        cols["positions"].append(
+            _nl_histogram_df(
+                [b / nbuckets for b in buckets],
+                [(b + 1) / nbuckets for b in buckets],
+                [pos[b] if b in pos else pos[str(b)] for b in buckets],
+            )
+        )
+    return pd.DataFrame.from_dict(cols)
+
+
+def get_natural_language_statistics_dataframes(
+    lhs_statistics: "DatasetStatsList",
+    rhs_statistics: "DatasetStatsList" = None,
+    lhs_name: str = "lhs_statistics",
+    rhs_name: str = "rhs_statistics",
+    allowlist_features=None,
+    denylist_features=None,
+):
+    """NL statistics as plot-ready DataFrames — reference
+    ``display_util.get_natural_language_statistics_dataframes:574-649``:
+    {dataset_name: {feature_name: {"token_length_histogram": df,
+    "token_statistics": df}}}, or None when no feature carries the
+    ``nl_statistics`` custom stat."""
+    combined = _get_combined_statistics(
+        lhs_statistics,
+        rhs_statistics,
+        lhs_name,
+        rhs_name,
+        allowlist_features,
+        denylist_features,
+    )
+    result = {}
+    for sl in combined.slices:
+        if not sl.slice_key:
+            continue
+        features = {}
+        for fname, fs in sl.features.items():
+            nl = fs.custom.get("nl_statistics")
+            if not nl:
+                continue
+            features[fname] = {
+                "token_length_histogram": _nl_token_length_histogram(nl),
+                "token_statistics": _nl_token_statistics(nl),
+            }
+        if features:
+            result[sl.slice_key] = features
+    return result or None
+
+
 def compare_slices(
     statistics: "DatasetStatsList", lhs_slice_key: str, rhs_slice_key: str
 ) -> str:

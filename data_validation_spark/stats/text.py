@@ -375,6 +375,8 @@ def compute_nl_statistics(
     seqs.unpersist()
     return {
         "num_examples": num_examples,
+        "total_tokens": total,
+        "num_position_buckets": num_histogram_buckets,
         "feature_coverage": in_vocab / total if total else 0.0,
         "avg_token_length": float(cov_row["avg_tok_len"] or 0.0),
         "token_length_quantiles": list(cov_row["tok_len_q"] or []),

@@ -480,3 +480,42 @@ def test_display_skew_confusion_reference_goldens():
                      "Test count"],
         )
     )
+
+
+def test_get_natural_language_statistics_dataframes(spark):
+    """display_util.get_natural_language_statistics_dataframes parity over
+    the engine's nl_statistics custom stat: plot-ready frames per dataset
+    per feature, None when no NL stats exist."""
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+    from data_validation_spark.stats.text import attach_nl_token_stats
+
+    pdf = pd.DataFrame(
+        {"txt": ["the cat sat", "the dog ran fast", "a cat ran"]}
+    )
+    df = spark.createDataFrame(pdf)
+    stats = compute_statistics(df, StatsOptions())
+    attach_nl_token_stats(stats, df, "txt", constrained_tokens=["cat", "the"])
+
+    out = dvs.get_natural_language_statistics_dataframes(stats)
+    assert out is not None and list(out) == ["lhs_statistics"]
+    entry = out["lhs_statistics"]["txt"]
+    tlh = entry["token_length_histogram"]
+    assert list(tlh.columns) == ["high_values", "low_values", "sample_counts"]
+    assert len(tlh) >= 1
+    # 10 tokens total, equal-mass grid: counts sum to the token count
+    assert sum(tlh.sample_counts) == pytest.approx(10.0)
+    ts = entry["token_statistics"]
+    assert sorted(ts.token_name) == ["cat", "the"]
+    cat = ts[ts.token_name == "cat"].iloc[0]
+    assert cat.frequency == 2
+    assert cat.fraction_of_sequences == pytest.approx(2 / 3)
+    assert cat.per_sequence_min_frequency == 1
+    assert cat.per_sequence_avg_frequency == pytest.approx(1.0)
+    pos = cat.positions
+    assert list(pos.columns) == ["high_values", "low_values", "sample_counts"]
+    assert sum(pos.sample_counts) == 2  # both 'cat' occurrences bucketed
+
+    # no NL stats anywhere → None (reference returns None)
+    bare = compute_statistics(df, StatsOptions())
+    assert dvs.get_natural_language_statistics_dataframes(bare) is None
