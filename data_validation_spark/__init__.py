@@ -140,6 +140,8 @@ _LAZY_EXPORTS = {
     "write_stats_tfrecord": ("data_validation_spark.stats_view", None),
     "load_stats_tfrecord": ("data_validation_spark.stats_view", None),
     "write_statistics_to_records_and_binary": ("data_validation_spark.stats_view", None),
+    # per-feature example-weight resolution (example_weight_map.py)
+    "ExampleWeightMap": ("data_validation_spark.weights", None),
     # slicing config builder (slicing_util.get_feature_value_slicer)
     "experimental_get_feature_value_slicer": (
         "data_validation_spark.stats.slicing",

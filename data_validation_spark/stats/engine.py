@@ -61,10 +61,19 @@ _last_union_frame = None
 def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) -> DatasetStatsList:
     """Compute the full statistics artifact for ``df``."""
     options = options or StatsOptions()
+    # Per-feature weight overrides (ExampleWeightMap): weight_arg carries the
+    # map into the expression builders; plain weight_column otherwise.
+    weight_map = options.example_weight_map
+    weight_arg = weight_map if weight_map is not None else options.weight_column
+    weight_cols = (
+        sorted(weight_map.all_weight_features())
+        if weight_map is not None
+        else ([options.weight_column] if options.weight_column else [])
+    )
 
     if options.feature_allowlist:
         keep = list(options.feature_allowlist)
-        extra = [c for c in (options.weight_column, options.slice_column) if c and c not in keep]
+        extra = [c for c in (*weight_cols, options.slice_column) if c and c not in keep]
         df = df.select(*(keep + extra))
     if options.sample_rate is not None and options.sample_rate < 1.0:
         df = df.sample(fraction=options.sample_rate, seed=42)
@@ -85,7 +94,7 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
     stat_cols = [
         f.name
         for f in df.schema.fields
-        if f.name not in (options.weight_column, options.slice_column, "__slice_key__")
+        if f.name not in (*weight_cols, options.slice_column, "__slice_key__")
     ]
     plans = E.classify_columns(
         df.select(*stat_cols).schema, options.categorical_features
@@ -104,7 +113,7 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
 
     agg_exprs, quant_exprs = E.build_agg_exprs(
         plans,
-        options.weight_column,
+        weight_arg,
         _QUANTILE_CUTS,
         options.quantiles_accuracy,
         options.num_values_histogram_buckets,
@@ -134,7 +143,8 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         # Exact mode: top-k/uniques + array-element stats + percentile grids
         # + (when a weight column is set) weighted t-digest quantiles, all
         # in ONE action — see _run_long_pass.
-        return _run_long_pass(df, plans, slice_col, options, quant_exprs)
+        return _run_long_pass(df, plans, slice_col, options, quant_exprs,
+                              weight_arg=weight_arg)
 
     def custom_gen_job():
         # User-defined generators (StatsOptions.generators) — their combiner
@@ -209,7 +219,8 @@ def _want_topk(p: E.ColumnPlan, options: StatsOptions) -> bool:
     return p.stats_type == E.STRING or p.name in options.categorical_features
 
 
-def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None):
+def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None,
+                   weight_arg=None):
     """Exact top-k/uniques + array-element numeric stats + percentile grids
     + (when a weight column is configured) weighted t-digest quantiles —
     ONE Spark action.
@@ -225,7 +236,10 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
     concurrent jobs; at 100 TB each was an extra scan wave. The grid branch
     is the only ObjectHashAggregate (percentile_approx) and it is isolated
     in its own union branch, so the other branches keep WholeStageCodegen."""
-    long_df = E.long_format(df, plans, slice_col, options.weight_column)
+    long_df = E.long_format(
+        df, plans, slice_col,
+        weight_arg if weight_arg is not None else options.weight_column,
+    )
     topk_data: dict = {}
     uniq_data: dict = {}
     arr_data: dict = {}
@@ -334,7 +348,8 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
     )
 
     if weighted:
-        wq_frame = build_weighted_digest_frame(df, plans, slice_col, options)
+        wq_frame = build_weighted_digest_frame(df, plans, slice_col, options,
+                                               weight_arg=weight_arg)
         if wq_frame is not None:
             finals.append(
                 wq_frame.select(
@@ -434,7 +449,11 @@ def _assemble_feature(
     fs.common = common
     if options.weight_column:
         common.weighted_num_non_missing = _g(rd, p, "w_nonmissing", 0.0) or 0.0
-        total_w = rd.get("weighted_num_examples") or 0.0
+        # overridden features (ExampleWeightMap) carry their own weight
+        # total; others subtract from the dataset-level global-weight total
+        total_w = _g(rd, p, "w_total")
+        if total_w is None:
+            total_w = rd.get("weighted_num_examples") or 0.0
         common.weighted_num_missing = total_w - common.weighted_num_non_missing
 
     if p.stats_type in (E.STRUCT, E.UNKNOWN):

@@ -137,11 +137,24 @@ def build_agg_exprs(
 
     Returns aliased expressions; assembly decodes by alias convention
     ``{plan.alias}__{stat}``.
+
+    ``weight_column`` may be an ``ExampleWeightMap`` (per-feature weight
+    overrides, reference example_weight_map.py): each plan's weighted
+    expressions then use that feature's resolved weight column;
+    ``weighted_num_examples`` always uses the global weight feature.
     """
+    from data_validation_spark.weights import ExampleWeightMap
+
+    wmap = weight_column if isinstance(weight_column, ExampleWeightMap) else None
+    global_w = wmap.weight_feature if wmap else weight_column
+
+    def _w(p):
+        return wmap.get(p.name) if wmap else weight_column
+
     exprs = [F.count(F.lit(1)).alias("num_examples")]
     qexprs: list = []
-    if weight_column:
-        exprs.append(F.sum(F.col(weight_column).cast("double")).alias("weighted_num_examples"))
+    if global_w:
+        exprs.append(F.sum(F.col(global_w).cast("double")).alias("weighted_num_examples"))
 
     qs = [i / num_quantile_cuts for i in range(num_quantile_cuts + 1)]
 
@@ -174,11 +187,16 @@ def build_agg_exprs(
                     quantiles_accuracy,
                 ).alias(f"{a}__valshist")
             )
-            if weight_column:
-                w = F.col(weight_column).cast("double")
+            pw = _w(p)
+            if pw:
+                w = F.col(pw).cast("double")
                 exprs.append(
                     F.sum(F.when(arr.isNotNull(), w)).alias(f"{a}__w_nonmissing")
                 )
+                if pw != global_w:
+                    # overridden feature: its weighted_num_missing must
+                    # subtract from THIS weight's total, not the global one
+                    exprs.append(F.sum(w).alias(f"{a}__w_total"))
             if p.nest_depth >= 2:
                 # Per-nest-level valency (GetMinMaxNumValues parity,
                 # feature_util.cc:136-215): level 1 = outer list lengths,
@@ -233,9 +251,12 @@ def build_agg_exprs(
             # Numeric stats of array elements handled in the long (exploded) job.
             continue
 
-        if weight_column:
-            w = F.col(weight_column).cast("double")
+        pw = _w(p)
+        if pw:
+            w = F.col(pw).cast("double")
             exprs.append(F.sum(F.when(present.isNotNull(), w)).alias(f"{a}__w_nonmissing"))
+            if pw != global_w:
+                exprs.append(F.sum(w).alias(f"{a}__w_total"))
 
         if p.numeric:
             x = v.cast("double")
@@ -272,10 +293,10 @@ def build_agg_exprs(
                     F.min(xf).alias(f"{a}__finmin"),
                     F.max(xf).alias(f"{a}__finmax"),
                 ]
-            if weight_column:
+            if pw:
                 # weighted accumulator likewise sees all non-NaN values
                 # (basic_stats_generator.py:466-469)
-                w = F.col(weight_column).cast("double")
+                w = F.col(pw).cast("double")
                 wx = F.when(xn.isNotNull(), w)
                 exprs += [
                     F.sum(wx).alias(f"{a}__w_cnt"),
@@ -327,8 +348,17 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
     of one. Downstream is a single groupBy shuffle keyed by
     (slice, feature, value).
     """
-    w = (F.col(weight_column).cast("double") if weight_column else F.lit(1.0)).alias("weight")
-    struct_t = "struct<feature:string,str_value:string,num_value:double>"
+    from data_validation_spark.weights import ExampleWeightMap
+
+    wmap = weight_column if isinstance(weight_column, ExampleWeightMap) else None
+    if wmap is not None:
+        # Per-feature weight rides inside the struct (each feature's rows
+        # carry its own resolved weight column); same single scan + explode.
+        struct_t = "struct<feature:string,str_value:string,num_value:double,weight:double>"
+        w = F.col("e.weight").alias("weight")
+    else:
+        struct_t = "struct<feature:string,str_value:string,num_value:double>"
+        w = (F.col(weight_column).cast("double") if weight_column else F.lit(1.0)).alias("weight")
     arrays = []
     for p in plans:
         if p.stats_type in (STRUCT, UNKNOWN, BYTES):
@@ -357,11 +387,17 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
                     nv = F.when(~F.isnan(nv), nv)
             else:
                 nv = F.lit(None).cast("double")
-            return F.struct(
+            fields = [
                 F.lit(p.name).alias("feature"),
                 sv.alias("str_value"),
                 nv.alias("num_value"),
-            )
+            ]
+            if wmap is not None:
+                pw = wmap.get(p.name)
+                fields.append(
+                    (F.col(pw).cast("double") if pw else F.lit(1.0)).alias("weight")
+                )
+            return F.struct(*fields)
 
         if p.nest_depth > 0:
             flat = F.col(p.name)
@@ -375,12 +411,14 @@ def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[
     if not arrays:
         return None
     stacked = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    return df.select(
-        slice_col.alias("slice_key"), F.explode(stacked).alias("e"), w
-    ).select(
+    if wmap is not None:
+        exploded = df.select(slice_col.alias("slice_key"), F.explode(stacked).alias("e"))
+    else:
+        exploded = df.select(slice_col.alias("slice_key"), F.explode(stacked).alias("e"), w)
+    return exploded.select(
         "slice_key",
         F.col("e.feature").alias("feature"),
         F.col("e.str_value").alias("str_value"),
         F.col("e.num_value").alias("num_value"),
-        "weight",
+        F.col("e.weight").alias("weight") if wmap is not None else F.col("weight"),
     )

@@ -41,6 +41,10 @@ class StatsOptions:
 
     # Example-weight column: weighted variants of count/mean/std/topk.
     weight_column: Optional[str] = None
+    # Per-feature weight overrides (reference ExampleWeightMap /
+    # StatsOptions.per_feature_weight_override): {feature_path: weight_col}.
+    # Requires weight_column (the global weight) to be set.
+    per_feature_weight_override: Optional[dict] = None
 
     # Slicing: group stats by this column's value; None = single default slice.
     slice_column: Optional[str] = None
@@ -65,6 +69,21 @@ class StatsOptions:
     # Cardinality guard: skip exact top-k for columns whose approx distinct
     # count exceeds this (rank histogram would be meaningless + shuffle-heavy).
     max_topk_cardinality: int = 1_000_000
+
+    @property
+    def example_weight_map(self):
+        """ExampleWeightMap when per-feature overrides are configured, else
+        None (the plain weight_column path covers the no-override case)."""
+        if not self.per_feature_weight_override:
+            return None
+        if not self.weight_column:
+            raise ValueError(
+                "per_feature_weight_override requires weight_column (the "
+                "global weight feature) to be set."
+            )
+        from data_validation_spark.weights import ExampleWeightMap
+
+        return ExampleWeightMap(self.weight_column, self.per_feature_weight_override)
 
     # User-defined statistics generators (reference StatsOptions.generators,
     # stats_options.py:66-70): CombinerStatsGenerator /

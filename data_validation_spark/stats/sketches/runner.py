@@ -191,7 +191,9 @@ def run_sketch_pass(df, plans, slice_col, options):
     column, a second weighted CMS ranks values by weighted count (reference
     `topk_weighted` MisraGries parity); otherwise wtopk mirrors topk."""
     long_df = E.long_format(
-        df, plans, slice_col, options.weight_column, include_scalar_numeric=True
+        df, plans, slice_col,
+        getattr(options, "example_weight_map", None) or options.weight_column,
+        include_scalar_numeric=True,
     )
     if long_df is None:
         return {}, {}, {}, {}
@@ -333,7 +335,7 @@ def run_sketch_pass(df, plans, slice_col, options):
     return topk_data, uniq_data, arr_data, (wtopk_data or dict(topk_data))
 
 
-def build_weighted_digest_frame(df, plans, slice_col, options):
+def build_weighted_digest_frame(df, plans, slice_col, options, weight_arg=None):
     """Lazy merged weighted-digest frame ``(slice_key, feature, acc)`` for
     EXACT mode: when a weight column is configured but ``use_sketches`` is
     off, the wide agg has weighted moments and the long pass has weighted
@@ -352,7 +354,9 @@ def build_weighted_digest_frame(df, plans, slice_col, options):
     if not num_plans:
         return None
     long_df = E.long_format(
-        df, num_plans, slice_col, options.weight_column, include_scalar_numeric=True
+        df, num_plans, slice_col,
+        weight_arg if weight_arg is not None else options.weight_column,
+        include_scalar_numeric=True,
     )
     if long_df is None:
         return None
