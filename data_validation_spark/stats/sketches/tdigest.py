@@ -116,18 +116,29 @@ class TDigest:
         acc = 0.0  # weight before current centroid
         k_left = k_of(0.0)
         for i in range(1, n):
+            if cur_p and points[i] and means[i] == cur_m:
+                # Identical point values merge UNCONDITIONALLY (not gated by
+                # the k-span): combining equal-valued point masses loses no
+                # information — the centroid stays an exact indivisible step
+                # in the CDF. Gating this on the span forced heavy discrete
+                # values (mass > span) to split across centroids, whose
+                # fragments then averaged with NEIGHBORING values into mixed
+                # centroids on re-compact after merge() — smearing the point
+                # structure and costing ~1% rank error where exactness is
+                # free. With this rule, a distinct value whose mass beats the
+                # local k-span survives as one point centroid and its
+                # quantiles are exact; lower-mass values may still be
+                # absorbed into mixed centroids per the normal k1 rule
+                # (bounded rank error, pinned by the hypothesis property).
+                cur_w += weights[i]
+                continue
             q_right = (acc + cur_w + weights[i]) / total
             if k_of(q_right) - k_left <= 1.0:
-                if cur_p and points[i] and means[i] == cur_m:
-                    # identical point values: keep the mean bit-exact and
-                    # the centroid remains a point mass
-                    cur_w += weights[i]
-                else:
-                    cur_m = (cur_m * cur_w + means[i] * weights[i]) / (
-                        cur_w + weights[i]
-                    )
-                    cur_w += weights[i]
-                    cur_p = False
+                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (
+                    cur_w + weights[i]
+                )
+                cur_w += weights[i]
+                cur_p = False
             else:
                 new_means.append(cur_m)
                 new_weights.append(cur_w)

@@ -388,3 +388,80 @@ def test_tfexample_wire_roundtrip(features):
     # compare only non-empty features exactly, empties as empty
     for name, values in features.items():
         assert back.get(name, []) == values or (values == [] and back[name] == [])
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=50), min_size=50, max_size=2000
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_tdigest_discrete_quantiles_across_merges(values, n_splits):
+    """Discrete data across partition splits and merges: identical point
+    values merge unconditionally into one indivisible point centroid per
+    distinct value. When EVERY centroid survives as a point mass (each
+    distinct value's weight beats the local k-span, so no mixed centroid
+    forms) the digest CDF equals the empirical CDF and quantiles are EXACT.
+    A low-mass distinct value may still legally be absorbed into a mixed
+    centroid by the k1-scale rule; then we assert the bounded rank error
+    instead (≤ half the center-span mass, ~pi/compression).
+    Regression: the k-span gate once split heavy values across centroids,
+    whose fragments averaged with neighboring values after merge()."""
+    from data_validation_spark.stats.sketches.tdigest import TDigest
+
+    arr = np.asarray(values, dtype=np.float64)
+    parts = [TDigest(compression=100) for _ in range(n_splits)]
+    for i, t in enumerate(parts):
+        chunk = arr[i::n_splits]
+        if chunk.size:
+            t.add(chunk)
+    merged = parts[0]
+    for t in parts[1:]:
+        merged = merged.merge(t)
+    merged.compact()
+    s = np.sort(arr)
+    n = arr.size
+    all_points = bool(merged.points.all())
+    # k1-scale center mass per centroid is total*pi/compression; rank error
+    # is at most half of one centroid span on each side of a boundary.
+    eps = math.pi / 100.0
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        got = merged.quantile(q)
+        if all_points:
+            # exact lower-rank quantile of the empirical CDF: the digest's
+            # step function returns the value covering q*total
+            k = min(int(np.ceil(q * n)) - 1, n - 1)
+            assert got == s[max(k, 0)]
+        else:
+            # rank window of the returned value must overlap [q-eps, q+eps]
+            lo_rank = np.searchsorted(s, got, side="left") / n
+            hi_rank = np.searchsorted(s, got, side="right") / n
+            assert lo_rank <= q + eps and hi_rank >= q - eps
+
+
+def test_tdigest_heavy_discrete_exact_after_merge():
+    """Deterministic pin of the motivating case: 20 distinct values x 300
+    copies each (6k rows) split across 8 partitions. Every distinct value's
+    mass (300) exceeds the center k-span (6000*pi/100 ~ 188), so with the
+    unconditional equal-value merge each distinct value stays a single point
+    centroid and all probed quantiles are exact. Before the fix, equal-value
+    merging was k-span-gated, fragments of heavy values averaged with
+    neighboring values after merge(), and the median drifted off-value."""
+    from data_validation_spark.stats.sketches.tdigest import TDigest
+
+    arr = np.repeat(np.arange(1.0, 21.0), 300)
+    rng = np.random.default_rng(7)
+    rng.shuffle(arr)
+    parts = [TDigest(compression=100) for _ in range(8)]
+    for i, t in enumerate(parts):
+        t.add(arr[i::8])
+    merged = parts[0]
+    for t in parts[1:]:
+        merged = merged.merge(t)
+    merged.compact()
+    assert merged.points.all()
+    s = np.sort(arr)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        k = min(int(np.ceil(q * arr.size)) - 1, arr.size - 1)
+        assert merged.quantile(q) == s[max(k, 0)]
