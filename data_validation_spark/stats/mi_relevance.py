@@ -402,6 +402,7 @@ def adjusted_mutual_information_stats(
     row_partitions: int = 10,
     column_partitions: int = 1,
     max_rows_per_partition: int = 2000,
+    min_partitions_stat_presence: int = 1,
 ) -> Dict[str, Dict[str, float]]:
     """Distributed AMI relevance: the Spark shape of wiring
     ``MutualInformation`` through ``NonStreamingCustomStatsGenerator``.
@@ -477,6 +478,10 @@ def adjusted_mutual_information_stats(
 
     summary: Dict[str, Dict[str, float]] = {}
     for feature, vals in per_feature_values.items():
+        if len(vals) < min_partitions_stat_presence:
+            # get_valid_statistics parity: tolerate invalid partitions up to
+            # the configured presence floor.
+            continue
         a = np.asarray(vals, dtype=float)
         summary[feature] = {
             "min_" + custom_stats_key: float(a.min()),

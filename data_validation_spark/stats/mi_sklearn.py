@@ -429,6 +429,7 @@ def sklearn_mutual_information_stats(
     seed: int = 12345,
     row_partitions: int = 10,
     max_rows_per_partition: int = 2000,
+    min_partitions_stat_presence: int = 1,
 ) -> Dict[str, Dict[str, float]]:
     """Distributed MI/AMI/NAMI relevance with the partitioned-analyzer
     summary naming, mirroring ``adjusted_mutual_information_stats`` in
@@ -475,6 +476,8 @@ def sklearn_mutual_information_stats(
         per_stat[(r["feature"], r["stat"])].append(r["value"])
     summary: Dict[str, Dict[str, float]] = collections.defaultdict(dict)
     for (feature, stat), vals in per_stat.items():
+        if len(vals) < min_partitions_stat_presence:
+            continue
         a = np.asarray(vals, dtype=float)
         summary[feature].update(
             {

@@ -156,10 +156,14 @@ def partitioned_stats(
     fn: Callable[[pd.DataFrame], dict],
     num_partitions: int = 10,
     seed: int = 42,
+    min_partitions_stat_presence: int = 1,
 ) -> dict[str, dict]:
     """Run ``fn(pdf) → {stat: value}`` on each of ``num_partitions`` random
     row partitions; summarize each stat with min/max/mean/median/std across
-    partitions. The Spark shape of the reference's PartitionedStatsFn."""
+    partitions. The Spark shape of the reference's PartitionedStatsFn;
+    ``min_partitions_stat_presence`` drops stats reported by fewer
+    partitions (partitioned_stats_generator.py:52-63 get_valid_statistics —
+    the knob that tolerates allow-invalid partitions returning nothing)."""
     import numpy as np
 
     tagged = df.withColumn("__part", (F.rand(seed) * num_partitions).cast("int"))
@@ -180,6 +184,8 @@ def partitioned_stats(
         by_stat.setdefault(r["stat"], []).append(r["value"])
     out = {}
     for stat, vals in by_stat.items():
+        if len(vals) < min_partitions_stat_presence:
+            continue
         a = np.asarray(vals, dtype=float)
         out[stat] = {
             "min": float(a.min()),

@@ -93,6 +93,24 @@ def test_partitioned_stats(spark):
     assert s["min"] <= s["median"] <= s["max"]
 
 
+def test_partitioned_stats_min_presence(spark):
+    # get_valid_statistics parity: a stat reported by fewer than
+    # min_partitions_stat_presence partitions is dropped from the summary.
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+
+    def fn(pdf):
+        stats = {"always": float(pdf["x"].mean())}
+        if (pdf["x"] == 0.0).any():  # exactly one partition holds row 0
+            stats["rare"] = 1.0
+        return stats
+
+    out = partitioned_stats(df, fn, 5, min_partitions_stat_presence=2)
+    assert "always" in out and out["always"]["num_partitions"] == 5
+    assert "rare" not in out
+    out = partitioned_stats(df, fn, 5, min_partitions_stat_presence=1)
+    assert out["rare"]["num_partitions"] == 1
+
+
 def test_streaming_incremental_stats(spark, tmp_path):
     from data_validation_spark.streaming import StreamingStatsCollector
 
@@ -252,17 +270,21 @@ def test_streaming_drift_monitor_fixed_reference(spark, tmp_path):
         on_anomalies=lambda epoch, a: seen.setdefault(epoch, a),
     )
     src = str(tmp_path / "drift_src")
-    # batch 0 matches the reference mix; batch 1 is flipped
-    spark.createDataFrame([("a",)] * 4 + [("b",)] * 1, "s string").write.mode(
-        "overwrite"
-    ).parquet(src)
+    # batch 0 matches the reference mix; batch 1 is flipped. Each write is
+    # coalesced to ONE part file: the running query polls continuously, and
+    # a multi-file append can straddle a poll boundary and split into two
+    # micro-batches (flaked under suite load); a single file commits via an
+    # atomic rename, so each write is exactly one non-empty epoch.
+    spark.createDataFrame([("a",)] * 4 + [("b",)] * 1, "s string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("s string").parquet(src)
     q = collector.attach(stream)
     try:
         q.processAllAvailable()
-        spark.createDataFrame([("b",)] * 9 + [("a",)] * 1, "s string").write.mode(
-            "append"
-        ).parquet(src)
+        spark.createDataFrame([("b",)] * 9 + [("a",)] * 1, "s string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
