@@ -64,8 +64,14 @@ def _masked_crc(data: bytes) -> int:
 
 # -------------------------------------------------------------- framing -----
 def read_frames(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-    """Yield record payloads from one TFRecord file."""
-    with open(path, "rb") as f:
+    """Yield record payloads from one TFRecord file. GZIP-compressed files
+    are detected by magic bytes and decompressed transparently."""
+    import gzip
+
+    with open(path, "rb") as raw:
+        magic = raw.read(2)
+        raw.seek(0)
+        f = gzip.GzipFile(fileobj=raw) if magic == b"\x1f\x8b" else raw
         while True:
             header = f.read(12)
             if not header:
@@ -89,8 +95,11 @@ def read_frames(path: str, verify_crc: bool = False) -> Iterator[bytes]:
             yield data
 
 
-def write_frames(path: str, records: list[bytes]) -> None:
-    with open(path, "wb") as f:
+def write_frames(path: str, records: list[bytes], compression: str | None = None) -> None:
+    import gzip
+
+    opener = gzip.open if compression == "gzip" else open
+    with opener(path, "wb") as f:
         for rec in records:
             header = struct.pack("<Q", len(rec))
             f.write(header)

@@ -183,3 +183,54 @@ def test_infer_schema_skips_empty_value_lists():
     assert inferred["g"] == "int"
     # all-empty stays defaulted (int), shaped as a list
     assert tfr._infer_schema([{"e": []}])["e"] == "array<int>"
+
+
+def test_read_frames_gzip_roundtrip(tmp_path):
+    """GZIP TFRecord files are sniffed by magic bytes and decompressed."""
+    recs = [b"Foo", b"Bar", b"x" * 1000]
+    p = str(tmp_path / "recs.tfrecord.gz")
+    tfr.write_frames(p, recs, compression="gzip")
+    with open(p, "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"
+    assert list(tfr.read_frames(p)) == recs
+    assert list(tfr.read_frames(p, verify_crc=True)) == recs
+
+
+def test_load_vocab_text_file(tmp_path):
+    # vocab_util_test.py:25-32
+    from data_validation_spark.io.vocab import load_vocab
+
+    p = str(tmp_path / "vocab.txt")
+    with open(p, "wb") as f:
+        f.write(b"Foo\nBar\n")
+    vocab, reverse_vocab = load_vocab(p)
+    assert vocab == {"Foo": 0, "Bar": 1}
+    assert reverse_vocab == {0: "Foo", 1: "Bar"}
+
+
+def test_load_vocab_gz_recordio_file(tmp_path):
+    # vocab_util_test.py:34-44
+    from data_validation_spark.io.vocab import load_vocab
+
+    p = str(tmp_path / "vocab.tfrecord.gz")
+    tfr.write_frames(p, [b"Foo", b"Bar"], compression="gzip")
+    vocab, reverse_vocab = load_vocab(p)
+    assert vocab == {"Foo": 0, "Bar": 1}
+    assert reverse_vocab == {0: "Foo", 1: "Bar"}
+
+
+def test_load_vocab_missing_path():
+    from data_validation_spark.io.vocab import load_vocab
+
+    with pytest.raises(ValueError, match="does not exist"):
+        load_vocab("/nonexistent/vocab.txt")
+
+
+def test_read_vocab_df(spark, tmp_path):
+    from data_validation_spark.io.vocab import read_vocab_df
+
+    p = str(tmp_path / "vocab.txt")
+    with open(p, "w") as f:
+        f.write("the\nquick\nfox\n")
+    rows = {r["token"]: r["index"] for r in read_vocab_df(spark, p).collect()}
+    assert rows == {"the": 0, "quick": 1, "fox": 2}
