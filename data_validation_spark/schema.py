@@ -125,6 +125,10 @@ class NaturalLanguageDomain:
     min_coverage: Optional[float] = None
     min_avg_token_length: Optional[float] = None
     token_constraints: list[TokenConstraint] = field(default_factory=list)
+    # Name of the vocabulary for coverage/OOV checks, resolved to a file via
+    # StatsOptions.vocab_paths (TFMD NaturalLanguageDomain.vocabulary;
+    # natural_language_stats_generator.py:597-599).
+    vocabulary: Optional[str] = None
 
     def effective_min_coverage(self) -> Optional[float]:
         return self.min_coverage if self.min_coverage is not None else self.coverage_min

@@ -63,6 +63,12 @@ class StatsOptions:
     enable_semantic_domain_stats: bool = False
     semantic_domain_sample_rate: Optional[float] = None
 
+    # Vocabulary files for NL stats: {vocabulary_name: path}, resolving the
+    # schema's NaturalLanguageDomain.vocabulary (reference
+    # StatsOptions.vocab_paths; loaded via io/vocab.load_vocab — text or
+    # GZIP TFRecord files).
+    vocab_paths: Optional[dict] = None
+
     # Dataset-level sampling before any stats.
     sample_rate: Optional[float] = None
 

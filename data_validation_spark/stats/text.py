@@ -445,3 +445,42 @@ def attach_nl_stats(
         if considered >= NL_MIN_EXAMPLES and frac >= NL_MATCH_FRACTION:
             fs.custom["domain_info"] = "natural_language_domain {}"
     return stats
+
+
+# ------------------------------------------------ schema-resolved NL stats
+def compute_nl_statistics_for_feature(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    nl_domain,
+    options=None,
+    **kwargs,
+):
+    """Run :func:`compute_nl_statistics` with the vocabulary resolved from
+    the schema: ``nl_domain.vocabulary`` names a vocab whose file path comes
+    from ``StatsOptions.vocab_paths`` (stats_impl.py:370-379 →
+    natural_language_stats_generator.py:597-599). The file loads through
+    ``io/vocab.load_vocab`` (text or GZIP TFRecord) and joins broadcast.
+
+    Token constraints declared on the domain become ``constrained_tokens``.
+    """
+    vocab_df = None
+    vocab_paths = getattr(options, "vocab_paths", None) if options else None
+    name = getattr(nl_domain, "vocabulary", None) if nl_domain else None
+    if name:
+        if not vocab_paths or name not in vocab_paths:
+            raise ValueError(
+                f"Schema names vocabulary {name!r} but StatsOptions.vocab_paths "
+                "does not provide a path for it."
+            )
+        from data_validation_spark.io.vocab import read_vocab_df
+
+        vocab_df = read_vocab_df(spark, vocab_paths[name])
+    constrained = kwargs.pop("constrained_tokens", None)
+    if constrained is None and nl_domain is not None:
+        constrained = [
+            t.value for t in getattr(nl_domain, "token_constraints", []) if t.value
+        ] or None
+    return compute_nl_statistics(
+        df, text_col, vocab=vocab_df, constrained_tokens=constrained, **kwargs
+    )

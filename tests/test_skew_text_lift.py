@@ -759,3 +759,44 @@ def test_lift_weighted_empty_input_schema(spark):
     # unweighted empty stays bigint
     empty_u = lift_stats(spark.createDataFrame([], "x string, y string"), "x", "y")
     assert dict(empty_u.dtypes)["xy_count"] == "bigint"
+
+
+def test_nl_stats_schema_resolved_vocab(spark, tmp_path):
+    """StatsOptions.vocab_paths resolves the schema NL domain's vocabulary
+    name to a file (stats_impl.py:370-379 wiring)."""
+    from data_validation_spark.schema import NaturalLanguageDomain, TokenConstraint
+    from data_validation_spark.stats.options import StatsOptions
+    from data_validation_spark.stats.text import compute_nl_statistics_for_feature
+
+    vpath = str(tmp_path / "v.txt")
+    with open(vpath, "w") as f:
+        f.write("the\nfox\njumps\n")
+    df = spark.createDataFrame(
+        [("the fox jumps",), ("the dog sleeps",)], "txt string"
+    )
+    domain = NaturalLanguageDomain(
+        vocabulary="v",
+        token_constraints=[TokenConstraint(value="the")],
+    )
+    options = StatsOptions(vocab_paths={"v": vpath})
+    out = compute_nl_statistics_for_feature(spark, df, "txt", domain, options)
+    # 4 of 6 tokens are in-vocab.
+    assert out["feature_coverage"] == pytest.approx(4 / 6)
+    # Domain token_constraints flow through as constrained_tokens.
+    assert out["token_statistics"]["the"]["frequency"] == 2
+    assert out["token_statistics"]["the"]["fraction_of_sequences"] == 1.0
+    # Missing path mapping is an explicit error.
+    with pytest.raises(ValueError, match="vocab_paths"):
+        compute_nl_statistics_for_feature(
+            spark, df, "txt", domain, StatsOptions()
+        )
+    # GZIP TFRecord vocabularies resolve too.
+    from data_validation_spark.io import tfrecord as tfr
+
+    gzpath = str(tmp_path / "v.tfrecord.gz")
+    tfr.write_frames(gzpath, [b"the", b"fox", b"jumps"], compression="gzip")
+    out2 = compute_nl_statistics_for_feature(
+        spark, df, "txt", NaturalLanguageDomain(vocabulary="g"),
+        StatsOptions(vocab_paths={"g": gzpath}),
+    )
+    assert out2["feature_coverage"] == pytest.approx(4 / 6)
