@@ -177,16 +177,59 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
                     per_slice.setdefault(sk, []).append((g.name, ds))
         return per_slice
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    def lift_job():
+        # Label-driven lift (StatsOptions.label_feature → per-feature "lift"
+        # custom stats; stats_impl.py:386-396). All categorical x melt into
+        # one stack so the table is scanned once.
+        label = options.label_feature
+        if not label:
+            return []
+        if label not in df.columns:
+            raise ValueError(f"label_feature {label!r} not found in the data.")
+        from pyspark.sql import types as T
+
+        label_type = df.schema[label].dataType
+        label_is_categorical = label in options.categorical_features or isinstance(
+            label_type, (T.StringType, T.BooleanType, T.BinaryType)
+        )
+        if not label_is_categorical and not options.lift_y_boundaries:
+            raise ValueError(
+                f"label_feature {label!r} is numeric; lift needs "
+                "lift_y_boundaries (the reference LiftStatsGenerator's "
+                "y_boundaries requirement)."
+            )
+        x_cols = [
+            p.name
+            for p in plans
+            if p.categorical
+            and p.name != label
+            and not isinstance(df.schema[p.name].dataType, T.ArrayType)
+        ]
+        if not x_cols:
+            return []
+        from data_validation_spark.stats.lift import lift_stats_multi
+
+        return lift_stats_multi(
+            df,
+            x_cols,
+            label,
+            slice_col=slice_col,
+            weight_col=options.weight_column,
+            y_boundaries=options.lift_y_boundaries,
+        ).collect()
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         wide_f = pool.submit(wide_job)
         quant_f = pool.submit(quant_job)
         long_f = pool.submit(long_job)
         gen_f = pool.submit(custom_gen_job)
+        lift_f = pool.submit(lift_job)
         wide_rows = wide_f.result()
         quant_rows = quant_f.result()
         (topk_data, uniq_data, arr_data, wtopk_data, wq_data,
          quant_long) = long_f.result()
         custom_gen_out = gen_f.result()
+        lift_rows = lift_f.result()
 
     if not wide_rows:
         # Placeholder-for-empty-input parity (stats_impl.py:141-158).
@@ -212,6 +255,28 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         from data_validation_spark.generators import merge_generator_output
 
         artifact = merge_generator_output(artifact, custom_gen_out)
+    if lift_rows:
+        by_slice_feature: dict = {}
+        for r in lift_rows:
+            by_slice_feature.setdefault((r["slice_key"], r["x_feature"]), []).append(
+                {
+                    "y": r["y"],
+                    "x": r["x"],
+                    "lift": float(r["lift"]),
+                    "xy_count": r["xy_count"],
+                    "x_count": r["x_count"],
+                    "y_rate": float(r["y_rate"]),
+                }
+            )
+        for s in artifact.slices:
+            for name, fs in s.features.items():
+                series = by_slice_feature.get((s.slice_key, name))
+                if series:
+                    # reference LiftSeries ordering: per y, lift desc then x
+                    # desc (two stable sorts — x is a string, can't negate)
+                    series.sort(key=lambda d: d["x"], reverse=True)
+                    series.sort(key=lambda d: (d["y"], -d["lift"]))
+                    fs.custom["lift"] = series
     return artifact
 
 

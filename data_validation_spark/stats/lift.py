@@ -132,3 +132,86 @@ def cross_feature_stats(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFram
     return df.sparkSession.createDataFrame(
         rows, "feature_x string, feature_y string, count bigint, covariance double, correlation double"
     )
+
+
+def lift_stats_multi(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    slice_col=None,
+    min_x_count: int = 1,
+    y_boundaries: list[float] | None = None,
+    weight_col: str | None = None,
+    top_k_per_y: int | None = None,
+) -> DataFrame:
+    """Lift of EVERY categorical x against the label in ONE job — the
+    engine-wired shape of the reference's LiftStatsGenerator (stats_impl.py
+    386-396: ``options.label_feature`` → lift custom stats for all
+    categorical features). The x columns melt via ``stack`` so the table is
+    scanned once; per-slice y rates come from the unmelted rows (melting
+    multiplies rows, so y totals must not be counted off the melted frame).
+
+    Returns (slice_key, x_feature, x, y, lift, xy_count, x_count, y_rate).
+    """
+    sc = slice_col if slice_col is not None else F.lit("All Examples")
+    wcol = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    if y_boundaries:
+        b = sorted(float(v) for v in y_boundaries)
+        lows, highs = [float("-inf")] + b, b + [float("inf")]
+        labels = [f"[{_fmt_bound(lo)},{_fmt_bound(hi)})" for lo, hi in zip(lows, highs)]
+        yd = F.col(y_col).cast("double")
+        idx = sum(((yd >= F.lit(v)).cast("int") for v in b), F.lit(0))
+        y_expr = F.element_at(F.array(*[F.lit(s) for s in labels]), idx + 1)
+    else:
+        y_expr = F.col(y_col).cast("string")
+
+    base = df.select(
+        sc.alias("slice_key"), y_expr.alias("y"), wcol.alias("w"), *x_cols
+    ).where(F.col("y").isNotNull())
+
+    cnt = F.sum("w") if weight_col else F.count(F.lit(1))
+    totals = base.groupBy("slice_key").agg(F.sum("w").alias("t"))
+    y_tot = (
+        base.groupBy("slice_key", "y")
+        .agg(F.sum("w").alias("yw"))
+        .join(totals, "slice_key")
+        .select("slice_key", "y", (F.col("yw") / F.col("t")).alias("y_rate"))
+    )
+
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in x_cols
+    )
+    melted = base.select(
+        "slice_key",
+        "y",
+        "w",
+        F.expr(f"stack({len(x_cols)}, {stack_args})").alias("x_feature", "x"),
+    ).where(F.col("x").isNotNull())
+
+    xy = melted.groupBy("slice_key", "x_feature", "x", "y").agg(cnt.alias("xy_count"))
+    x_tot = melted.groupBy("slice_key", "x_feature", "x").agg(cnt.alias("x_count"))
+    out = (
+        xy.join(x_tot, ["slice_key", "x_feature", "x"])
+        .join(F.broadcast(y_tot), ["slice_key", "y"])
+        .where(F.col("x_count") >= min_x_count)
+        .select(
+            "slice_key",
+            "x_feature",
+            "x",
+            "y",
+            ((F.col("xy_count") / F.col("x_count")) / F.col("y_rate")).alias("lift"),
+            "xy_count",
+            "x_count",
+            "y_rate",
+        )
+    )
+    if top_k_per_y:
+        w = Window.partitionBy("slice_key", "x_feature", "y").orderBy(
+            F.desc("lift"), F.desc("x")
+        )
+        out = (
+            out.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= top_k_per_y)
+            .drop("__r")
+        )
+    return out

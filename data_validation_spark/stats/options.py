@@ -69,6 +69,14 @@ class StatsOptions:
     # GZIP TFRecord files).
     vocab_paths: Optional[dict] = None
 
+    # Label column: when set, lift of every categorical feature against this
+    # label is computed in one extra concurrent job and lands in each
+    # feature's custom stats under "lift" (reference StatsOptions.
+    # label_feature → LiftStatsGenerator, stats_impl.py:386-396). A numeric
+    # label needs lift_y_boundaries (the reference generator's y_boundaries).
+    label_feature: Optional[str] = None
+    lift_y_boundaries: Optional[list] = None
+
     # Dataset-level sampling before any stats.
     sample_rate: Optional[float] = None
 

@@ -800,3 +800,66 @@ def test_nl_stats_schema_resolved_vocab(spark, tmp_path):
         StatsOptions(vocab_paths={"g": gzpath}),
     )
     assert out2["feature_coverage"] == pytest.approx(4 / 6)
+
+
+def test_label_feature_lift_in_artifact(spark):
+    """StatsOptions.label_feature wires lift custom stats into the artifact
+    (stats_impl.py:386-396 LiftStatsGenerator wiring)."""
+    rows = [("a", "y1"), ("a", "y1"), ("a", "y2"), ("b", "y1"), ("b", "y2"), ("b", "y2")]
+    df = spark.createDataFrame(rows, "x string, label string")
+    stats = compute_statistics(df, StatsOptions(label_feature="label"))
+    fs = stats.default_slice().feature("x")
+    lift = fs.custom["lift"]
+    d = {(r["x"], r["y"]): r for r in lift}
+    # P(y1)=0.5; P(y1|a)=2/3 → lift 4/3. P(y2|a)=1/3 → 2/3. Symmetric for b.
+    assert d[("a", "y1")]["lift"] == pytest.approx(4 / 3)
+    assert d[("a", "y2")]["lift"] == pytest.approx(2 / 3)
+    assert d[("b", "y2")]["lift"] == pytest.approx(4 / 3)
+    assert d[("a", "y1")]["xy_count"] == 2 and d[("a", "y1")]["x_count"] == 3
+    # the label feature itself gets no lift entry
+    assert "lift" not in stats.default_slice().feature("label").custom
+    # ordering: y asc, lift desc within y
+    assert [r["y"] for r in lift] == sorted(r["y"] for r in lift)
+
+    # numeric label without boundaries is an explicit error
+    dfn = spark.createDataFrame([("a", 1.0)], "x string, label double")
+    with pytest.raises(ValueError, match="lift_y_boundaries"):
+        compute_statistics(dfn, StatsOptions(label_feature="label"))
+    # ...and works with boundaries
+    dfn2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 3.0), ("b", 5.0)], "x string, label double"
+    )
+    stats2 = compute_statistics(
+        dfn2, StatsOptions(label_feature="label", lift_y_boundaries=[2.0, 4.0])
+    )
+    lifts2 = stats2.default_slice().feature("x").custom["lift"]
+    ys = {r["y"] for r in lifts2}
+    assert ys == {"[-inf,2)", "[2,4)", "[4,inf)"}
+
+    # weighted path: doubling one row's weight shifts the lift
+    dfw = spark.createDataFrame(
+        [("a", "y1", 2.0), ("a", "y2", 1.0), ("b", "y1", 1.0), ("b", "y2", 1.0)],
+        "x string, label string, w double",
+    )
+    sw = compute_statistics(
+        dfw, StatsOptions(label_feature="label", weight_column="w")
+    )
+    dw = {(r["x"], r["y"]): r for r in sw.default_slice().feature("x").custom["lift"]}
+    # W=5, w(y1)=3 → rate 0.6; P_w(y1|a)=2/3 → lift 10/9
+    assert dw[("a", "y1")]["lift"] == pytest.approx((2 / 3) / (3 / 5))
+
+
+def test_label_feature_lift_sliced(spark):
+    rows = [
+        ("s1", "a", "y1"), ("s1", "a", "y2"), ("s1", "b", "y1"),
+        ("s2", "a", "y2"), ("s2", "b", "y2"),
+    ]
+    df = spark.createDataFrame(rows, "region string, x string, label string")
+    stats = compute_statistics(
+        df, StatsOptions(label_feature="label", slice_column="region")
+    )
+    by_key = {s.slice_key: s for s in stats.slices}
+    assert "lift" in by_key["s1"].feature("x").custom
+    # slice s2 only has y2 → every x lift is 1.0 there
+    for r in by_key["s2"].feature("x").custom["lift"]:
+        assert r["lift"] == pytest.approx(1.0)
