@@ -111,6 +111,7 @@ def run_partitioned(
     ledger_dir: str,
     prev_stats_for: Optional[Callable[[str], Optional[DatasetStatsList]]] = None,
     validate_fn: Callable = validate_images,
+    extra_lineage: Optional[dict] = None,
     **validate_kwargs,
 ) -> dict[str, PartitionRecord]:
     """Validate each partition, skipping ones already in the ledger.
@@ -139,6 +140,7 @@ def run_partitioned(
                 "partition": part,
                 "engine_version": ENGINE_VERSION,
                 "schema_features": [f.name for f in schema.feature],
+                **(extra_lineage or {}),
             },
             metrics={
                 "anomaly_count": len(result.anomalies.anomalies),
@@ -152,3 +154,55 @@ def run_partitioned(
         ledger.record(rec)
         out[part] = rec
     return out
+
+
+def run_iceberg_partitioned(
+    spark,
+    table_path: str,
+    schema: Schema,
+    ledger_dir: str,
+    snapshot_id: Optional[int] = None,
+    validate_fn: Callable = validate_images,
+    **validate_kwargs,
+) -> dict[str, PartitionRecord]:
+    """North-rule composition: validate an Iceberg table one partition at a
+    time, checkpointing each into the ledger so interrupted runs resume
+    without recompute.
+
+    Partitions come from manifest metadata only (``table_partitions`` — no
+    data scan), each partition's read is manifest-pruned
+    (``read_table(partition_filter=...)`` plans only that partition's files),
+    and the ledger's lineage rows pin the snapshot id so a resumed run is
+    guaranteed to validate the same table state it started on — an append
+    between runs changes the current snapshot, not snapshot N.
+    """
+    from data_validation_spark.io import iceberg_native as _ice
+
+    if snapshot_id is None:
+        snap = _ice.load_table(table_path).current_snapshot()
+        snapshot_id = snap["snapshot-id"] if snap else None
+
+    parts = _ice.table_partitions(table_path, snapshot_id=snapshot_id)
+    keys = {
+        ("/".join(f"{k}={v}" for k, v in sorted(p.items())) or "<unpartitioned>"): p
+        for p in parts
+    }
+
+    def read_partition(key: str):
+        return _ice.read_table(
+            spark, table_path, snapshot_id=snapshot_id, partition_filter=keys[key]
+        )
+
+    return run_partitioned(
+        spark,
+        sorted(keys),
+        read_partition,
+        schema,
+        ledger_dir,
+        validate_fn=validate_fn,
+        extra_lineage={
+            "iceberg_snapshot_id": snapshot_id,
+            "iceberg_table": table_path,
+        },
+        **validate_kwargs,
+    )

@@ -1,0 +1,825 @@
+"""Iceberg table format, natively — no ``iceberg-spark-runtime`` jar needed.
+
+Implements the public Apache Iceberg table spec
+(https://iceberg.apache.org/spec/) directly over the filesystem: table
+metadata JSON, Avro manifest lists and manifests (via the pure-Python Avro
+codec in :mod:`data_validation_spark.io.avro`), snapshot resolution with
+time travel, manifest-level partition pruning, and a v1 writer used for
+fixtures and as a light "Iceberg sink".
+
+Why: the north rule targets Iceberg tables of image/caption pairs, but this
+image ships no Iceberg runtime jar. Rather than leaving ``read_iceberg``
+permanently capability-gated, this module speaks the format itself:
+
+* ``plan_files`` — metadata → current/selected snapshot → manifest list →
+  manifests → live data-file entries, with partition pruning evaluated
+  against the spec's transforms (identity, bucket[N] with the spec's
+  murmur3, truncate[W], year/month/day/hour). Pruning happens here, on
+  KB-scale metadata at the driver — exactly where the real runtime does it —
+  so Spark never even enumerates pruned files. At 10^12 rows this is the
+  difference between scanning a partition and scanning the table.
+* ``read_table`` — the planned file list handed to ``spark.read.parquet``;
+  Catalyst still applies row-group/page-level pushdown inside each file.
+* ``write_table`` / ``append_table`` — v1 metadata + manifests for a
+  DataFrame (per-partition data files carry all columns, copy-on-write
+  layout). The per-partition write loop is driver-sequenced and intended
+  for fixture/CI scale; a production cluster would use the runtime jar's
+  committer (the read path is the part the validation engine needs).
+
+Delete files (v2 merge-on-read) are detected and rejected with a clear
+error instead of silently returning wrong rows.
+
+Reference context: tensorflow/data-validation has no table-format layer
+(tfx-bsl handles IO); this module is the storage half of the north rule.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import time
+import uuid as uuidlib
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from data_validation_spark.io.avro import read_avro_file, write_avro_file
+
+# --------------------------------------------------------------------------
+# murmur3 x86 32-bit — the spec's bucket-transform hash (Appendix B).
+# Test vectors from the spec are pinned in tests/test_iceberg_native.py.
+# --------------------------------------------------------------------------
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Returns the SIGNED 32-bit murmur3 hash (Iceberg reports it signed)."""
+    h = seed
+    n = len(data) - len(data) % 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * _C1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * _C2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * _C1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * _C2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_hash(value: Any) -> int:
+    """Spec: ints/longs hash as 8-byte little-endian longs, strings as UTF-8,
+    binary as raw bytes (dates/times reduce to their integer forms first)."""
+    if isinstance(value, bool):
+        raise ValueError("bucket transform is not defined for boolean")
+    if isinstance(value, int):
+        return murmur3_32(struct.pack("<q", value))
+    if isinstance(value, str):
+        return murmur3_32(value.encode("utf-8"))
+    if isinstance(value, (bytes, bytearray)):
+        return murmur3_32(bytes(value))
+    raise ValueError(f"bucket transform: unsupported literal type {type(value)}")
+
+
+def bucket_transform(value: Any, n: int) -> Optional[int]:
+    if value is None:
+        return None
+    return (_bucket_hash(value) & 0x7FFFFFFF) % n
+
+
+_EPOCH_ORD = 719163  # date(1970,1,1).toordinal()
+
+
+def _to_days(value: Any) -> int:
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        value = value.date()
+    if isinstance(value, datetime.date):
+        return value.toordinal() - _EPOCH_ORD
+    return int(value)  # already days-from-epoch
+
+
+def apply_transform(transform: str, value: Any, width_hint: Any = None) -> Any:
+    """Apply a partition transform to a source-column literal. Returns the
+    transformed partition value, or raises on an unsupported transform (the
+    caller treats that as "cannot prune")."""
+    import datetime
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    if transform.startswith("bucket["):
+        return bucket_transform(value, int(transform[7:-1]))
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(value, int):
+            return value - (value % w)  # Python floor-mod == spec for negatives
+        if isinstance(value, str):
+            return value[:w]
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)[:w]
+        raise ValueError(f"truncate: unsupported type {type(value)}")
+    if transform == "day":
+        return _to_days(value)
+    if transform == "year":
+        d = datetime.date.fromordinal(_to_days(value) + _EPOCH_ORD)
+        return d.year - 1970
+    if transform == "month":
+        d = datetime.date.fromordinal(_to_days(value) + _EPOCH_ORD)
+        return (d.year - 1970) * 12 + d.month - 1
+    if transform == "hour":
+        if isinstance(value, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+            return int((value - epoch).total_seconds() // 3600)
+        return int(value) // 3600  # micros? caller passes hours-compatible int
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+# --------------------------------------------------------------------------
+# manifest Avro schemas (spec v1 shapes, with the spec's field-ids)
+# --------------------------------------------------------------------------
+def _partition_avro_fields(spec_fields: list[dict], schema_fields: list[dict]) -> list[dict]:
+    by_id = {f["id"]: f for f in schema_fields}
+    out = []
+    for pf in spec_fields:
+        src = by_id.get(pf["source-id"], {})
+        t = src.get("type", "string")
+        transform = pf.get("transform", "identity")
+        if transform.startswith("bucket[") or transform in ("year", "month", "day", "hour"):
+            avro_t = "int"
+        elif t in ("int", "date"):
+            avro_t = "int"
+        elif t == "long":
+            avro_t = "long"
+        elif t in ("float",):
+            avro_t = "float"
+        elif t in ("double",):
+            avro_t = "double"
+        elif t in ("binary",):
+            avro_t = "bytes"
+        else:
+            avro_t = "string"
+        if transform.startswith("truncate[") and t in ("int", "long"):
+            avro_t = "long" if t == "long" else "int"
+        out.append(
+            {
+                "name": pf["name"],
+                "type": ["null", avro_t],
+                "field-id": pf.get("field-id", 1000 + len(out)),
+            }
+        )
+    return out
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": "long", "field-id": 1},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": partition_fields,
+                            },
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
+        {"name": "added_data_files_count", "type": ["null", "int"], "field-id": 504},
+        {"name": "existing_data_files_count", "type": ["null", "int"], "field-id": 505},
+        {"name": "deleted_data_files_count", "type": ["null", "int"], "field-id": 506},
+        {
+            "name": "partitions",
+            "field-id": 507,
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+                        ],
+                    },
+                },
+            ],
+        },
+    ],
+}
+
+
+# --------------------------------------------------------------------------
+# table metadata
+# --------------------------------------------------------------------------
+@dataclass
+class TableMetadata:
+    root: str  # actual filesystem root of the table
+    meta: dict  # parsed vN.metadata.json
+
+    @property
+    def location(self) -> str:
+        return self.meta.get("location", self.root)
+
+    @property
+    def format_version(self) -> int:
+        return int(self.meta.get("format-version", 1))
+
+    def schema(self) -> dict:
+        if "schemas" in self.meta:
+            sid = self.meta.get("current-schema-id", 0)
+            for s in self.meta["schemas"]:
+                if s.get("schema-id") == sid:
+                    return s
+        return self.meta["schema"]
+
+    def partition_spec(self) -> list[dict]:
+        if "partition-specs" in self.meta:
+            sid = self.meta.get("default-spec-id", 0)
+            for s in self.meta["partition-specs"]:
+                if s.get("spec-id") == sid:
+                    return s["fields"]
+        return self.meta.get("partition-spec", [])
+
+    def snapshots(self) -> list[dict]:
+        return self.meta.get("snapshots", [])
+
+    def current_snapshot(self) -> Optional[dict]:
+        sid = self.meta.get("current-snapshot-id", -1)
+        for s in self.snapshots():
+            if s["snapshot-id"] == sid:
+                return s
+        return None
+
+    def rebase(self, path: str) -> str:
+        """Map a path stored in metadata (absolute at write time) onto the
+        table's actual location — tables survive being moved/copied."""
+        p = path
+        for prefix in ("file://", "file:"):
+            if p.startswith(prefix):
+                p = p[len(prefix):]
+        loc = self.location
+        for prefix in ("file://", "file:"):
+            if loc.startswith(prefix):
+                loc = loc[len(prefix):]
+        if p.startswith(loc.rstrip("/") + "/"):
+            return os.path.join(self.root, p[len(loc.rstrip("/")) + 1 :])
+        return p
+
+
+def is_iceberg_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "metadata")) and bool(
+        glob.glob(os.path.join(path, "metadata", "*.metadata.json"))
+    )
+
+
+def load_table(path: str) -> TableMetadata:
+    mdir = os.path.join(path, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    mfile = None
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        for pat in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            cand = os.path.join(mdir, pat)
+            if os.path.exists(cand):
+                mfile = cand
+                break
+    if mfile is None:
+        cands = sorted(
+            glob.glob(os.path.join(mdir, "*.metadata.json")),
+            key=lambda p: (len(p), p),
+        )
+        if not cands:
+            raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+        mfile = cands[-1]
+    with open(mfile) as f:
+        return TableMetadata(root=path, meta=json.load(f))
+
+
+def _select_snapshot(
+    tm: TableMetadata,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[int] = None,
+) -> dict:
+    snaps = tm.snapshots()
+    if not snaps:
+        raise ValueError("Iceberg table has no snapshots")
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    if as_of_timestamp is not None:
+        eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_timestamp]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before {as_of_timestamp}")
+        return max(eligible, key=lambda s: s["timestamp-ms"])
+    cur = tm.current_snapshot()
+    if cur is None:
+        raise ValueError("table has snapshots but no current-snapshot-id match")
+    return cur
+
+
+# --------------------------------------------------------------------------
+# read path: plan_files → read_table
+# --------------------------------------------------------------------------
+@dataclass
+class DataFileEntry:
+    path: str
+    file_format: str
+    partition: dict  # partition field name -> transformed value
+    record_count: int
+    file_size_in_bytes: int
+    spec_id: int = 0
+
+
+def _entry_partition(raw: Any) -> dict:
+    return dict(raw) if isinstance(raw, dict) else {}
+
+
+def plan_files(
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[int] = None,
+    partition_filter: Optional[dict[str, Any] | Callable[[dict], bool]] = None,
+) -> list[DataFileEntry]:
+    """Resolve the live data files of a snapshot, with partition pruning.
+
+    ``partition_filter`` is either a callable over the partition dict, or a
+    dict of equality predicates keyed by SOURCE column name (literals are run
+    through the partition spec's transform) and/or by partition field name
+    (compared directly). Files whose transform can't evaluate the literal are
+    conservatively kept.
+    """
+    tm = load_table(table_path)
+    snap = _select_snapshot(tm, snapshot_id, as_of_timestamp)
+    mlist_path = tm.rebase(snap["manifest-list"])
+    _, _, manifests = read_avro_file(mlist_path)
+
+    # build source-col -> (partition field name, transform) for pruning
+    schema_fields = tm.schema().get("fields", [])
+    id_to_name = {f["id"]: f["name"] for f in schema_fields}
+    spec_by_source: dict[str, list[tuple[str, str]]] = {}
+    for pf in tm.partition_spec():
+        src = id_to_name.get(pf["source-id"])
+        if src:
+            spec_by_source.setdefault(src, []).append((pf["name"], pf["transform"]))
+
+    def keep(partition: dict) -> bool:
+        if partition_filter is None:
+            return True
+        if callable(partition_filter):
+            return partition_filter(partition)
+        for key, literal in partition_filter.items():
+            if key in partition:  # direct partition-field predicate
+                if partition[key] != literal:
+                    return False
+                continue
+            for pf_name, transform in spec_by_source.get(key, []):
+                if pf_name not in partition:
+                    continue
+                try:
+                    expected = apply_transform(transform, literal)
+                except ValueError:
+                    continue  # unknown transform → cannot prune on it
+                if partition[pf_name] != expected:
+                    return False
+        return True
+
+    out: list[DataFileEntry] = []
+    for mf in manifests:
+        if int(mf.get("content", 0) or 0) == 1:
+            raise NotImplementedError(
+                "Iceberg v2 delete manifests present; merge-on-read is not "
+                "supported by the native reader (use a copy-on-write table)"
+            )
+        mpath = tm.rebase(mf["manifest_path"])
+        _, _, entries = read_avro_file(mpath)
+        for e in entries:
+            if int(e.get("status", 0)) == 2:  # DELETED
+                continue
+            df = e["data_file"]
+            if int(df.get("content", 0) or 0) != 0:
+                raise NotImplementedError(
+                    "Iceberg delete files present; merge-on-read unsupported"
+                )
+            part = _entry_partition(df.get("partition"))
+            if not keep(part):
+                continue
+            fmt = str(df.get("file_format", "PARQUET")).upper()
+            out.append(
+                DataFileEntry(
+                    path=tm.rebase(df["file_path"]),
+                    file_format=fmt,
+                    partition=part,
+                    record_count=int(df.get("record_count", 0)),
+                    file_size_in_bytes=int(df.get("file_size_in_bytes", 0)),
+                    spec_id=int(mf.get("partition_spec_id", 0)),
+                )
+            )
+    return out
+
+
+def read_table(
+    spark,
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[int] = None,
+    partition_filter: Optional[dict[str, Any] | Callable[[dict], bool]] = None,
+    columns: Optional[list[str]] = None,
+):
+    """Read an Iceberg table into a DataFrame via the native planner.
+
+    Files are planned (and pruned) on the driver from KB-scale manifest
+    metadata; the surviving list goes to one ``spark.read.parquet`` call so
+    Catalyst keeps per-file parallelism, row-group pushdown, and column
+    pruning. Empty plans return an empty DataFrame with the table schema.
+    """
+    entries = plan_files(table_path, snapshot_id, as_of_timestamp, partition_filter)
+    for e in entries:
+        if e.file_format != "PARQUET":
+            raise NotImplementedError(f"native reader supports parquet, got {e.file_format}")
+    if not entries:
+        tm = load_table(table_path)
+        ddl = _schema_to_ddl(tm.schema())
+        return spark.createDataFrame([], ddl)
+    df = spark.read.parquet(*[e.path for e in entries])
+    return df.select(*columns) if columns else df
+
+
+_ICEBERG_TO_DDL = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "string": "string",
+    "binary": "binary",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+}
+
+
+def _schema_to_ddl(schema: dict) -> str:
+    parts = []
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, str):
+            ddl = _ICEBERG_TO_DDL.get(t)
+            if ddl is None and t.startswith("decimal"):
+                ddl = t
+            parts.append(f"`{f['name']}` {ddl or 'string'}")
+        else:
+            parts.append(f"`{f['name']}` string")  # nested types: not needed yet
+    return ", ".join(parts)
+
+
+def table_partitions(table_path: str, snapshot_id: Optional[int] = None) -> list[dict]:
+    """Distinct partition dicts of a snapshot — the checkpoint ledger's unit
+    of resume (metadata-only, no data scan)."""
+    seen: dict[tuple, dict] = {}
+    for e in plan_files(table_path, snapshot_id=snapshot_id):
+        key = tuple(sorted(e.partition.items()))
+        seen.setdefault(key, e.partition)
+    return list(seen.values())
+
+
+def snapshot_log(table_path: str) -> list[dict]:
+    tm = load_table(table_path)
+    return [
+        {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"],
+         "operation": (s.get("summary") or {}).get("operation", "append")}
+        for s in tm.snapshots()
+    ]
+
+
+# --------------------------------------------------------------------------
+# write path (v1, copy-on-write) — fixture/CI-scale committer
+# --------------------------------------------------------------------------
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "string": "string",
+    "binary": "binary",
+    "timestamp": "timestamp",
+}
+
+
+def _df_iceberg_schema(df) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        t = f.dataType.typeName()
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _SPARK_TO_ICEBERG.get(t, "string"),
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+@dataclass
+class _PendingSpec:
+    fields: list[dict] = field(default_factory=list)
+
+
+def _make_spec(partition_by: Optional[list], schema: dict) -> list[dict]:
+    """partition_by entries: "col" (identity), ("col", "bucket[16]") etc."""
+    if not partition_by:
+        return []
+    by_name = {f["name"]: f for f in schema["fields"]}
+    out = []
+    for i, p in enumerate(partition_by):
+        if isinstance(p, str):
+            col, transform = p, "identity"
+        else:
+            col, transform = p
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in schema")
+        name = col if transform == "identity" else (
+            f"{col}_{transform.split('[')[0]}"
+        )
+        out.append(
+            {
+                "name": name,
+                "transform": transform,
+                "source-id": by_name[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return out
+
+
+def _transform_column(df, col: str, transform: str):
+    """Materialize the transformed partition value as a Spark column."""
+    from pyspark.sql import functions as F
+
+    if transform == "identity":
+        return df[col]
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        dt = dict(df.dtypes)[col]
+        if dt in ("int", "bigint", "smallint", "tinyint"):
+            return df[col] - (((df[col] % w) + w) % w)
+        return F.substring(df[col], 1, w)
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        from pyspark.sql.functions import pandas_udf
+
+        dt = dict(df.dtypes)[col]
+
+        @pandas_udf("int")
+        def _bucket(s):
+            import pandas as pd
+
+            def one(v):
+                if v is None:
+                    return None
+                if dt in ("int", "bigint", "smallint", "tinyint"):
+                    v = int(v)
+                return bucket_transform(v, n)
+
+            return pd.Series([one(v) for v in s], dtype="Int32")
+
+        return _bucket(df[col])
+    if transform == "day":
+        return F.datediff(df[col].cast("date"), F.lit("1970-01-01").cast("date"))
+    raise ValueError(f"writer does not support transform {transform!r}")
+
+
+def _list_parquet(d: str) -> set[str]:
+    out = set()
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(root, f))
+    return out
+
+
+def _write_snapshot(spark, df, table_path: str, tm: Optional[TableMetadata], partition_by):
+    """Shared create/append body: data files → manifest → manifest list →
+    new metadata version."""
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+
+    if tm is None:
+        schema = _df_iceberg_schema(df)
+        spec = _make_spec(partition_by, schema)
+        meta: dict = {
+            "format-version": 1,
+            "table-uuid": str(uuidlib.uuid4()),
+            "location": table_path,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(schema["fields"]),
+            "schema": schema,
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-spec": spec,
+            "partition-specs": [{"spec-id": 0, "fields": spec}],
+            "default-spec-id": 0,
+            "properties": {"write.format.default": "parquet"},
+            "snapshots": [],
+            "snapshot-log": [],
+        }
+        version = 1
+    else:
+        meta = dict(tm.meta)
+        schema = tm.schema()
+        spec = tm.partition_spec()
+        version = len(meta.get("snapshot-log", [])) + 1
+
+    snapshot_id = len(meta["snapshots"]) + 1
+    pfields = [(pf["name"], pf) for pf in spec]
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+
+    # ---- data files: one write per partition value so every file carries
+    # all columns (copy-on-write layout; see module docstring re: scale)
+    before = _list_parquet(ddir)
+    if spec:
+        work = df
+        for name, pf in pfields:
+            src = id_to_name[pf["source-id"]]
+            work = work.withColumn(f"__pv_{name}", _transform_column(df, src, pf["transform"]))
+        pv_cols = [f"__pv_{name}" for name, _ in pfields]
+        parts = [tuple(r) for r in work.select(*pv_cols).distinct().collect()]
+        for values in parts:
+            sub = work
+            for c, v in zip(pv_cols, values):
+                sub = sub.filter(sub[c].isNull() if v is None else (sub[c] == v))
+            sub = sub.drop(*pv_cols)
+            leaf = "/".join(
+                f"{name}={'null' if v is None else v}" for (name, _), v in zip(pfields, values)
+            )
+            sub.write.mode("append").parquet(os.path.join(ddir, leaf))
+        partition_values = {
+            "/".join(
+                f"{name}={'null' if v is None else v}" for (name, _), v in zip(pfields, values)
+            ): dict(zip([n for n, _ in pfields], values))
+            for values in parts
+        }
+    else:
+        df.write.mode("append").parquet(os.path.join(ddir, "unpartitioned"))
+        partition_values = {}
+    new_files = sorted(_list_parquet(ddir) - before)
+
+    # ---- manifest
+    part_avro_fields = _partition_avro_fields(spec, schema["fields"])
+    entry_schema = _manifest_entry_schema(part_avro_fields)
+    entries = []
+    for fp in new_files:
+        rel = os.path.relpath(os.path.dirname(fp), ddir)
+        pvals = partition_values.get(rel.replace(os.sep, "/"), {})
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {f["name"]: pvals.get(f["name"]) for f in part_avro_fields},
+                    "record_count": pq.ParquetFile(fp).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "block_size_in_bytes": 67108864,
+                },
+            }
+        )
+    manifest_path = os.path.join(mdir, f"{uuidlib.uuid4()}-m0.avro")
+    write_avro_file(
+        manifest_path,
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec),
+            "partition-spec-id": "0",
+            "format-version": "1",
+        },
+    )
+
+    # ---- manifest list: this snapshot's manifest + all prior snapshots'
+    prior: list[dict] = []
+    cur = None
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == meta.get("current-snapshot-id"):
+            cur = s
+    if cur is not None:
+        _, _, prior = read_avro_file(
+            TableMetadata(root=table_path, meta=meta).rebase(cur["manifest-list"])
+        )
+        prior = [dict(m) for m in prior]
+    mf_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "partitions": None,
+    }
+    mlist_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{uuidlib.uuid4()}.avro")
+    write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, prior + [mf_rec])
+
+    # ---- metadata version commit
+    now = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(sum(e["data_file"]["record_count"] for e in entries)),
+        },
+        "manifest-list": mlist_path,
+        "schema-id": 0,
+    }
+    if meta.get("current-snapshot-id") is not None and meta["snapshots"]:
+        snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now
+
+    tmp = os.path.join(mdir, f".v{version}.metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snapshot_id
+
+
+def write_table(spark, df, table_path: str, partition_by: Optional[list] = None) -> int:
+    """Create an Iceberg v1 table from a DataFrame; returns the snapshot id."""
+    if is_iceberg_table(table_path):
+        raise ValueError(f"{table_path} is already an Iceberg table; use append_table")
+    return _write_snapshot(spark, df, table_path, None, partition_by)
+
+
+def append_table(spark, df, table_path: str) -> int:
+    """Append a new snapshot to an existing table; returns the snapshot id."""
+    return _write_snapshot(spark, df, table_path, load_table(table_path), None)

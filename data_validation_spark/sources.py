@@ -63,27 +63,50 @@ def read_iceberg(
     snapshot_id: Optional[int] = None,
     as_of_timestamp: Optional[int] = None,
 ) -> DataFrame:
-    """Iceberg table source (time-travel capable). Requires the
-    iceberg-spark-runtime jar; raises a clear error when absent (this sandbox
-    image ships without it — the parquet path exercises the same engine)."""
-    if not iceberg_available(spark):
-        raise RuntimeError(
-            "Iceberg runtime not on the classpath; add "
-            "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages. "
-            "All engine operators work identically over spark.read.parquet."
+    """Iceberg table source (time-travel capable).
+
+    Prefers the iceberg-spark-runtime jar when present (full spec coverage:
+    merge-on-read, ORC, hidden metadata columns). When the jar is absent —
+    as in this image — and ``table`` is a filesystem path to an Iceberg
+    table, falls back to the native planner
+    (:mod:`data_validation_spark.io.iceberg_native`): pure-Python metadata +
+    Avro manifest parsing, snapshot selection, and manifest-level partition
+    pruning feeding one ``spark.read.parquet`` over the planned files.
+    """
+    if iceberg_available(spark):
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", snapshot_id)
+        if as_of_timestamp is not None:
+            reader = reader.option("as-of-timestamp", as_of_timestamp)
+        return reader.load(table)
+    from data_validation_spark.io import iceberg_native as _ice
+
+    if _ice.is_iceberg_table(table):
+        return _ice.read_table(
+            spark, table, snapshot_id=snapshot_id, as_of_timestamp=as_of_timestamp
         )
-    reader = spark.read.format("iceberg")
-    if snapshot_id is not None:
-        reader = reader.option("snapshot-id", snapshot_id)
-    if as_of_timestamp is not None:
-        reader = reader.option("as-of-timestamp", as_of_timestamp)
-    return reader.load(table)
+    raise RuntimeError(
+        "Iceberg runtime not on the classpath and the given table is not a "
+        "filesystem Iceberg table path. Add "
+        "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages for "
+        "catalog tables, or pass a path with a metadata/ directory for the "
+        "native reader."
+    )
 
 
 def iceberg_partitions(spark: SparkSession, table: str) -> list[str]:
-    """Partition values for the checkpoint ledger (metadata-table read)."""
-    rows = spark.read.format("iceberg").load(f"{table}.partitions").collect()
-    return [str(r["partition"]) for r in rows]
+    """Partition values for the checkpoint ledger (metadata-only read —
+    metadata table via the runtime jar, manifests via the native planner)."""
+    if iceberg_available(spark):
+        rows = spark.read.format("iceberg").load(f"{table}.partitions").collect()
+        return [str(r["partition"]) for r in rows]
+    from data_validation_spark.io import iceberg_native as _ice
+
+    return [
+        "/".join(f"{k}={v}" for k, v in sorted(p.items())) or "<unpartitioned>"
+        for p in _ice.table_partitions(table)
+    ]
 
 
 def write_violations(df: DataFrame, path: str, mode: str = "overwrite") -> None:
