@@ -192,9 +192,10 @@ def encode_jpeg_stub(rgb: np.ndarray, quality: int = 85) -> bytes:
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
     """Decode JPEG bytes: our stub container (zlib payload in APP15,
-    lossless) if present, else the real pure-numpy baseline decoder
-    (``jpegcodec.decode`` — SOF0/SOF1, 1-3 components, subsampling ≤2,
-    restart markers). Progressive/arithmetic still need the PIL seam."""
+    lossless) if present, else the real pure-numpy decoder
+    (``jpegcodec.decode`` — baseline SOF0/SOF1 and progressive SOF2, 1-3
+    components, subsampling ≤2, restart markers). Arithmetic-coded and
+    lossless JPEG still need the PIL seam."""
     dims = jpeg_dimensions(data)
     if dims is None:
         return None

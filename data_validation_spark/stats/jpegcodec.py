@@ -7,9 +7,18 @@ decodable. This module provides:
 * ``encode(rgb, quality, subsampling, restart_interval)`` — baseline
   sequential JFIF, 4:4:4 or 4:2:0, IJG quality scaling, optional restart
   markers.
-* ``decode(data)`` — baseline sequential (SOF0/SOF1) decoder: 1-3
-  components, sampling factors 1-2, byte-unstuffing, restart markers.
-  Returns RGB uint8 or None (progressive/arithmetic/unsupported → None).
+* ``encode_progressive(rgb, quality, subsampling)`` — progressive (SOF2)
+  JFIF with a libjpeg-style scan script: spectral selection + successive
+  approximation on DC and AC (T.81 Annex G).
+* ``decode(data)`` — baseline sequential (SOF0/SOF1) AND progressive
+  (SOF2) decoder: 1-3 components, sampling factors 1-2, byte-unstuffing,
+  restart markers, EOB runs / refinement correction bits.
+  Returns RGB uint8 or None (arithmetic/lossless/unsupported → None).
+  The progressive entropy layer is pinned two ways: exact pixel equality
+  against the baseline path on every roundtrip (same quantization → the
+  entropy coding must be lossless), and decode of real libjpeg-encoded
+  progressive files shipped in the OS image (EOBn run codes, which the
+  fixed Annex K tables cannot express on the encode side).
 
 DCT/IDCT, color transforms, quantization and upsampling are vectorized
 numpy over all blocks at once. The entropy (Huffman) layer — inherently
@@ -224,13 +233,9 @@ def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
     return plane
 
 
-def encode(
-    rgb: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """RGB uint8 (h, w, 3) → baseline JFIF bytes (4:4:4 or 4:2:0)."""
+def _prepare_blocks(rgb: np.ndarray, quality: int, subsampling: str):
+    """Shared encode prep: color transform, subsample, quantize → per-comp
+    zigzagged int blocks. Returns (h, w, hs, vs, qlum, qchrom, yb, cbb, crb)."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w, _ = rgb.shape
@@ -262,6 +267,42 @@ def encode(
     yb = _plane_blocks(y, qlum)
     cbb = _plane_blocks(cb_d, qchrom)
     crb = _plane_blocks(cr_d, qchrom)
+    return h, w, hs, vs, qlum, qchrom, yb, cbb, crb
+
+
+def _common_headers(h, w, hs, vs, qlum, qchrom, sof_marker: int) -> bytearray:
+    """SOI + JFIF + DQT + SOF + DHT segments shared by both encoders."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qlum[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qchrom[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(sof_marker, sof)
+    for cls_id, bits, vals in (
+        (0x00, DC_LUM_BITS, DC_LUM_VALS),
+        (0x10, AC_LUM_BITS, AC_LUM_VALS),
+        (0x01, DC_CHROM_BITS, DC_CHROM_VALS),
+        (0x11, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        out += seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+    return out
+
+
+def encode(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB uint8 (h, w, 3) → baseline JFIF bytes (4:4:4 or 4:2:0)."""
+    h, w, hs, vs, qlum, qchrom, yb, cbb, crb = _prepare_blocks(
+        rgb, quality, subsampling
+    )
 
     dc_l = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_l = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
@@ -294,20 +335,7 @@ def encode(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(qlum[ZIGZAG].astype(np.uint8)))
-    out += seg(0xDB, b"\x01" + bytes(qchrom[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
-    out += seg(0xC0, sof)
-    for cls_id, bits, vals in (
-        (0x00, DC_LUM_BITS, DC_LUM_VALS),
-        (0x10, AC_LUM_BITS, AC_LUM_VALS),
-        (0x01, DC_CHROM_BITS, DC_CHROM_VALS),
-        (0x11, AC_CHROM_BITS, AC_CHROM_VALS),
-    ):
-        out += seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+    out = _common_headers(h, w, hs, vs, qlum, qchrom, 0xC0)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
@@ -364,12 +392,14 @@ def _unstuff(seg: np.ndarray) -> np.ndarray:
     return np.delete(seg, drop) if len(drop) else seg
 
 
-def _entropy_intervals(data: bytes, start: int) -> list[np.ndarray]:
+def _entropy_intervals(data: bytes, start: int) -> tuple[list[np.ndarray], int]:
     """Split the scan into unstuffed restart intervals (numpy marker scan).
 
-    Valid baseline entropy data only contains 0xFF as a stuffed 0xFF00, so
-    any 0xFF followed by non-zero is a marker: RSTn ends an interval, any
-    other marker (EOI, next SOS, …) ends the scan."""
+    Valid entropy data only contains 0xFF as a stuffed 0xFF00, so any 0xFF
+    followed by non-zero is a marker: RSTn ends an interval, any other
+    marker (EOI, next SOS, …) ends the scan. Returns (intervals, position
+    of the terminating marker's 0xFF — or len(data) if none), so multi-scan
+    (progressive) parsing can resume at the next marker."""
     b = np.frombuffer(data, np.uint8)
     n = len(b)
     out = []
@@ -386,9 +416,9 @@ def _entropy_intervals(data: bytes, start: int) -> list[np.ndarray]:
         if 0xD0 <= nx <= 0xD7:  # RSTn: next interval follows
             seg_start = f + 2
             continue
-        return out  # EOI or other marker: end of scan
+        return out, f  # EOI or other marker: end of scan
     out.append(_unstuff(b[seg_start:n]))
-    return out
+    return out, n
 
 
 # magnitude-category helpers indexed by size s (T.81 EXTEND, table-driven):
@@ -474,8 +504,10 @@ def _decode(data: bytes) -> Optional[np.ndarray]:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical: unsupported
+        elif marker == 0xC2:  # progressive DCT: dedicated multi-scan decoder
+            return _decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / hierarchical: unsupported
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -512,7 +544,7 @@ def _decode(data: bytes) -> Optional[np.ndarray]:
     # Python int ops per coefficient (Huffman decoding is inherently
     # sequential — each code's position depends on the previous one — so
     # this constant is the optimization target, not parallelism).
-    intervals = _entropy_intervals(data, scan_start)
+    intervals, _scan_end = _entropy_intervals(data, scan_start)
     if not intervals:
         return None
     # Per-block scan order: (component idx, flat block index fn inputs)
@@ -612,7 +644,12 @@ def _decode(data: bytes) -> Optional[np.ndarray]:
             vals = np.asarray(out_v[idx], np.float32) * qz32[comps[idx][3]][kk]
             plane.reshape(-1)[(fia & ~np.int64(63)) + _NATPOS[kk]] = vals
 
-    # IDCT, vectorized per component (float32 throughout)
+    return _idct_and_color(comps, planes, h, w, hmax, vmax)
+
+
+def _idct_and_color(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Natural-order dequantized float32 coefficient planes → RGB uint8.
+    Shared tail of the baseline and progressive decoders."""
     out_planes = []
     for ci, ((_, ch, cv, tq), nat) in enumerate(zip(comps, planes)):
         blocks = nat.reshape(nat.shape[0], nat.shape[1], 8, 8)
@@ -643,3 +680,486 @@ def _decode(data: bytes) -> Optional[np.ndarray]:
     rgb[..., 2] = yp + 1.772 * cbp
     np.clip(rgb, 0, 255, out=rgb)
     return np.rint(rgb).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decoder -----
+# ITU-T T.81 Annex G (spectral selection + successive approximation).
+# Coefficients accumulate as integers in ZIGZAG order across scans; one
+# dequantize + IDCT pass at the end reuses the baseline tail. This path
+# serves the sampled integrity checks — throughput matters less than the
+# baseline hot path, so it favors clarity over the baseline's fused loop.
+
+def _decode_progressive(data: bytes) -> Optional[np.ndarray]:
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, list[int]] = {}
+    ac_tables: dict[int, list[int]] = {}
+    comps = None
+    h = w = 0
+    restart_interval = 0
+    coef = None  # per-comp (bv, bh, 64) int32, zigzag order
+    hmax = vmax = 1
+    mcus_h = mcus_v = 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq = body[i] >> 4
+                tq = body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.float64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.float64)
+                    i += 128
+                qtables[tq] = tbl  # zigzag order (progressive dequant is by k)
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(body):
+                tc = body[i] >> 4
+                th = body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17 : i + 17 + cnt])
+                tbl = _huff_lut(bits, vals)
+                if tc == 0:
+                    dc_tables[th] = tbl
+                else:
+                    ac_tables[th] = tbl
+                i += 17 + cnt
+        elif marker == 0xC2:
+            _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if not (1 <= nc <= 3):
+                return None
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+                return None
+            mcus_h = -(-w // (8 * hmax))
+            mcus_v = -(-h // (8 * vmax))
+            coef = [
+                np.zeros((mcus_v * cv, mcus_h * ch, 64), dtype=np.int32)
+                for _, ch, cv, _tq in comps
+            ]
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if comps is None or coef is None:
+                return None
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tds = body[1 + 2 * ci : 3 + 2 * ci]
+                scan_comps.append((cs, tds >> 4, tds & 0x0F))
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            intervals, end = _entropy_intervals(data, pos + 2 + seglen)
+            _prog_scan(
+                intervals, scan_comps, comps, coef, ss, se, ah, al,
+                restart_interval, dc_tables, ac_tables,
+                mcus_h, mcus_v, hmax, vmax, h, w,
+            )
+            pos = end
+            continue
+        pos += 2 + seglen
+
+    if comps is None or coef is None:
+        return None
+    # dequantize (zigzag-indexed) → scatter to natural order → shared tail
+    planes = []
+    for (cid, ch, cv, tq), cz in zip(comps, coef):
+        qz = qtables[tq].astype(np.float32)
+        nat = np.zeros(cz.shape, dtype=np.float32)
+        nat[:, :, _NATPOS] = cz.astype(np.float32) * qz
+        planes.append(nat)
+    return _idct_and_color(comps, planes, h, w, hmax, vmax)
+
+
+def _prog_scan(
+    intervals, scan_comps, comps, coef, ss, se, ah, al,
+    restart_interval, dc_tables, ac_tables, mcus_h, mcus_v, hmax, vmax, h, w,
+):
+    """Decode one progressive scan into the coefficient planes (in place)."""
+    mask, half, ext = _MAG_MASK, _MAG_HALF, _MAG_EXT
+    by_id = {c[0]: (i, c) for i, c in enumerate(comps)}
+
+    state = {"iv": 0, "words": _interval_words(intervals[0]), "p": 0,
+             "eobrun": 0, "preds": [0] * len(comps)}
+
+    def next_interval():
+        state["iv"] += 1
+        if state["iv"] >= len(intervals):
+            raise ValueError("missing restart interval")
+        state["words"] = _interval_words(intervals[state["iv"]])
+        state["p"] = 0
+        state["eobrun"] = 0
+        state["preds"] = [0] * len(comps)
+
+    def get_bit() -> int:
+        words, p = state["words"], state["p"]
+        state["p"] = p + 1
+        return (words[p >> 3] >> (31 - (p & 7))) & 1
+
+    def receive(s: int) -> int:
+        if s == 0:
+            return 0
+        words, p = state["words"], state["p"]
+        state["p"] = p + s
+        return (words[p >> 3] >> (32 - (p & 7) - s)) & mask[s]
+
+    def huff(lut) -> int:
+        words, p = state["words"], state["p"]
+        win = (words[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        e = lut[win]
+        if not e:
+            raise ValueError("bad Huffman code")
+        state["p"] = p + (e >> 8)
+        return e & 0xFF
+
+    # ---- per-block scan bodies --------------------------------------
+    def dc_first(blk, idx, dc_lut):
+        s = huff(dc_lut)
+        if s:
+            v = receive(s)
+            diff = v if v >= half[s] else v - ext[s]
+        else:
+            diff = 0
+        state["preds"][idx] += diff
+        blk[0] = state["preds"][idx] << al
+
+    def dc_refine(blk):
+        if get_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+    def ac_first(blk, ac_lut):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = huff(ac_lut)
+            r = rs >> 4
+            s = rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eob = (1 << r) - 1
+                if r:
+                    eob += receive(r)
+                state["eobrun"] = eob
+                break
+            k += r
+            if k > se:
+                raise ValueError("coef overrun")
+            v = receive(s)
+            blk[k] = (v if v >= half[s] else v - ext[s]) << al
+            k += 1
+
+    p1 = 1 << al
+
+    def refine_nonzero(blk, k):
+        c = int(blk[k])
+        if get_bit() and (c & p1) == 0:
+            blk[k] = c + p1 if c >= 0 else c - p1
+
+    def ac_refine(blk, ac_lut):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = huff(ac_lut)
+                r = rs >> 4
+                s = rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eob = 1 << r
+                        if r:
+                            eob += receive(r)
+                        state["eobrun"] = eob
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    # refinement scans only create magnitude-1 coefficients
+                    newval = p1 if get_bit() else -p1
+                while k <= se:
+                    if blk[k]:
+                        refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k]:
+                    refine_nonzero(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    is_dc = ss == 0
+    n_unit = 0
+
+    def maybe_restart():
+        nonlocal n_unit
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            next_interval()
+
+    if len(scan_comps) > 1:
+        # interleaved (DC scans only, per T.81): MCU order over all comps
+        order = []
+        for cs, td, ta in scan_comps:
+            idx, (_, ch, cv, _tq) = by_id[cs]
+            order.append((idx, ch, cv, dc_tables.get(td)))
+        for mv in range(mcus_v):
+            for mh in range(mcus_h):
+                maybe_restart()
+                for idx, ch, cv, dc_lut in order:
+                    arr = coef[idx]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = arr[mv * cv + by, mh * ch + bx]
+                            if ah == 0:
+                                dc_first(blk, idx, dc_lut)
+                            else:
+                                dc_refine(blk)
+                n_unit += 1
+    else:
+        # non-interleaved: raster over the component's own block grid
+        cs, td, ta = scan_comps[0]
+        idx, (_, ch, cv, _tq) = by_id[cs]
+        arr = coef[idx]
+        # T.81 A.2.2: non-interleaved dimensions come from the COMPONENT's
+        # sample grid (ceil of scaled size / 8), not the MCU-padded grid
+        bh_c = (((h * cv + vmax - 1) // vmax) + 7) // 8
+        bw_c = (((w * ch + hmax - 1) // hmax) + 7) // 8
+        dc_lut = dc_tables.get(td)
+        ac_lut = ac_tables.get(ta)
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                maybe_restart()
+                blk = arr[by, bx]
+                if is_dc:
+                    if ah == 0:
+                        dc_first(blk, idx, dc_lut)
+                    else:
+                        dc_refine(blk)
+                elif ah == 0:
+                    ac_first(blk, ac_lut)
+                else:
+                    ac_refine(blk, ac_lut)
+                n_unit += 1
+
+
+# ------------------------------------------------- progressive encoder -----
+# T.81 Annex G encoder (spectral selection + successive approximation),
+# mirroring the decoder above; the scan script covers every scan type the
+# decoder implements (interleaved DC first/refine, AC first with EOB runs,
+# AC refinement with buffered correction bits). Used for fixtures and the
+# roundtrip tests that pin progressive decode == baseline decode exactly.
+
+_MAX_CORR_BITS = 900  # flush guard for buffered refinement bits
+
+
+def encode_progressive(
+    rgb: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    h, w, hs, vs, qlum, qchrom, yb, cbb, crb = _prepare_blocks(
+        rgb, quality, subsampling
+    )
+    blocks = [yb, cbb, crb]
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    mcus_v, mcus_h = cbb.shape[:2]
+    dc_codes = [
+        _build_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _build_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_codes = [
+        _build_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _build_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+    # non-interleaved per-component block grids (T.81 A.2.2)
+    grids = []
+    for ch, cv in samp:
+        bh_c = (((h * cv + vs - 1) // vs) + 7) // 8
+        bw_c = (((w * ch + hs - 1) // hs) + 7) // 8
+        grids.append((bh_c, bw_c))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for mv in range(mcus_v):
+            for mh in range(mcus_h):
+                for ci, (ch, cv) in enumerate(samp):
+                    tbl = dc_codes[0 if ci == 0 else 1]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dcv = int(blocks[ci][mv * cv + by, mh * ch + bx, 0])
+                            if refine:
+                                bw.put((dcv >> al) & 1, 1)
+                            else:
+                                v = dcv >> al  # arithmetic: floor toward -inf
+                                size, bits = _magnitude(v - preds[ci])
+                                c, ln = tbl[size]
+                                bw.put(c, ln)
+                                if size:
+                                    bw.put(bits, size)
+                                preds[ci] = v
+        bw.pad_to_byte()
+        return bytes(bw.buf)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        ac = ac_codes[0 if ci == 0 else 1]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac[nb << 4]
+                bw.put(c, ln)
+                if nb:
+                    bw.put(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        bh_c, bw_c = grids[ci]
+        arr = blocks[ci]
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                zz = arr[by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al  # point transform on the magnitude
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        c, ln = ac[0xF0]  # ZRL
+                        bw.put(c, ln)
+                        r -= 16
+                    size, bits = _magnitude(t if v > 0 else -t)
+                    c, ln = ac[(r << 4) | size]
+                    bw.put(c, ln)
+                    bw.put(bits, size)
+                    r = 0
+                if r > 0:  # trailing zeros → this block ends in EOB
+                    eobrun += 1
+                    # Annex K AC tables define only EOB(1) (0x00), not the
+                    # EOBn run codes 0x10..0xE0 — real progressive encoders
+                    # ship optimized tables. Flushing per block keeps the
+                    # fixed tables valid; EOBn DECODE is exercised by the
+                    # external libjpeg-encoded files in the tests.
+                    flush_eob()
+        flush_eob()
+        bw.pad_to_byte()
+        return bytes(bw.buf)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        ac = ac_codes[0 if ci == 0 else 1]
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered with the EOB run
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac[nb << 4]
+                bw.put(c, ln)
+                if nb:
+                    bw.put(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+            for b in pending:
+                bw.put(b, 1)
+            pending.clear()
+
+        bh_c, bw_c = grids[ci]
+        arr = blocks[ci]
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                zz = arr[by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eobpos = -1  # index (band coords) of last NEWLY-nonzero coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = i
+                r = 0
+                br: list[int] = []  # bits since the last emitted code
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush_eob()
+                        c, ln = ac[0xF0]
+                        bw.put(c, ln)
+                        r -= 16
+                        for b in br:
+                            bw.put(b, 1)
+                        br = []
+                    if t > 1:  # history coefficient: one correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob()  # newly-nonzero coefficient
+                    c, ln = ac[(r << 4) | 1]
+                    bw.put(c, ln)
+                    bw.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    flush_eob()  # per-block EOB: see ac_first_scan comment
+        flush_eob()
+        bw.pad_to_byte()
+        return bytes(bw.buf)
+
+    out = _common_headers(h, w, hs, vs, qlum, qchrom, 0xC2)
+    # libjpeg-style script: DC(Al=1) → coarse AC → AC refinements → DC refine
+    out += sos([0, 1, 2], 0, 0, 0, 1) + dc_scan(1, refine=False)
+    out += sos([0], 1, 5, 0, 2) + ac_first_scan(0, 1, 5, 2)
+    out += sos([0], 6, 63, 0, 2) + ac_first_scan(0, 6, 63, 2)
+    out += sos([1], 1, 63, 0, 1) + ac_first_scan(1, 1, 63, 1)
+    out += sos([2], 1, 63, 0, 1) + ac_first_scan(2, 1, 63, 1)
+    out += sos([0], 1, 63, 2, 1) + ac_refine_scan(0, 1, 63, 1)
+    out += sos([0, 1, 2], 0, 0, 1, 0) + dc_scan(0, refine=True)
+    out += sos([0], 1, 63, 1, 0) + ac_refine_scan(0, 1, 63, 0)
+    out += sos([1], 1, 63, 1, 0) + ac_refine_scan(1, 1, 63, 0)
+    out += sos([2], 1, 63, 1, 0) + ac_refine_scan(2, 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

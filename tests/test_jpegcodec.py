@@ -113,11 +113,12 @@ def test_truncated_and_garbage_bytes_return_none():
     assert jc.decode(data[:20]) is None
     assert jc.decode(b"\xff\xd8\xff\xe0" + b"\x00" * 50) is None
     assert jc.decode(b"not a jpeg") is None
-    # progressive SOF2 is explicitly unsupported → None (PIL seam covers it)
-    prog = bytearray(data)
-    idx = bytes(prog).find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    assert jc.decode(bytes(prog)) is None
+    # lossless SOF3 is explicitly unsupported → None (PIL seam covers it);
+    # progressive SOF2 is handled natively since round 5 (tests below)
+    lossless = bytearray(data)
+    idx = bytes(lossless).find(b"\xff\xc0")
+    lossless[idx + 1] = 0xC3
+    assert jc.decode(bytes(lossless)) is None
 
 
 def test_two_component_jpeg_decodes_as_luma():
@@ -174,3 +175,105 @@ def test_two_component_jpeg_decodes_as_luma():
     assert np.array_equal(rgb[..., 0], rgb[..., 1])
     assert np.array_equal(rgb[..., 0], rgb[..., 2])
     assert _psnr(rgb[..., 0], np.round(y_plane).astype(np.uint8)) >= 40.0
+
+
+# ---------------------------------------------------------- progressive ----
+def _rand_img(shape, seed=7):
+    rng = np.random.default_rng(seed)
+    img = (rng.random(shape) * 255).astype(np.uint8)
+    return (img.astype(np.int32) // 2 + 64).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape,sub,q",
+    [
+        ((64, 64, 3), "444", 85),
+        ((56, 72, 3), "444", 85),   # AC grid < DC grid on one axis
+        ((60, 60, 3), "420", 85),
+        ((41, 53, 3), "420", 85),   # odd dims + subsampling
+        ((8, 8, 3), "444", 95),     # single block
+        ((129, 17, 3), "420", 50),
+        ((64, 64, 3), "444", 10),   # coarse quant → long zero runs
+    ],
+)
+def test_progressive_equals_baseline_exactly(shape, sub, q):
+    """Same quantized coefficients flow through both entropy codings, so the
+    decoded pixels must be IDENTICAL — any off-by-one in the Annex G scan
+    logic (EOB runs, refinement bits, point transforms) breaks equality."""
+    img = _rand_img(shape)
+    base = jc.decode(jc.encode(img, q, sub))
+    prog = jc.decode(jc.encode_progressive(img, q, sub))
+    assert prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_equals_baseline_flat_noise_gradient():
+    flat = np.full((48, 48, 3), 200, np.uint8)  # every AC band is an EOB
+    rng = np.random.default_rng(3)
+    noisy = (rng.random((72, 88, 3)) * 255).astype(np.uint8)  # ZRL paths
+    grad = np.tile(np.arange(100, dtype=np.uint8)[None, :, None] * 2, (60, 1, 3))
+    for img, sub in [(flat, "444"), (noisy, "444"), (noisy, "420"), (grad, "420")]:
+        assert np.array_equal(
+            jc.decode(jc.encode(img, 88, sub)),
+            jc.decode(jc.encode_progressive(img, 88, sub)),
+        )
+
+
+def test_progressive_stream_structure():
+    img = _rand_img((32, 40, 3))
+    data = jc.encode_progressive(img, 85, "444")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data  # SOF2, no SOF0
+    assert data.count(b"\xff\xda") >= 10  # multi-scan script
+    # the pipeline's PSNR integrity invariant holds through the progressive
+    # path on smooth content (noise PSNR is quantization-bound by design)
+    smooth = _gradient()
+    dec = jc.decode(jc.encode_progressive(smooth, 90, "444"))
+    assert _psnr(smooth.astype(np.float64), dec.astype(np.float64)) >= 40.0
+
+
+_EXTERNAL_PROGRESSIVE = [
+    # libjpeg-encoded progressive JPEGs shipped in the OS image: independent
+    # vectors for EOBn run codes and AC successive approximation, which our
+    # fixed-table encoder cannot produce
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493)),
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493)),
+]
+
+
+@pytest.mark.parametrize("path,hw", _EXTERNAL_PROGRESSIVE)
+def test_decodes_external_libjpeg_progressive(path, hw):
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not in this image")
+    data = open(path, "rb").read()
+    # confirm it IS progressive (SOF2)
+    assert b"\xff\xc2" in data[:2048]
+    img = jc.decode(data)
+    assert img is not None and img.shape == hw + (3,)
+    # white-stripe content: bright overall, and the brightest row is ~white
+    assert img.mean() > 180
+    assert img.max() >= 250
+
+
+def test_progressive_prefix_scans_approximate_image():
+    """The defining property of progressive JPEG: truncating the stream
+    after the early scans still yields a coarse approximation. Decode with
+    only the first scans' data and require bounded deviation from full."""
+    import os
+
+    path = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("external progressive file absent")
+    data = open(path, "rb").read()
+    # cut after the 5th SOS's entropy data (DC + first luma AC bands),
+    # appending EOI so the parser stops cleanly
+    idx = 0
+    for _ in range(6):
+        idx = data.find(b"\xff\xda", idx + 2)
+    truncated = data[:idx] + b"\xff\xd9"
+    full = jc.decode(data)
+    coarse = jc.decode(truncated)
+    assert coarse is not None and coarse.shape == full.shape
+    assert abs(float(full.mean()) - float(coarse.mean())) < 10.0
