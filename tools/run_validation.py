@@ -36,6 +36,11 @@ def main() -> int:
     ap.add_argument("--check-pixels", action="store_true")
     ap.add_argument("--pixel-sample", type=float, default=0.05)
     ap.add_argument("--use-sketches", action="store_true")
+    ap.add_argument(
+        "--snapshot-id",
+        type=int,
+        help="iceberg: validate this snapshot (pins resume to a table state)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -54,7 +59,7 @@ def main() -> int:
     if args.format == "iceberg":
         from data_validation_spark.sources import read_iceberg
 
-        df = read_iceberg(spark, args.input)
+        df = read_iceberg(spark, args.input, snapshot_id=args.snapshot_id)
     else:
         df = spark.read.parquet(args.input)
 
@@ -64,6 +69,27 @@ def main() -> int:
         categorical_features={"fmt"} if "fmt" in df.columns else set(),
         use_sketches=args.use_sketches,
     )
+
+    if args.format == "iceberg" and args.ledger and not args.partition_col:
+        # North-rule path: one ledger entry per ICEBERG partition, partitions
+        # enumerated from manifest metadata (no data scan), per-partition
+        # reads manifest-pruned, lineage pinned to the snapshot id so resume
+        # validates the same table state even across appends.
+        from data_validation_spark.io.checkpoint import run_iceberg_partitioned
+
+        recs = run_iceberg_partitioned(
+            spark,
+            args.input,
+            schema or default_image_schema(),
+            args.ledger,
+            snapshot_id=args.snapshot_id,
+            check_pixels=args.check_pixels,
+            pixel_sample_rate=args.pixel_sample,
+            options=options,
+        )
+        failed = [p for p, r in recs.items() if r.status != "ok"]
+        print(json.dumps({"partitions_run": len(recs), "failed": failed}))
+        return 2 if failed else 0
 
     if args.partition_col:
         from data_validation_spark.io.checkpoint import run_partitioned
