@@ -162,8 +162,10 @@ except ImportError:
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode audio payload → (int16 samples, rate). WAV is real; compressed
-    codecs use soundfile/libsndfile when the deploy image carries it
+    """Decode audio payload → (int16 samples, rate). WAV and FLAC are real
+    (``flaccodec.py``: RFC 9639 natively — Rice residuals, fixed/LPC
+    predictors, all channel decorrelations, CRC-verified); perceptual codecs
+    (mp3/ogg) use soundfile/libsndfile when the deploy image carries it
     (try-imported above), else raise at this clearly-marked seam."""
     fmt = sniff_media(data)
     if fmt == "wav":
@@ -171,6 +173,19 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         if out is None:
             raise ValueError("corrupt wav payload")
         return out
+    if fmt == "flac":
+        from data_validation_spark.stats import flaccodec
+
+        out = flaccodec.decode_full(data)
+        if out is not None:
+            samples, rate, bps = out
+            if samples.ndim > 1:
+                samples = samples[:, 0]
+            if bps > 16:  # normalize deeper streams into the int16 contract
+                samples = samples >> (bps - 16)
+            return samples.astype(np.int16), rate
+        if not _HAVE_SOUNDFILE:
+            raise ValueError("corrupt flac payload")
     if _HAVE_SOUNDFILE:  # pragma: no cover - exercised only where installed
         try:
             samples, rate = _soundfile.read(_io.BytesIO(data), dtype="int16")
@@ -360,8 +375,9 @@ AUDIO_FEATURES_DDL = (
 
 def audio_features(df: DataFrame, id_col: str, bytes_col: str,
                    sample_rate: Optional[float] = None) -> DataFrame:
-    """Vectorized audio feature extraction (RMS / peak / ZCR) — real for WAV;
-    undecodable payloads yield NULL features (decode seam documented above)."""
+    """Vectorized audio feature extraction (RMS / peak / ZCR) — real for WAV
+    and FLAC (native RFC 9639 codec); undecodable payloads yield NULL
+    features (decode seam documented above)."""
     src = df.select(F.col(id_col).cast("string").alias("k"), F.col(bytes_col).alias("b"))
     if sample_rate is not None and sample_rate < 1.0:
         src = src.sample(fraction=sample_rate, seed=42)
@@ -373,7 +389,15 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str,
             out = {k: [] for k in ("id", "rms", "peak", "zcr", "dur")}
             for k, d in zip(ids, datas):
                 out["id"].append(k)
-                decoded = decode_wav(d) if d is not None and sniff_media(d) == "wav" else None
+                fmt = sniff_media(d) if d is not None else "UNKNOWN"
+                if fmt == "wav":
+                    decoded = decode_wav(d)
+                elif fmt == "flac":
+                    from data_validation_spark.stats import flaccodec
+
+                    decoded = flaccodec.decode(d)
+                else:
+                    decoded = None
                 if decoded is None:
                     for f in ("rms", "peak", "zcr", "dur"):
                         out[f].append(None)
