@@ -162,6 +162,7 @@ def run_iceberg_partitioned(
     schema: Schema,
     ledger_dir: str,
     snapshot_id: Optional[int] = None,
+    prev_stats_for: Optional[Callable[[str], Optional[DatasetStatsList]]] = None,
     validate_fn: Callable = validate_images,
     **validate_kwargs,
 ) -> dict[str, PartitionRecord]:
@@ -169,36 +170,52 @@ def run_iceberg_partitioned(
     time, checkpointing each into the ledger so interrupted runs resume
     without recompute.
 
-    Partitions come from manifest metadata only (``table_partitions`` — no
-    data scan), each partition's read is manifest-pruned
-    (``read_table(partition_filter=...)`` plans only that partition's files),
-    and the ledger's lineage rows pin the snapshot id so a resumed run is
-    guaranteed to validate the same table state it started on — an append
-    between runs changes the current snapshot, not snapshot N.
+    The manifests are planned ONCE (driver-side, KB-scale metadata); file
+    lists are grouped by partition and each group reads via one
+    ``spark.read.parquet``. The snapshot id is pinned in the ledger's
+    lineage rows AND enforced on resume: a resumed run with no explicit
+    ``snapshot_id`` adopts the ledger's recorded snapshot, so an append
+    between runs cannot cause already-ledgered partitions (whose files
+    changed in the new snapshot) to be silently skipped. Pass a different
+    explicit ``snapshot_id`` only with a fresh ledger dir.
     """
     from data_validation_spark.io import iceberg_native as _ice
 
-    if snapshot_id is None:
-        snap = _ice.load_table(table_path).current_snapshot()
-        snapshot_id = snap["snapshot-id"] if snap else None
-
-    parts = _ice.table_partitions(table_path, snapshot_id=snapshot_id)
-    keys = {
-        ("/".join(f"{k}={v}" for k, v in sorted(p.items())) or "<unpartitioned>"): p
-        for p in parts
+    ledger = CheckpointLedger(ledger_dir)
+    recorded = {
+        rec["lineage"].get("iceberg_snapshot_id")
+        for rec in ledger.completed().values()
+        if rec.get("lineage", {}).get("iceberg_table") == table_path
     }
+    recorded.discard(None)
+    if snapshot_id is None:
+        if len(recorded) == 1:
+            snapshot_id = next(iter(recorded))  # resume the run's snapshot
+        else:
+            snap = _ice.load_table(table_path).current_snapshot()
+            snapshot_id = snap["snapshot-id"] if snap else None
+    elif recorded and recorded != {snapshot_id}:
+        raise ValueError(
+            f"ledger {ledger_dir} holds snapshot(s) {sorted(recorded)} but "
+            f"snapshot_id={snapshot_id} was requested — use a fresh ledger "
+            "dir to validate a different table state"
+        )
+
+    entries = _ice.plan_files(table_path, snapshot_id=snapshot_id)
+    groups: dict[str, list] = {}
+    for e in entries:
+        groups.setdefault(_ice.partition_key(e.partition), []).append(e.path)
 
     def read_partition(key: str):
-        return _ice.read_table(
-            spark, table_path, snapshot_id=snapshot_id, partition_filter=keys[key]
-        )
+        return spark.read.parquet(*groups[key])
 
     return run_partitioned(
         spark,
-        sorted(keys),
+        sorted(groups),
         read_partition,
         schema,
         ledger_dir,
+        prev_stats_for=prev_stats_for,
         validate_fn=validate_fn,
         extra_lineage={
             "iceberg_snapshot_id": snapshot_id,

@@ -150,7 +150,8 @@ def apply_transform(transform: str, value: Any, width_hint: Any = None) -> Any:
         if isinstance(value, datetime.datetime):
             epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
             return int((value - epoch).total_seconds() // 3600)
-        return int(value) // 3600  # micros? caller passes hours-compatible int
+        # Iceberg timestamp literals are MICROSECONDS from epoch
+        return int(value) // 3_600_000_000
     raise ValueError(f"unsupported partition transform {transform!r}")
 
 
@@ -388,6 +389,13 @@ def _entry_partition(raw: Any) -> dict:
     return dict(raw) if isinstance(raw, dict) else {}
 
 
+def partition_key(partition: dict) -> str:
+    """Canonical string form of a partition dict — the checkpoint ledger's
+    resume key and the ``iceberg_partitions`` listing share this format, so
+    they can never drift apart."""
+    return "/".join(f"{k}={v}" for k, v in sorted(partition.items())) or "<unpartitioned>"
+
+
 def plan_files(
     table_path: str,
     snapshot_id: Optional[int] = None,
@@ -415,6 +423,18 @@ def plan_files(
         src = id_to_name.get(pf["source-id"])
         if src:
             spec_by_source.setdefault(src, []).append((pf["name"], pf["transform"]))
+
+    if isinstance(partition_filter, dict):
+        # a typo'd key would silently disable pruning AND return the whole
+        # table where the caller expected one partition — fail loudly instead
+        field_names = {pf["name"] for pf in tm.partition_spec()}
+        for key in partition_filter:
+            if key not in field_names and key not in spec_by_source:
+                raise ValueError(
+                    f"partition_filter key {key!r} is neither a partition "
+                    f"field ({sorted(field_names)}) nor a partition source "
+                    f"column ({sorted(spec_by_source)})"
+                )
 
     def keep(partition: dict) -> bool:
         if partition_filter is None:

@@ -103,10 +103,7 @@ def iceberg_partitions(spark: SparkSession, table: str) -> list[str]:
         return [str(r["partition"]) for r in rows]
     from data_validation_spark.io import iceberg_native as _ice
 
-    return [
-        "/".join(f"{k}={v}" for k, v in sorted(p.items())) or "<unpartitioned>"
-        for p in _ice.table_partitions(table)
-    ]
+    return [_ice.partition_key(p) for p in _ice.table_partitions(table)]
 
 
 def write_violations(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -407,6 +407,23 @@ def _best_rice_param(resid: list[int]) -> int:
     return best
 
 
+def _write_utf8_number(bw: BitWriter, v: int) -> None:
+    """FLAC's UTF-8-style coded number, full multi-byte forms (the decoder's
+    ``_read_utf8_number`` inverse). Frame numbers can exceed 0x800 on long
+    inputs, so the general encoding is required for correctness."""
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    # count continuation bytes needed: n bytes carry 6n bits + (6 - n) lead
+    n = 1
+    while v >= (1 << (6 * n + (6 - n))):
+        n += 1
+    lead = (0xFF << (7 - n)) & 0xFF  # n+1 leading 1-bits then a 0
+    bw.write(lead | (v >> (6 * n)), 8)
+    for i in range(n - 1, -1, -1):
+        bw.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
 # residual widths above this encode as raw escapes instead of Rice codes;
 # unreachable from int16 input through FIXED(≤2) (max residual width 20) —
 # tests lower it to pin the decoder's escape path
@@ -513,13 +530,7 @@ def encode(
             bw.write(channels - 1, 4)
         bw.write(0x4, 3)  # 16 bps
         bw.write(0, 1)
-        # UTF-8 coded frame number (fits 7 bits for our fixture sizes ≤127
-        # frames; two-byte form above that)
-        if fi < 0x80:
-            bw.write(fi, 8)
-        else:
-            bw.write(0xC0 | (fi >> 6), 8)
-            bw.write(0x80 | (fi & 0x3F), 8)
+        _write_utf8_number(bw, fi)
         if bs_follow is not None:
             bw.write(bs_follow, 16)
         bw.align()

@@ -181,8 +181,11 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
             samples, rate, bps = out
             if samples.ndim > 1:
                 samples = samples[:, 0]
-            if bps > 16:  # normalize deeper streams into the int16 contract
+            # normalize any stream depth onto the int16 full-scale contract
+            if bps > 16:
                 samples = samples >> (bps - 16)
+            elif bps < 16:
+                samples = samples << (16 - bps)
             return samples.astype(np.int16), rate
         if not _HAVE_SOUNDFILE:
             raise ValueError("corrupt flac payload")
@@ -390,12 +393,19 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str,
             for k, d in zip(ids, datas):
                 out["id"].append(k)
                 fmt = sniff_media(d) if d is not None else "UNKNOWN"
+                fullscale = 32768.0  # WAV here is 16-bit PCM
                 if fmt == "wav":
                     decoded = decode_wav(d)
                 elif fmt == "flac":
                     from data_validation_spark.stats import flaccodec
 
-                    decoded = flaccodec.decode(d)
+                    full = flaccodec.decode_full(d)
+                    if full is None:
+                        decoded = None
+                    else:
+                        arr_f, rate_f, bps_f = full
+                        decoded = (arr_f, rate_f)
+                        fullscale = float(1 << (bps_f - 1))  # native depth
                 else:
                     decoded = None
                 if decoded is None:
@@ -403,7 +413,7 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str,
                         out[f].append(None)
                     continue
                 arr, rate = decoded
-                x = arr[:, 0].astype(np.float64) / 32768.0
+                x = arr[:, 0].astype(np.float64) / fullscale
                 out["rms"].append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
                 out["peak"].append(float(np.abs(x).max()) if x.size else 0.0)
                 out["zcr"].append(

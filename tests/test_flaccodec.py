@@ -97,6 +97,9 @@ def test_escape_residual_roundtrip(monkeypatch):
     assert np.array_equal(y[:, 0], x.astype(np.int32))
 
 
+_BPS_CODE = {8: 0x1, 12: 0x2, 16: 0x4, 20: 0x5, 24: 0x6}
+
+
 def _stream_with_manual_subframe(write_subframe, block_size, bps=16, rate=8000):
     """Minimal single-frame FLAC stream around a caller-written subframe."""
     si = BitWriter()
@@ -118,7 +121,7 @@ def _stream_with_manual_subframe(write_subframe, block_size, bps=16, rate=8000):
     hdr.write(0x7, 4)  # 16-bit block size follows
     hdr.write(0, 4)  # rate from streaminfo
     hdr.write(0, 4)  # 1 channel
-    hdr.write(0x4, 3)  # 16 bps
+    hdr.write(_BPS_CODE[bps], 3)
     hdr.write(0, 1)
     hdr.write(0, 8)  # frame number 0
     hdr.write(block_size - 1, 16)
@@ -231,3 +234,62 @@ def test_audio_features_over_flac_column(spark):
     got = {r["id"]: r for r in audio_features(df2, "id", "audio").collect()}
     for k in ("rms", "peak", "zero_crossing_rate", "duration_s"):
         assert got["w"][k] == pytest.approx(got["f"][k], abs=0)
+
+
+def test_utf8_frame_number_boundaries():
+    from data_validation_spark.stats.flaccodec import (
+        _read_utf8_number,
+        _write_utf8_number,
+    )
+
+    for v in [0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, (1 << 31) - 1, (1 << 36) - 1]:
+        bw = BitWriter()
+        _write_utf8_number(bw, v)
+        assert _read_utf8_number(BitReader(bw.getvalue())) == v
+
+
+def test_long_stream_many_frames_lossless():
+    """Frame indices past 0x800 need the 3-byte UTF-8 coded-number form; a
+    long encode must still roundtrip (regression: 2-byte-only encoding
+    produced undecodable streams beyond 2048 frames)."""
+    n_frames = 0x800 + 3
+    x = (np.arange(n_frames * 256) % 251 - 125).astype(np.int16)
+    d = encode(x, 16000, block_size=256)
+    y, _ = decode(d)
+    assert np.array_equal(y[:, 0], x.astype(np.int32))
+
+
+def test_decode_audio_normalizes_non16bit_flac():
+    """12-bit streams scale UP to int16 full scale; features use the native
+    depth for [-1, 1] normalization (regression: raw /32768 was 16x off)."""
+    from data_validation_spark.stats.multimodal import decode_audio
+
+    n = 64
+    val = 1024  # half of 12-bit full scale
+
+    def write_subframe(bw):
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)
+        bw.write(val & 0xFFF, 12)
+
+    data = _stream_with_manual_subframe(write_subframe, n, bps=12)
+    y, rate, bps = decode_full(data)
+    assert (bps, y[0, 0]) == (12, val)
+    samples, _ = decode_audio(data)
+    assert samples[0] == val << 4  # int16 full-scale contract
+
+
+def test_audio_features_scale_by_native_depth(spark):
+    from data_validation_spark.stats.multimodal import audio_features
+
+    def write_subframe(bw):
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write(1024 & 0xFFF, 12)
+
+    d12 = _stream_with_manual_subframe(write_subframe, 64, bps=12)
+    df = spark.createDataFrame([("a", d12)], "id string, audio binary")
+    row = audio_features(df, "id", "audio").first()
+    assert row["peak"] == pytest.approx(1024 / 2048)  # NOT 1024/32768

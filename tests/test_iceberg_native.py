@@ -167,6 +167,8 @@ def test_partition_transforms():
     assert t("day", datetime.date(1970, 1, 2)) == 1
     assert t("year", datetime.date(2017, 11, 16)) == 47
     assert t("month", datetime.date(2017, 11, 16)) == (2017 - 1970) * 12 + 10
+    assert t("hour", 3_600_000_000) == 1  # int literal = MICROS from epoch
+    assert t("hour", datetime.datetime(1970, 1, 2, 5, 0, 0)) == 29
     assert t("void", 123) is None
     assert t("identity", None) is None
     with pytest.raises(ValueError):
@@ -224,6 +226,11 @@ def test_partition_pruning_is_file_level(spark, ice_table):
     assert df.count() == df.filter("day_id = 3").count() == 80
     # record counts in manifests match parquet footers
     assert sum(e.record_count for e in all_files) == 400
+
+
+def test_unknown_partition_filter_key_raises(ice_table):
+    with pytest.raises(ValueError, match="neither a partition field"):
+        ice.plan_files(ice_table, partition_filter={"day_idd": 3})
 
 
 def test_pruning_empty_plan_keeps_schema(spark, ice_table):
@@ -373,6 +380,14 @@ def test_iceberg_partitioned_validation_with_resume(spark, tmp_path):
     assert run_iceberg_partitioned(
         spark, root, schema, ledger_dir, snapshot_id=snap1
     ) == {}
+
+    # resume with NO explicit snapshot after the append: the ledger's
+    # recorded snapshot is ADOPTED, so nothing silently re-validates (or
+    # worse, silently skips changed partitions of the new snapshot)
+    assert run_iceberg_partitioned(spark, root, schema, ledger_dir) == {}
+    snap2 = ice.load_table(root).current_snapshot()["snapshot-id"]
+    with pytest.raises(ValueError, match="fresh ledger"):
+        run_iceberg_partitioned(spark, root, schema, ledger_dir, snapshot_id=snap2)
 
     # validating the NEW current snapshot re-runs every partition (the
     # appended files land in each fmt partition) into a fresh ledger

@@ -83,6 +83,7 @@ def main() -> int:
             schema or default_image_schema(),
             args.ledger,
             snapshot_id=args.snapshot_id,
+            prev_stats_for=(lambda _part: prev) if prev is not None else None,
             check_pixels=args.check_pixels,
             pixel_sample_rate=args.pixel_sample,
             options=options,
@@ -115,6 +116,7 @@ def main() -> int:
             read_part,
             schema or default_image_schema(),
             args.ledger or "./_dvs_ledger",
+            prev_stats_for=(lambda _part: prev) if prev is not None else None,
             check_pixels=args.check_pixels,
             pixel_sample_rate=args.pixel_sample,
             options=options,
