@@ -9,8 +9,10 @@ The container has no PIL/cv2, so:
   encoder/decoder (``jpegcodec.py``: pure-numpy DCT + Huffman) used for
   foreign JPEG bytes when PIL is absent. Dimension parsing is a real SOF
   scan either way.
-* **GIF**: GIF89a header writer + real logical-screen dimension parser;
-  pixel decode of foreign GIFs stubbed (no LZW; PIL seam covers it).
+* **GIF**: real LZW codec both directions — single-frame decode, FULL
+  animation decode (``decode_gif_frames``: graphic-control transparency +
+  disposal none/keep/background/previous compositing) and a multi-frame
+  encoder (``encode_gif_animation``) for fixtures.
 
 Format sniffing uses the same magic-byte signatures as the reference
 (``tensorflow_data_validation/statistics/generators/image_stats_generator.py:56-62``):
@@ -522,6 +524,168 @@ def gif_dimensions(data: bytes) -> Optional[tuple[int, int]]:
         w, h = struct.unpack("<HH", data[6:10])
         return w, h
     return None
+
+
+# ------------------------------------------------------- GIF animation -----
+def decode_gif_frames(
+    data: bytes, max_frames: Optional[int] = None
+) -> Optional[list[np.ndarray]]:
+    """Decode ALL frames of an animated GIF with full compositing semantics
+    (GIF89a spec): graphic-control transparency, and disposal methods
+    none/keep (0/1), restore-to-background (2), restore-to-previous (3).
+    Returns the rendered canvas after each frame, or None if undecodable."""
+    try:
+        if data[:6] not in GIF_MAGICS:
+            return None
+        w, h = struct.unpack("<HH", data[6:10])
+        packed = data[10]
+        bg_index = data[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            sz = 3 * (2 << (packed & 0x07))
+            gct = np.frombuffer(data[pos : pos + sz], dtype=np.uint8).reshape(-1, 3)
+            pos += sz
+        bg_rgb = (
+            gct[bg_index] if gct is not None and bg_index < len(gct)
+            else np.zeros(3, np.uint8)
+        )
+        canvas = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
+        frames: list[np.ndarray] = []
+        disposal = 0
+        transparent: Optional[int] = None
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x21:  # extension
+                label = data[pos + 1]
+                if label == 0xF9:  # graphic control
+                    gpacked = data[pos + 3]
+                    disposal = (gpacked >> 2) & 0x7
+                    transparent = data[pos + 6] if gpacked & 1 else None
+                pos += 2
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                fx, fy, fw, fh = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+                ipacked = data[pos + 9]
+                pos += 10
+                palette = gct
+                if ipacked & 0x80:
+                    sz = 3 * (2 << (ipacked & 0x07))
+                    palette = np.frombuffer(
+                        data[pos : pos + sz], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    pos += sz
+                if palette is None:
+                    return None
+                min_code_size = data[pos]
+                pos += 1
+                payload = bytearray()
+                while pos < len(data) and data[pos] != 0:
+                    blen = data[pos]
+                    payload += data[pos + 1 : pos + 1 + blen]
+                    pos += 1 + blen
+                pos += 1  # block terminator
+                idx = _lzw_decode(min_code_size, bytes(payload), fw * fh)
+                if idx is None:
+                    return None
+                idx = idx.reshape(fh, fw)
+                if ipacked & 0x40:
+                    idx = _deinterlace(idx)
+                prev = canvas.copy() if disposal == 3 else None
+                region = canvas[fy : fy + fh, fx : fx + fw]
+                rgb = palette[np.minimum(idx, len(palette) - 1)]
+                if transparent is not None:
+                    mask = idx != transparent
+                    region[mask] = rgb[mask]
+                else:
+                    region[:] = rgb
+                frames.append(canvas.copy())
+                if max_frames is not None and len(frames) >= max_frames:
+                    return frames
+                if disposal == 2:
+                    canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
+                elif disposal == 3 and prev is not None:
+                    canvas = prev
+                disposal = 0
+                transparent = None
+            elif block == 0x3B:  # trailer
+                break
+            else:
+                return None
+        return frames or None
+    except Exception:
+        return None
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    disposals: Optional[list[int]] = None,
+    regions: Optional[list[Optional[tuple[int, int, int, int]]]] = None,
+    transparent_color: Optional[tuple[int, int, int]] = None,
+    delay_cs: int = 10,
+    loop: bool = True,
+) -> bytes:
+    """Real multi-frame GIF89a encoder (fixture-grade): one global palette
+    from the union of frame colors (≤255 + optional transparent slot),
+    per-frame graphic-control extensions (disposal, delay, transparency),
+    optional sub-rectangle frames via ``regions`` (fx, fy, fw, fh) slices of
+    each full-canvas array, and a NETSCAPE loop block."""
+    h, w, _ = frames[0].shape
+    stack = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, _ = np.unique(stack, axis=0, return_inverse=True)
+    limit = 255 if transparent_color is not None else 256
+    if len(palette) > limit:
+        raise ValueError(f"{len(palette)} colors > {limit}; quantize first")
+    lut = {tuple(c): i for i, c in enumerate(palette)}
+    tindex = None
+    if transparent_color is not None:
+        tindex = len(palette)
+        palette = np.vstack([palette, np.zeros((1, 3), np.uint8)])
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    padded = np.zeros((1 << bits, 3), dtype=np.uint8)
+    padded[: len(palette)] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += padded.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code_size = max(bits, 2)
+    for i, frame in enumerate(frames):
+        disposal = (disposals or [])[i] if disposals and i < len(disposals) else 1
+        gpacked = (disposal & 0x7) << 2
+        if tindex is not None:
+            gpacked |= 1
+        out += bytes([0x21, 0xF9, 4, gpacked])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([tindex or 0, 0])
+        reg = (regions or [])[i] if regions and i < len(regions) else None
+        fx, fy, fw, fh = reg if reg else (0, 0, w, h)
+        sub = frame[fy : fy + fh, fx : fx + fw]
+        idx = np.empty((fh, fw), dtype=np.uint16)
+        flat = sub.reshape(-1, 3)
+        if transparent_color is not None:
+            tc = np.array(transparent_color, np.uint8)
+            is_t = np.all(flat == tc, axis=1)
+        else:
+            is_t = np.zeros(len(flat), bool)
+        codes = np.array(
+            [tindex if t else lut[tuple(px)] for px, t in zip(flat, is_t)],
+            dtype=np.uint16,
+        )
+        idx = codes.reshape(fh, fw)
+        out += b"\x2c" + struct.pack("<HHHH", fx, fy, fw, fh) + bytes([0])
+        body = _lzw_encode(min_code_size, idx.ravel())
+        out += bytes([min_code_size])
+        for j in range(0, len(body), 255):
+            part = body[j : j + 255]
+            out += bytes([len(part)]) + part
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # -------------------------------------------------------------- dispatch ----
