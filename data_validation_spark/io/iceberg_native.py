@@ -510,11 +510,18 @@ def read_table(
     for e in entries:
         if e.file_format != "PARQUET":
             raise NotImplementedError(f"native reader supports parquet, got {e.file_format}")
+    tm = load_table(table_path)
+    schema = tm.schema()
     if not entries:
-        tm = load_table(table_path)
-        ddl = _schema_to_ddl(tm.schema())
-        return spark.createDataFrame([], ddl)
-    df = spark.read.parquet(*[e.path for e in entries])
+        return spark.createDataFrame([], _schema_to_ddl(schema))
+    paths = [e.path for e in entries]
+    if all(isinstance(f["type"], str) for f in schema.get("fields", [])):
+        # Read under the table's DECLARED schema (Iceberg semantics): files
+        # written before an add-column evolution lack the new column and
+        # null-fill; types come from metadata, not file-by-file inference.
+        df = spark.read.schema(_schema_to_ddl(schema)).parquet(*paths)
+    else:  # nested types: fall back to parquet's own schema
+        df = spark.read.parquet(*paths)
     return df.select(*columns) if columns else df
 
 
@@ -703,12 +710,10 @@ def _write_snapshot(spark, df, table_path: str, tm: Optional[TableMetadata], par
             "snapshots": [],
             "snapshot-log": [],
         }
-        version = 1
     else:
         meta = dict(tm.meta)
         schema = tm.schema()
         spec = tm.partition_spec()
-        version = len(meta.get("snapshot-log", [])) + 1
 
     snapshot_id = len(meta["snapshots"]) + 1
     pfields = [(pf["name"], pf) for pf in spec]
@@ -823,14 +828,50 @@ def _write_snapshot(spark, df, table_path: str, tm: Optional[TableMetadata], par
     ]
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = now
+    _commit_metadata(mdir, meta)
+    return snapshot_id
 
+
+def _next_version(mdir: str) -> int:
+    versions = []
+    for p in glob.glob(os.path.join(mdir, "v*.metadata.json")):
+        stem = os.path.basename(p)[1:].split(".", 1)[0]
+        if stem.isdigit():
+            versions.append(int(stem))
+    return max(versions, default=0) + 1
+
+
+def _commit_metadata(mdir: str, meta: dict) -> int:
+    version = _next_version(mdir)
     tmp = os.path.join(mdir, f".v{version}.metadata.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
     os.replace(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(version))
-    return snapshot_id
+    return version
+
+
+def add_column(table_path: str, name: str, iceberg_type: str, doc: str = "") -> int:
+    """Schema evolution: add an optional column to the table's declared
+    schema (new field id from last-column-id). Existing data files simply
+    lack the column; ``read_table`` reads under the declared schema, so old
+    rows surface it as NULL — the spec's add-column semantics."""
+    tm = load_table(table_path)
+    meta = dict(tm.meta)
+    schema = json.loads(json.dumps(tm.schema()))
+    if any(f["name"] == name for f in schema["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    new_id = int(meta.get("last-column-id", len(schema["fields"]))) + 1
+    field = {"id": new_id, "name": name, "required": False, "type": iceberg_type}
+    if doc:
+        field["doc"] = doc
+    schema["fields"].append(field)
+    meta["last-column-id"] = new_id
+    meta["schema"] = schema
+    meta["schemas"] = [schema]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    return _commit_metadata(os.path.join(table_path, "metadata"), meta)
 
 
 def write_table(spark, df, table_path: str, partition_by: Optional[list] = None) -> int:

@@ -399,3 +399,30 @@ def test_iceberg_partitioned_validation_with_resume(spark, tmp_path):
         row["lineage"]["iceberg_snapshot_id"] == snap2
         for row in ledger_rows.values()
     )
+
+
+def test_add_column_schema_evolution(spark, tmp_path):
+    """Spec add-column semantics: after evolving the schema, files written
+    BEFORE the evolution surface the new column as NULL (the reader uses
+    the declared schema, not per-file inference)."""
+    root = str(tmp_path / "evo_tbl")
+    df = spark.range(0, 30).selectExpr("id", "concat('c', id) as caption")
+    ice.write_table(spark, df, root)
+    v = ice.add_column(root, "quality_score", "double")
+    assert v >= 2  # new metadata version committed
+    back = ice.read_table(spark, root)
+    assert "quality_score" in back.columns
+    assert back.count() == 30
+    assert back.filter("quality_score IS NULL").count() == 30
+    assert dict(back.dtypes)["quality_score"] == "double"
+    with pytest.raises(ValueError, match="already exists"):
+        ice.add_column(root, "caption", "string")
+    # appends after the evolution carry the column; old files still null
+    df2 = spark.range(30, 40).selectExpr(
+        "id", "concat('c', id) as caption", "cast(id as double) / 10 as quality_score"
+    )
+    ice.append_table(spark, df2, root)
+    back2 = ice.read_table(spark, root)
+    assert back2.count() == 40
+    assert back2.filter("quality_score IS NULL").count() == 30
+    assert back2.filter("quality_score IS NOT NULL").count() == 10
