@@ -90,21 +90,37 @@ def main():
     # cal >> CAL_NOMINAL marks a throttled window, so a failing paired ratio
     # can be attributed to the host rather than the engine.
     sys.path.insert(0, REPO)
-    from bench import CAL_NOMINAL, calibrate
+    from bench import CAL_NOMINAL, calibrate, calibrate_mp
+
+    def capacity_probe() -> float:
+        """Effective aggregate parallelism: throughput gain of 32 equal-work
+        processes over 2, ×2 (ideal = 32 on an uncapped 32-core box). The
+        single-thread probe misses CAPACITY capping — windows where per-core
+        speed is high but the host caps total CPU (observed: 2-core halves at
+        record speed while 8-core halves run 40% slow, probes 'clean'). A
+        reading ≪ 32 marks the window as capacity-capped in-artifact."""
+        calibrate_mp(2)  # warm the pool path
+        w2 = min(calibrate_mp(2), calibrate_mp(2))
+        w32 = min(calibrate_mp(32), calibrate_mp(32))
+        return round(2 * (32 / w32) / (2 / w2), 1)
 
     rounds = []
     r_low = r_high = None
     for i in range(runs):
         c0 = calibrate()
+        cap0 = capacity_probe()
         a = run_level(low, path, 1)
         b = run_level(high, path, 1)
         c1 = calibrate()
+        cap1 = capacity_probe()
         eff_i = (b["images_per_sec"] / a["images_per_sec"]) / (high / low)
         rounds.append({"round": i, "low_sec": a["sec"], "high_sec": b["sec"],
                        "paired_efficiency": round(eff_i, 3),
                        "calibration": [round(c0, 3), round(c1, 3)],
                        "throttle_factor": round(
-                           max(c0, c1) / CAL_NOMINAL, 3)})
+                           max(c0, c1) / CAL_NOMINAL, 3),
+                       "effective_cores_32": [cap0, cap1],
+                       "capacity_capped": min(cap0, cap1) < 20.0})
         print(json.dumps(rounds[-1]))
         if r_low is None or a["sec"] < r_low["sec"]:
             r_low = a
