@@ -91,12 +91,68 @@ def encode_png(rgb: np.ndarray) -> bytes:
     return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> Optional[np.ndarray]:
+    """Reverse PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth).
+
+    Sub/Average/Paeth carry a serial dependency along the row, so rows
+    needing them fall back to a per-pixel loop; filter 0/2 rows (the common
+    output of fast encoders) stay vectorized."""
+    stride = w * bpp + 1
+    if len(raw) < stride * h:
+        return None
+    lines = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+    ftypes = lines[:, 0]
+    cur = lines[:, 1:].astype(np.int32)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    for y in range(h):
+        f = ftypes[y]
+        row = cur[y]
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * bpp, np.int32)
+        if f == 0:
+            out[y] = row
+        elif f == 2:  # Up
+            out[y] = (row + prev) & 0xFF
+        elif f == 1:  # Sub
+            o = row.copy()
+            for x in range(bpp, w * bpp):
+                o[x] = (o[x] + o[x - bpp]) & 0xFF
+            out[y] = o
+        elif f == 3:  # Average
+            o = row.copy()
+            for x in range(w * bpp):
+                a = o[x - bpp] if x >= bpp else 0
+                o[x] = (o[x] + ((a + prev[x]) >> 1)) & 0xFF
+            out[y] = o
+        elif f == 4:  # Paeth
+            o = row.copy()
+            for x in range(w * bpp):
+                a = int(o[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                o[x] = (o[x] + pred) & 0xFF
+            out[y] = o
+        else:
+            return None
+    return out
+
+
 def decode_png(data: bytes) -> Optional[np.ndarray]:
-    """PNG bytes → RGB8 array; supports what encode_png emits (filter 0/paeth-free)."""
+    """PNG bytes → RGB8 array. Foreign-capable: 8-bit depth in grayscale,
+    gray+alpha, RGB, RGBA, and palette color types, scanline filters 0-4
+    (Sub/Up/Average/Paeth). Interlaced (Adam7) and 16-bit streams return
+    None (PIL seam)."""
     if data[:8] != PNG_MAGIC:
         return None
     pos = 8
     w = h = None
+    ctype = interlace = 0
+    plte = None
     idat = b""
     try:
         while pos + 8 <= len(data):
@@ -104,9 +160,13 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
             tag = data[pos + 4 : pos + 8]
             body = data[pos + 8 : pos + 8 + length]
             if tag == b"IHDR":
-                w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-                if depth != 8 or ctype != 2:
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body[:13]
+                )
+                if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
                     return None
+            elif tag == b"PLTE":
+                plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -114,14 +174,25 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
             pos += 12 + length
         if w is None or not idat:
             return None
-        raw = zlib.decompress(idat)
-        stride = w * 3 + 1
-        if len(raw) < stride * h:
+        bpp = _PNG_CHANNELS[ctype]
+        px = _png_unfilter(zlib.decompress(idat), w, h, bpp)
+        if px is None:
             return None
-        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        if (arr[:, 0] != 0).any():  # only filter 0 supported
-            return None
-        return arr[:, 1:].reshape(h, w, 3).copy()
+        px = px.reshape(h, w, bpp)
+        if ctype == 2:  # RGB
+            return px.copy()
+        if ctype == 6:  # RGBA → drop alpha
+            return px[:, :, :3].copy()
+        if ctype == 0:  # grayscale
+            return np.repeat(px, 3, axis=2)
+        if ctype == 4:  # gray + alpha
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        if ctype == 3:  # palette
+            if plte is None:
+                return None
+            idx = np.minimum(px[:, :, 0], len(plte) - 1)
+            return plte[idx]
+        return None
     except Exception:
         return None
 
