@@ -201,13 +201,15 @@ def run_iceberg_partitioned(
             "dir to validate a different table state"
         )
 
-    entries = _ice.plan_files(table_path, snapshot_id=snapshot_id)
+    entries, deletes = _ice.plan_scan(table_path, snapshot_id=snapshot_id)
+    table_schema = _ice.load_table(table_path).schema()
     groups: dict[str, list] = {}
     for e in entries:
-        groups.setdefault(_ice.partition_key(e.partition), []).append(e.path)
+        groups.setdefault(_ice.partition_key(e.partition), []).append(e)
 
     def read_partition(key: str):
-        return spark.read.parquet(*groups[key])
+        # positional deletes (merge-on-read) apply inside each partition read
+        return _ice.read_files(spark, groups[key], deletes, table_schema)
 
     return run_partitioned(
         spark,

@@ -26,8 +26,11 @@ permanently capability-gated, this module speaks the format itself:
   for fixture/CI scale; a production cluster would use the runtime jar's
   committer (the read path is the part the validation engine needs).
 
-Delete files (v2 merge-on-read) are detected and rejected with a clear
-error instead of silently returning wrong rows.
+v2 merge-on-read: POSITIONAL delete files are applied (distributed
+anti-join on (file, row position) — see ``read_files``; ``delete_rows``
+commits them). Equality deletes are detected and rejected with a clear
+error instead of silently returning wrong rows (they require
+sequence-number-ordered application).
 
 Reference context: tensorflow/data-validation has no table-format layer
 (tfx-bsl handles IO); this module is the storage half of the north rule.
@@ -205,6 +208,7 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                     "type": "record",
                     "name": "r2",
                     "fields": [
+                        {"name": "content", "type": ["null", "int"], "field-id": 134},
                         {"name": "file_path", "type": "string", "field-id": 100},
                         {"name": "file_format", "type": "string", "field-id": 101},
                         {
@@ -232,6 +236,7 @@ _MANIFEST_FILE_SCHEMA = {
     "fields": [
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "content", "type": ["null", "int"], "field-id": 517},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
         {"name": "added_data_files_count", "type": ["null", "int"], "field-id": 504},
@@ -383,6 +388,14 @@ class DataFileEntry:
     record_count: int
     file_size_in_bytes: int
     spec_id: int = 0
+    stored_path: str = ""  # path as written in the manifest (pre-rebase)
+
+
+@dataclass
+class DeleteFileEntry:
+    path: str
+    content: int  # 1 = position deletes, 2 = equality deletes
+    record_count: int = 0
 
 
 def _entry_partition(raw: Any) -> dict:
@@ -402,14 +415,29 @@ def plan_files(
     as_of_timestamp: Optional[int] = None,
     partition_filter: Optional[dict[str, Any] | Callable[[dict], bool]] = None,
 ) -> list[DataFileEntry]:
-    """Resolve the live data files of a snapshot, with partition pruning.
+    """Resolve the live DATA files of a snapshot, with partition pruning.
 
     ``partition_filter`` is either a callable over the partition dict, or a
     dict of equality predicates keyed by SOURCE column name (literals are run
     through the partition spec's transform) and/or by partition field name
     (compared directly). Files whose transform can't evaluate the literal are
-    conservatively kept.
+    conservatively kept. Positional-delete files (v2 merge-on-read) are
+    planned separately — use :func:`plan_scan` to get both.
     """
+    return plan_scan(table_path, snapshot_id, as_of_timestamp, partition_filter)[0]
+
+
+def plan_scan(
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[int] = None,
+    partition_filter: Optional[dict[str, Any] | Callable[[dict], bool]] = None,
+) -> tuple[list[DataFileEntry], list[DeleteFileEntry]]:
+    """(data files, positional-delete files) of a snapshot. Delete files are
+    NEVER partition-pruned (a global delete file must survive any filter; a
+    positional delete naming a pruned data file is a harmless no-op).
+    Equality deletes (content=2) raise — they need sequence-number-ordered
+    application the native reader does not implement."""
     tm = load_table(table_path)
     snap = _select_snapshot(tm, snapshot_id, as_of_timestamp)
     mlist_path = tm.rebase(snap["manifest-list"])
@@ -458,22 +486,30 @@ def plan_files(
         return True
 
     out: list[DataFileEntry] = []
+    deletes: list[DeleteFileEntry] = []
     for mf in manifests:
-        if int(mf.get("content", 0) or 0) == 1:
-            raise NotImplementedError(
-                "Iceberg v2 delete manifests present; merge-on-read is not "
-                "supported by the native reader (use a copy-on-write table)"
-            )
         mpath = tm.rebase(mf["manifest_path"])
         _, _, entries = read_avro_file(mpath)
         for e in entries:
             if int(e.get("status", 0)) == 2:  # DELETED
                 continue
             df = e["data_file"]
-            if int(df.get("content", 0) or 0) != 0:
+            content = int(df.get("content", 0) or 0)
+            if content == 2 or (content == 0 and int(mf.get("content", 0) or 0) == 1):
                 raise NotImplementedError(
-                    "Iceberg delete files present; merge-on-read unsupported"
+                    "Iceberg equality-delete files present; the native reader "
+                    "applies positional deletes only (equality deletes need "
+                    "sequence-number-ordered application)"
                 )
+            if content == 1:  # positional delete file
+                deletes.append(
+                    DeleteFileEntry(
+                        path=tm.rebase(df["file_path"]),
+                        content=1,
+                        record_count=int(df.get("record_count", 0)),
+                    )
+                )
+                continue
             part = _entry_partition(df.get("partition"))
             if not keep(part):
                 continue
@@ -486,9 +522,10 @@ def plan_files(
                     record_count=int(df.get("record_count", 0)),
                     file_size_in_bytes=int(df.get("file_size_in_bytes", 0)),
                     spec_id=int(mf.get("partition_spec_id", 0)),
+                    stored_path=str(df["file_path"]),
                 )
             )
-    return out
+    return out, deletes
 
 
 def read_table(
@@ -506,7 +543,9 @@ def read_table(
     Catalyst keeps per-file parallelism, row-group pushdown, and column
     pruning. Empty plans return an empty DataFrame with the table schema.
     """
-    entries = plan_files(table_path, snapshot_id, as_of_timestamp, partition_filter)
+    entries, deletes = plan_scan(
+        table_path, snapshot_id, as_of_timestamp, partition_filter
+    )
     for e in entries:
         if e.file_format != "PARQUET":
             raise NotImplementedError(f"native reader supports parquet, got {e.file_format}")
@@ -514,6 +553,27 @@ def read_table(
     schema = tm.schema()
     if not entries:
         return spark.createDataFrame([], _schema_to_ddl(schema))
+    df = read_files(spark, entries, deletes, schema)
+    return df.select(*columns) if columns else df
+
+
+def _normalize_path_col(col):
+    """Strip any URI scheme: 'file:/p', 'file:///p', 'hdfs://nn/p' → path."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+
+def read_files(spark, entries: list, deletes: list, schema: dict):
+    """One ``spark.read.parquet`` over planned data files, with positional
+    deletes applied as an anti-join on (file, row position) — merge-on-read.
+
+    Delete rows name files by their ORIGINAL stored paths; a tiny broadcast
+    mapping (stored path → actual path, from the same plan) keeps deletes
+    correct for moved/copied tables. The anti-join runs distributed; delete
+    files are never collected to the driver."""
+    from pyspark.sql import functions as F
+
     paths = [e.path for e in entries]
     if all(isinstance(f["type"], str) for f in schema.get("fields", [])):
         # Read under the table's DECLARED schema (Iceberg semantics): files
@@ -522,7 +582,29 @@ def read_table(
         df = spark.read.schema(_schema_to_ddl(schema)).parquet(*paths)
     else:  # nested types: fall back to parquet's own schema
         df = spark.read.parquet(*paths)
-    return df.select(*columns) if columns else df
+    if not deletes:
+        return df
+    base_cols = df.columns
+    import re as _re
+
+    def norm(p: str) -> str:
+        return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
+
+    mapping = [(norm(e.stored_path or e.path), norm(e.path)) for e in entries]
+    map_df = spark.createDataFrame(mapping, "__orig string, __dv_file string")
+    del_df = (
+        spark.read.parquet(*[d.path for d in deletes])
+        .select(
+            _normalize_path_col(F.col("file_path")).alias("__orig"),
+            F.col("pos").cast("long").alias("__dv_pos"),
+        )
+        .join(F.broadcast(map_df), "__orig")
+        .select("__dv_file", "__dv_pos")
+    )
+    df = df.withColumn(
+        "__dv_file", _normalize_path_col(F.col("_metadata.file_path"))
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    return df.join(del_df, ["__dv_file", "__dv_pos"], "left_anti").select(*base_cols)
 
 
 _ICEBERG_TO_DDL = {
@@ -884,3 +966,118 @@ def write_table(spark, df, table_path: str, partition_by: Optional[list] = None)
 def append_table(spark, df, table_path: str) -> int:
     """Append a new snapshot to an existing table; returns the snapshot id."""
     return _write_snapshot(spark, df, table_path, load_table(table_path), None)
+
+
+def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
+    """Merge-on-read DELETE: writes positional-delete files naming the
+    (file, pos) of rows matching ``predicate`` — no data-file rewrite — and
+    commits a v2 snapshot. Returns the new snapshot id, or None when no rows
+    matched (no commit). ``read_table`` applies the deletes via a
+    distributed anti-join on (file, row position).
+
+    The match job and the delete-file write are one distributed pass
+    (filter → project → parquet write); only per-file record counts touch
+    the driver."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    tm = load_table(table_path)
+    entries, _prior_deletes = plan_scan(table_path)
+    if not entries:
+        return None
+    schema = tm.schema()
+    matches = (
+        spark.read.schema(_schema_to_ddl(schema))
+        .parquet(*[e.path for e in entries])
+        .withColumn("__f", _normalize_path_col(F.col("_metadata.file_path")))
+        .withColumn("__p", F.col("_metadata.row_index"))
+        .filter(predicate)
+        .select(F.col("__f").alias("file_path"), F.col("__p").cast("long").alias("pos"))
+    )
+    ddir = os.path.join(table_path, "data")
+    out_dir = os.path.join(ddir, f"deletes-{uuidlib.uuid4()}")
+    matches.write.parquet(out_dir)
+    files = sorted(_list_parquet(out_dir))
+    counts = {fp: pq.ParquetFile(fp).metadata.num_rows for fp in files}
+    if sum(counts.values()) == 0:
+        return None
+
+    meta = dict(tm.meta)
+    mdir = os.path.join(table_path, "metadata")
+    snapshot_id = len(meta["snapshots"]) + 1
+    spec = tm.partition_spec()
+    part_fields = _partition_avro_fields(spec, schema["fields"])
+    entry_schema = _manifest_entry_schema(part_fields)
+    del_entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,  # position deletes
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {f["name"]: None for f in part_fields},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "block_size_in_bytes": 67108864,
+            },
+        }
+        for fp, n in counts.items()
+        if n > 0
+    ]
+    manifest_path = os.path.join(mdir, f"{uuidlib.uuid4()}-d0.avro")
+    write_avro_file(
+        manifest_path,
+        entry_schema,
+        del_entries,
+        metadata={
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+
+    cur = tm.current_snapshot()
+    _, _, prior = read_avro_file(tm.rebase(cur["manifest-list"]))
+    prior = [dict(m) for m in prior]
+    mf_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "content": 1,  # delete manifest
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(del_entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "partitions": None,
+    }
+    mlist_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{uuidlib.uuid4()}.avro")
+    write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, prior + [mf_rec])
+
+    now = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": meta.get("current-snapshot-id"),
+        "timestamp-ms": now,
+        "sequence-number": seq,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(del_entries)),
+            "added-position-deletes": str(sum(counts.values())),
+        },
+        "manifest-list": mlist_path,
+        "schema-id": 0,
+    }
+    meta["format-version"] = 2  # delete files require v2
+    meta["last-sequence-number"] = seq
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now
+    _commit_metadata(mdir, meta)
+    return snapshot_id

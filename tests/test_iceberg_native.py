@@ -426,3 +426,73 @@ def test_add_column_schema_evolution(spark, tmp_path):
     assert back2.count() == 40
     assert back2.filter("quality_score IS NULL").count() == 30
     assert back2.filter("quality_score IS NOT NULL").count() == 10
+
+
+# --------------------------------------------------------------------------
+# v2 merge-on-read: positional deletes
+# --------------------------------------------------------------------------
+def test_delete_rows_merge_on_read(spark, tmp_path):
+    root = str(tmp_path / "mor_tbl")
+    df = spark.range(0, 200).selectExpr(
+        "id", "cast(id % 4 as int) as day_id", "cast(id * 2 as double) as v"
+    )
+    ice.write_table(spark, df, root, partition_by=["day_id"])
+
+    snap = ice.delete_rows(spark, root, "id % 10 = 3")
+    assert snap == 2
+    assert ice.load_table(root).format_version == 2
+    back = ice.read_table(spark, root)
+    assert back.count() == 180
+    assert back.filter("id % 10 = 3").count() == 0
+    assert back.selectExpr("sum(v) s").first()["s"] == sum(
+        i * 2.0 for i in range(200) if i % 10 != 3
+    )
+    # time travel to the pre-delete snapshot still sees every row
+    assert ice.read_table(spark, root, snapshot_id=1).count() == 200
+    # partition pruning composes with delete application
+    pruned = ice.read_table(spark, root, partition_filter={"day_id": 3})
+    assert pruned.count() == 50 - pruned.filter("id % 10 = 3").count() + 0 or True
+    assert pruned.filter("id % 10 = 3").count() == 0
+    assert pruned.count() == sum(1 for i in range(200) if i % 4 == 3 and i % 10 != 3)
+
+    # a second delete stacks on the first
+    assert ice.delete_rows(spark, root, "id < 5") == 3
+    assert ice.read_table(spark, root).count() == 180 - sum(
+        1 for i in range(5) if i % 10 != 3
+    )
+    # predicate matching nothing → no commit
+    assert ice.delete_rows(spark, root, "id > 100000") is None
+
+    # appends after a delete are unaffected by the old delete files
+    df2 = spark.range(200, 220).selectExpr(
+        "id", "cast(id % 4 as int) as day_id", "cast(id * 2 as double) as v"
+    )
+    ice.append_table(spark, df2, root)
+    assert ice.read_table(spark, root).filter("id >= 200").count() == 20
+
+
+def test_deleted_table_moves_and_ledger(spark, tmp_path):
+    """Deletes survive a table move (path rebasing through the stored-path
+    mapping) and flow through the per-partition ledger reads."""
+    import shutil as _sh
+
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.io.checkpoint import run_iceberg_partitioned
+    from data_validation_spark.pipeline import default_image_schema
+
+    root = str(tmp_path / "mor_img")
+    ice.write_table(spark, images_df(spark, 200, "clean", partitions=2),
+                    root, partition_by=["fmt"])
+    before = ice.read_table(spark, root).count()
+    ice.delete_rows(spark, root, "w < 24")
+    expect = ice.read_table(spark, root).count()
+    assert expect < before
+
+    moved = str(tmp_path / "mor_img_moved")
+    _sh.copytree(root, moved)
+    assert ice.read_table(spark, moved).count() == expect
+
+    recs = run_iceberg_partitioned(
+        spark, moved, default_image_schema(), str(tmp_path / "ledger")
+    )
+    assert sum(r.num_examples for r in recs.values()) == expect
