@@ -26,11 +26,13 @@ permanently capability-gated, this module speaks the format itself:
   for fixture/CI scale; a production cluster would use the runtime jar's
   committer (the read path is the part the validation engine needs).
 
-v2 merge-on-read: POSITIONAL delete files are applied (distributed
-anti-join on (file, row position) — see ``read_files``; ``delete_rows``
-commits them). Equality deletes are detected and rejected with a clear
-error instead of silently returning wrong rows (they require
-sequence-number-ordered application).
+v2 merge-on-read, both delete flavors, fully distributed (``read_files``):
+POSITIONAL deletes anti-join on (file, row position) via parquet
+``_metadata``; EQUALITY deletes anti-join on the key columns with the
+spec's sequence-number ordering (a broadcast file→sequence map attaches
+each data row's sequence, and only deletes with a strictly greater
+sequence apply — rows appended after the delete survive). ``delete_rows``
+and ``delete_rows_equality`` commit them without rewriting data.
 
 Reference context: tensorflow/data-validation has no table-format layer
 (tfx-bsl handles IO); this module is the storage half of the north rule.
@@ -209,6 +211,8 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                     "name": "r2",
                     "fields": [
                         {"name": "content", "type": ["null", "int"], "field-id": 134},
+                        {"name": "equality_ids", "field-id": 135,
+                         "type": ["null", {"type": "array", "items": "int"}]},
                         {"name": "file_path", "type": "string", "field-id": 100},
                         {"name": "file_format", "type": "string", "field-id": 101},
                         {
@@ -237,6 +241,7 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "content", "type": ["null", "int"], "field-id": 517},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 515},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
         {"name": "added_data_files_count", "type": ["null", "int"], "field-id": 504},
@@ -389,6 +394,7 @@ class DataFileEntry:
     file_size_in_bytes: int
     spec_id: int = 0
     stored_path: str = ""  # path as written in the manifest (pre-rebase)
+    data_seq: int = 0  # data sequence number (v1 tables: 0)
 
 
 @dataclass
@@ -396,6 +402,8 @@ class DeleteFileEntry:
     path: str
     content: int  # 1 = position deletes, 2 = equality deletes
     record_count: int = 0
+    seq: int = 0  # delete sequence number (applies to data_seq < seq)
+    equality_ids: tuple = ()
 
 
 def _entry_partition(raw: Any) -> dict:
@@ -490,23 +498,24 @@ def plan_scan(
     for mf in manifests:
         mpath = tm.rebase(mf["manifest_path"])
         _, _, entries = read_avro_file(mpath)
+        mseq = int(mf.get("sequence_number") or 0)
         for e in entries:
             if int(e.get("status", 0)) == 2:  # DELETED
                 continue
             df = e["data_file"]
             content = int(df.get("content", 0) or 0)
-            if content == 2 or (content == 0 and int(mf.get("content", 0) or 0) == 1):
-                raise NotImplementedError(
-                    "Iceberg equality-delete files present; the native reader "
-                    "applies positional deletes only (equality deletes need "
-                    "sequence-number-ordered application)"
+            if content == 0 and int(mf.get("content", 0) or 0) == 1:
+                raise ValueError(
+                    "malformed table: delete manifest contains a data file"
                 )
-            if content == 1:  # positional delete file
+            if content in (1, 2):  # positional / equality delete file
                 deletes.append(
                     DeleteFileEntry(
                         path=tm.rebase(df["file_path"]),
-                        content=1,
+                        content=content,
                         record_count=int(df.get("record_count", 0)),
+                        seq=mseq,
+                        equality_ids=tuple(df.get("equality_ids") or ()),
                     )
                 )
                 continue
@@ -523,6 +532,7 @@ def plan_scan(
                     file_size_in_bytes=int(df.get("file_size_in_bytes", 0)),
                     spec_id=int(mf.get("partition_spec_id", 0)),
                     stored_path=str(df["file_path"]),
+                    data_seq=mseq,
                 )
             )
     return out, deletes
@@ -590,21 +600,65 @@ def read_files(spark, entries: list, deletes: list, schema: dict):
     def norm(p: str) -> str:
         return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", p)
 
-    mapping = [(norm(e.stored_path or e.path), norm(e.path)) for e in entries]
-    map_df = spark.createDataFrame(mapping, "__orig string, __dv_file string")
-    del_df = (
-        spark.read.parquet(*[d.path for d in deletes])
-        .select(
-            _normalize_path_col(F.col("file_path")).alias("__orig"),
-            F.col("pos").cast("long").alias("__dv_pos"),
-        )
-        .join(F.broadcast(map_df), "__orig")
-        .select("__dv_file", "__dv_pos")
-    )
+    pos_deletes = [d for d in deletes if d.content == 1]
+    eq_deletes = [d for d in deletes if d.content == 2]
+
     df = df.withColumn(
         "__dv_file", _normalize_path_col(F.col("_metadata.file_path"))
     ).withColumn("__dv_pos", F.col("_metadata.row_index"))
-    return df.join(del_df, ["__dv_file", "__dv_pos"], "left_anti").select(*base_cols)
+
+    if pos_deletes:
+        mapping = [(norm(e.stored_path or e.path), norm(e.path)) for e in entries]
+        map_df = spark.createDataFrame(mapping, "__orig string, __dv_file string")
+        del_df = (
+            spark.read.parquet(*[d.path for d in pos_deletes])
+            .select(
+                _normalize_path_col(F.col("file_path")).alias("__orig"),
+                F.col("pos").cast("long").alias("__dv_pos"),
+            )
+            .join(F.broadcast(map_df), "__orig")
+            .select("__dv_file", "__dv_pos")
+        )
+        df = df.join(del_df, ["__dv_file", "__dv_pos"], "left_anti")
+
+    if eq_deletes:
+        # Spec ordering: an equality delete applies to rows of data files
+        # whose data sequence number is STRICTLY LESS than the delete's —
+        # rows appended after the delete survive. Data rows pick up their
+        # file's sequence number via a broadcast (file → seq) map; one
+        # anti-join per distinct equality-id set.
+        id_to_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
+        seq_map = spark.createDataFrame(
+            [(norm(e.path), e.data_seq) for e in entries],
+            "__dv_file string, __dv_seq long",
+        )
+        df = df.join(F.broadcast(seq_map), "__dv_file", "left")
+        by_ids: dict[tuple, list] = {}
+        for d in eq_deletes:
+            by_ids.setdefault(d.equality_ids, []).append(d)
+        for ids, group in by_ids.items():
+            cols = [id_to_name[i] for i in ids if i in id_to_name]
+            if len(cols) != len(ids):
+                raise ValueError(f"equality delete references unknown field ids {ids}")
+            parts = []
+            for d in group:
+                parts.append(
+                    spark.read.parquet(d.path)
+                    .select(*cols)
+                    .withColumn("__del_seq", F.lit(d.seq).cast("long"))
+                )
+            dels = parts[0]
+            for extra in parts[1:]:
+                dels = dels.unionByName(extra)
+            dels = dels.select(
+                *[F.col(c).alias(f"__dk_{c}") for c in cols], "__del_seq"
+            )
+            cond = [df[c].eqNullSafe(dels[f"__dk_{c}"]) for c in cols]
+            cond.append(dels["__del_seq"] > df["__dv_seq"])
+            joined = df.join(dels, cond, "left_anti")
+            df = joined
+
+    return df.select(*base_cols)
 
 
 _ICEBERG_TO_DDL = {
@@ -876,9 +930,12 @@ def _write_snapshot(spark, df, table_path: str, tm: Optional[TableMetadata], par
             TableMetadata(root=table_path, meta=meta).rebase(cur["manifest-list"])
         )
         prior = [dict(m) for m in prior]
+    seq = int(meta.get("last-sequence-number", 0)) + 1
     mf_rec = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
+        "content": 0,
+        "sequence_number": seq,
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(entries),
@@ -894,6 +951,7 @@ def _write_snapshot(spark, df, table_path: str, tm: Optional[TableMetadata], par
     snap = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now,
+        "sequence-number": seq,
         "summary": {
             "operation": "append",
             "added-data-files": str(len(entries)),
@@ -904,6 +962,7 @@ def _write_snapshot(spark, df, table_path: str, tm: Optional[TableMetadata], par
     }
     if meta.get("current-snapshot-id") is not None and meta["snapshots"]:
         snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+    meta["last-sequence-number"] = seq
     meta["snapshots"] = meta["snapshots"] + [snap]
     meta["snapshot-log"] = meta.get("snapshot-log", []) + [
         {"timestamp-ms": now, "snapshot-id": snapshot_id}
@@ -1042,10 +1101,12 @@ def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
     cur = tm.current_snapshot()
     _, _, prior = read_avro_file(tm.rebase(cur["manifest-list"]))
     prior = [dict(m) for m in prior]
+    seq = int(meta.get("last-sequence-number", 0)) + 1
     mf_rec = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
         "content": 1,  # delete manifest
+        "sequence_number": seq,
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(del_entries),
@@ -1057,7 +1118,6 @@ def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
     write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, prior + [mf_rec])
 
     now = int(time.time() * 1000)
-    seq = int(meta.get("last-sequence-number", 0)) + 1
     snap = {
         "snapshot-id": snapshot_id,
         "parent-snapshot-id": meta.get("current-snapshot-id"),
@@ -1072,6 +1132,114 @@ def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
         "schema-id": 0,
     }
     meta["format-version"] = 2  # delete files require v2
+    meta["last-sequence-number"] = seq
+    meta["last-sequence-number"] = seq
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now
+    _commit_metadata(mdir, meta)
+    return snapshot_id
+
+
+def delete_rows_equality(spark, table_path: str, keys_df, key_cols: list[str]) -> Optional[int]:
+    """Merge-on-read EQUALITY delete: rows matching any key tuple in
+    ``keys_df`` (projected to ``key_cols``) are deleted from all data files
+    with a smaller data sequence number — rows appended AFTER this commit
+    keep living even if their keys match (spec ordering, applied in
+    ``read_files`` via the per-file sequence map)."""
+    import pyarrow.parquet as pq
+
+    tm = load_table(table_path)
+    schema = tm.schema()
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    for c in key_cols:
+        if c not in name_to_id:
+            raise ValueError(f"unknown key column {c!r}")
+    equality_ids = [name_to_id[c] for c in key_cols]
+
+    ddir = os.path.join(table_path, "data")
+    out_dir = os.path.join(ddir, f"eq-deletes-{uuidlib.uuid4()}")
+    keys_df.select(*key_cols).distinct().write.parquet(out_dir)
+    files = sorted(_list_parquet(out_dir))
+    counts = {fp: pq.ParquetFile(fp).metadata.num_rows for fp in files}
+    if sum(counts.values()) == 0:
+        return None
+
+    meta = dict(tm.meta)
+    mdir = os.path.join(table_path, "metadata")
+    snapshot_id = len(meta["snapshots"]) + 1
+    spec = tm.partition_spec()
+    part_fields = _partition_avro_fields(spec, schema["fields"])
+    entry_schema = _manifest_entry_schema(part_fields)
+    del_entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 2,  # equality deletes
+                "equality_ids": equality_ids,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {f["name"]: None for f in part_fields},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "block_size_in_bytes": 67108864,
+            },
+        }
+        for fp, n in counts.items()
+        if n > 0
+    ]
+    manifest_path = os.path.join(mdir, f"{uuidlib.uuid4()}-ed0.avro")
+    write_avro_file(
+        manifest_path,
+        entry_schema,
+        del_entries,
+        metadata={
+            "schema": json.dumps(schema),
+            "partition-spec": json.dumps(spec),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+
+    cur = tm.current_snapshot()
+    _, _, prior = read_avro_file(tm.rebase(cur["manifest-list"]))
+    prior = [dict(m) for m in prior]
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mf_rec = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "content": 1,
+        "sequence_number": seq,
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(del_entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "partitions": None,
+    }
+    mlist_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{uuidlib.uuid4()}.avro")
+    write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, prior + [mf_rec])
+
+    now = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": meta.get("current-snapshot-id"),
+        "timestamp-ms": now,
+        "sequence-number": seq,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(del_entries)),
+            "added-equality-deletes": str(sum(counts.values())),
+        },
+        "manifest-list": mlist_path,
+        "schema-id": 0,
+    }
+    meta["format-version"] = 2
     meta["last-sequence-number"] = seq
     meta["snapshots"] = meta["snapshots"] + [snap]
     meta["snapshot-log"] = meta.get("snapshot-log", []) + [

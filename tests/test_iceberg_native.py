@@ -317,17 +317,14 @@ def test_deleted_entries_skipped_and_delete_files_rejected(spark, tmp_path):
     write_avro_file(mpath, schema, entries)
     assert ice.read_table(spark, root).count() == 20 - deleted_rows
 
-    # v2 delete manifest (content=1) → explicit NotImplementedError
+    # a delete MANIFEST whose entries claim to be data files is malformed:
+    # fail loudly rather than reading delete parquet as table rows
     mlist_path = tm.rebase(snap["manifest-list"])
     _, _, mfs = read_avro_file(mlist_path)
-    mf_schema = dict(ice._MANIFEST_FILE_SCHEMA)
     mf_schema = json.loads(json.dumps(ice._MANIFEST_FILE_SCHEMA))
-    mf_schema["fields"].append(
-        {"name": "content", "type": "int", "field-id": 517}
-    )
     recs = [dict(m, content=0) for m in mfs] + [dict(mfs[0], content=1)]
     write_avro_file(mlist_path, mf_schema, recs)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="malformed"):
         ice.plan_files(root)
 
 
@@ -496,3 +493,53 @@ def test_deleted_table_moves_and_ledger(spark, tmp_path):
         spark, moved, default_image_schema(), str(tmp_path / "ledger")
     )
     assert sum(r.num_examples for r in recs.values()) == expect
+
+
+def test_equality_deletes_with_sequence_ordering(spark, tmp_path):
+    """Equality deletes remove matching rows from OLDER data files only:
+    rows re-appended after the delete commit survive (spec sequence-number
+    ordering), and positional deletes stack on top."""
+    root = str(tmp_path / "eq_tbl")
+    df = spark.range(0, 100).selectExpr(
+        "id", "concat('img', id % 20) as image_id", "cast(id as double) as v"
+    )
+    ice.write_table(spark, df, root)
+    keys = spark.createDataFrame([("img3",), ("img7",)], "image_id string")
+    snap = ice.delete_rows_equality(spark, root, keys, ["image_id"])
+    assert snap == 2 and ice.load_table(root).format_version == 2
+    back = ice.read_table(spark, root)
+    assert back.count() == 90
+    assert back.filter("image_id in ('img3','img7')").count() == 0
+
+    # re-append deleted keys AFTER the delete: they must survive
+    df2 = spark.range(100, 104).selectExpr(
+        "id", "'img3' as image_id", "cast(id as double) as v"
+    )
+    ice.append_table(spark, df2, root)
+    back2 = ice.read_table(spark, root)
+    assert back2.count() == 94
+    assert back2.filter("image_id = 'img3'").count() == 4
+
+    # pre-delete snapshot unaffected; positional deletes stack
+    assert ice.read_table(spark, root, snapshot_id=1).count() == 100
+    ice.delete_rows(spark, root, "id = 101")
+    assert ice.read_table(spark, root).count() == 93
+
+    # empty key set → no commit; unknown key column → loud error
+    empty = spark.createDataFrame([], "image_id string")
+    assert ice.delete_rows_equality(spark, root, empty, ["image_id"]) is None
+    with pytest.raises(ValueError, match="unknown key column"):
+        ice.delete_rows_equality(spark, root, keys, ["nope"])
+
+
+def test_equality_delete_multi_column_and_nulls(spark, tmp_path):
+    root = str(tmp_path / "eq2_tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "a", 3.0), (4, None, 4.0)],
+        "id int, k string, v double",
+    )
+    ice.write_table(spark, df, root)
+    keys = spark.createDataFrame([(2, None), (3, "a")], "id int, k string")
+    ice.delete_rows_equality(spark, root, keys, ["id", "k"])
+    left = {r["id"] for r in ice.read_table(spark, root).collect()}
+    assert left == {1, 4}  # null key matched via null-safe equality
