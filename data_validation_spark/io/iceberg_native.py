@@ -557,8 +557,10 @@ def read_table(
         table_path, snapshot_id, as_of_timestamp, partition_filter
     )
     for e in entries:
-        if e.file_format != "PARQUET":
-            raise NotImplementedError(f"native reader supports parquet, got {e.file_format}")
+        if e.file_format not in ("PARQUET", "ORC"):
+            raise NotImplementedError(
+                f"native reader supports parquet/orc data files, got {e.file_format}"
+            )
     tm = load_table(table_path)
     schema = tm.schema()
     if not entries:
@@ -584,16 +586,32 @@ def read_files(spark, entries: list, deletes: list, schema: dict):
     files are never collected to the driver."""
     from pyspark.sql import functions as F
 
-    paths = [e.path for e in entries]
-    if all(isinstance(f["type"], str) for f in schema.get("fields", [])):
-        # Read under the table's DECLARED schema (Iceberg semantics): files
-        # written before an add-column evolution lack the new column and
-        # null-fill; types come from metadata, not file-by-file inference.
-        df = spark.read.schema(_schema_to_ddl(schema)).parquet(*paths)
-    else:  # nested types: fall back to parquet's own schema
-        df = spark.read.parquet(*paths)
+    flat = all(isinstance(f["type"], str) for f in schema.get("fields", []))
+
+    def scan(fmt: str, paths: list[str]):
+        reader = spark.read
+        if flat:
+            # Read under the table's DECLARED schema (Iceberg semantics):
+            # files written before an add-column evolution lack the new
+            # column and null-fill; types come from metadata, not
+            # file-by-file inference.
+            reader = reader.schema(_schema_to_ddl(schema))
+        return reader.orc(*paths) if fmt == "ORC" else reader.parquet(*paths)
+
+    by_fmt: dict[str, list[str]] = {}
+    for e in entries:
+        by_fmt.setdefault(e.file_format, []).append(e.path)
+    frames = [scan(fmt, paths) for fmt, paths in sorted(by_fmt.items())]
+    df = frames[0]
+    for extra in frames[1:]:
+        df = df.unionByName(extra)
     if not deletes:
         return df
+    if set(by_fmt) != {"PARQUET"}:
+        raise NotImplementedError(
+            "merge-on-read deletes need parquet _metadata.row_index; this "
+            "table mixes in ORC data files"
+        )
     base_cols = df.columns
     import re as _re
 

@@ -142,15 +142,23 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> Optional[np.ndarray]:
     return out
 
 
+# Adam7 pass grid: (x offset, y offset, x step, y step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(data: bytes) -> Optional[np.ndarray]:
-    """PNG bytes → RGB8 array. Foreign-capable: 8-bit depth in grayscale,
-    gray+alpha, RGB, RGBA, and palette color types, scanline filters 0-4
-    (Sub/Up/Average/Paeth). Interlaced (Adam7) and 16-bit streams return
-    None (PIL seam)."""
+    """PNG bytes → RGB8 array. Foreign-capable: 8- and 16-bit depth (16-bit
+    reduced to 8 via the high byte) in grayscale, gray+alpha, RGB, RGBA, and
+    palette color types; scanline filters 0-4 (Sub/Up/Average/Paeth);
+    Adam7 interlacing. Sub-8-bit depths return None (PIL seam)."""
     if data[:8] != PNG_MAGIC:
         return None
     pos = 8
     w = h = None
+    depth = 8
     ctype = interlace = 0
     plte = None
     idat = b""
@@ -163,8 +171,10 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", body[:13]
                 )
-                if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                if depth not in (8, 16) or ctype not in _PNG_CHANNELS:
                     return None
+                if depth == 16 and ctype == 3:
+                    return None  # palette is ≤8-bit by spec
             elif tag == b"PLTE":
                 plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
@@ -174,11 +184,33 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
             pos += 12 + length
         if w is None or not idat:
             return None
-        bpp = _PNG_CHANNELS[ctype]
-        px = _png_unfilter(zlib.decompress(idat), w, h, bpp)
-        if px is None:
-            return None
-        px = px.reshape(h, w, bpp)
+        nch = _PNG_CHANNELS[ctype]
+        bpp = nch * (depth // 8)  # filters operate on BYTES
+        raw = zlib.decompress(idat)
+        if not interlace:
+            flat = _png_unfilter(raw, w, h, bpp)
+            if flat is None:
+                return None
+        else:  # Adam7: seven independently-filtered sub-images
+            flat = np.zeros((h, w * bpp), dtype=np.uint8)
+            grid = flat.reshape(h, w, bpp)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = pw * bpp + 1
+                sub = _png_unfilter(raw[off : off + stride * ph], pw, ph, bpp)
+                if sub is None:
+                    return None
+                off += stride * ph
+                grid[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if depth == 16:
+            # big-endian u16 → 8-bit via the high byte
+            px = flat.reshape(h, w, nch, 2)[:, :, :, 0]
+        else:
+            px = flat.reshape(h, w, nch)
         if ctype == 2:  # RGB
             return px.copy()
         if ctype == 6:  # RGBA → drop alpha

@@ -543,3 +543,35 @@ def test_equality_delete_multi_column_and_nulls(spark, tmp_path):
     ice.delete_rows_equality(spark, root, keys, ["id", "k"])
     left = {r["id"] for r in ice.read_table(spark, root).collect()}
     assert left == {1, 4}  # null key matched via null-safe equality
+
+
+def test_orc_data_files_read(spark, tmp_path):
+    """Foreign tables may carry ORC data files; the planner groups by format
+    and unions parquet + ORC scans under the declared schema."""
+    import os as _os
+
+    root = str(tmp_path / "orc_tbl")
+    df = spark.range(0, 50).selectExpr("id", "cast(id as double) as v")
+    ice.write_table(spark, df, root)
+    victim = ice.plan_files(root)[0].path
+    orc_dir = _os.path.join(root, "data", "orcpart")
+    spark.read.parquet(victim).write.orc(orc_dir)
+    orc_file = [
+        _os.path.join(orc_dir, f)
+        for f in _os.listdir(orc_dir)
+        if f.startswith("part") and not f.endswith(".crc")
+    ][0]
+    tm = ice.load_table(root)
+    snap = tm.current_snapshot()
+    mpath = tm.rebase(
+        read_avro_file(tm.rebase(snap["manifest-list"]))[2][0]["manifest_path"]
+    )
+    _, schema, recs = read_avro_file(mpath)
+    for r in recs:
+        if r["data_file"]["file_path"] == victim:
+            r["data_file"]["file_path"] = orc_file
+            r["data_file"]["file_format"] = "ORC"
+    write_avro_file(mpath, schema, recs)
+    back = ice.read_table(spark, root)
+    assert back.count() == 50
+    assert back.selectExpr("sum(v) s").first()["s"] == sum(float(i) for i in range(50))

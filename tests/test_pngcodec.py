@@ -137,3 +137,88 @@ def test_unsupported_depth_returns_none():
     path = "/usr/share/gitweb/static/git-favicon.png"  # 2-bit palette
     if os.path.exists(path):
         assert decode_png(open(path, "rb").read()) is None
+
+
+# -------------------------------------------------- Adam7 + 16-bit depth ---
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _build_interlaced_png(pixels: np.ndarray, ftypes: list[int]) -> bytes:
+    """Hand-assemble an Adam7-interlaced RGB PNG (encode-side pass split +
+    per-pass filtering), independent of the decoder under test."""
+    h, w, bpp = pixels.shape
+    raw = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        prev = bytes(pw * bpp)
+        for y in range(ph):
+            row = bytes(sub[y].reshape(-1))
+            ft = ftypes[fi % len(ftypes)]
+            fi += 1
+            raw += bytes([ft]) + _filter_row(ft, row, prev, bpp)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_interlaced_roundtrip():
+    rng = np.random.default_rng(21)
+    for shape in [(16, 16, 3), (13, 9, 3), (7, 5, 3), (1, 1, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = _build_interlaced_png(px, [0, 1, 2, 3, 4])
+        assert np.array_equal(decode_png(data), px), shape
+
+
+def test_16bit_depth_reduces_to_high_byte():
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    px16 = np.stack([hi, lo], axis=-1).reshape(9, 11, 6)  # big-endian u16
+    data = _build_png(px16.view(np.uint8), 2, [0, 2])
+    # _build_png treats the 6 bytes/px as bpp=6 — rewrite IHDR depth to 16
+    data = bytearray(data)
+    data[24] = 16  # IHDR depth byte
+    # fix the IHDR CRC after the depth edit
+    ihdr = bytes(data[12:29])
+    data[29:33] = struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+    got = decode_png(bytes(data))
+    assert np.array_equal(got, hi)
+
+
+_EXTERNAL_DEEP = [
+    "/usr/share/doc/libpng-dev/examples/pngtest.png",  # libpng canonical, Adam7 RGBA
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/idlelib/Icons/idle_32.png",  # 16-bit
+]
+
+
+def test_libpng_canonical_interlaced_file():
+    path = _EXTERNAL_DEEP[0]
+    if not os.path.exists(path):
+        pytest.skip("pngtest.png absent")
+    img = decode_png(open(path, "rb").read())
+    assert img is not None and img.shape == (69, 91, 3)
+
+
+def test_16bit_external_matches_8bit_sibling_exactly():
+    """The 3.7-era idle icons are 16-bit encodes of the same artwork the
+    3.13 icons carry at 8 bits — decoding both must agree byte-for-byte
+    (independent files, independent encoders)."""
+    p16 = _EXTERNAL_DEEP[1]
+    p8 = "/root/.pyenv/versions/3.13.0/lib/python3.13/idlelib/Icons/idle_32.png"
+    if not (os.path.exists(p16) and os.path.exists(p8)):
+        pytest.skip("idle icon pair absent")
+    a16 = decode_png(open(p16, "rb").read())
+    a8 = decode_png(open(p8, "rb").read())
+    assert np.array_equal(a16, a8)
