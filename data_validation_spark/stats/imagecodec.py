@@ -2,7 +2,9 @@
 
 The container has no PIL/cv2, so:
 
-* **PNG**: real encoder + decoder (RGB8, filter 0, zlib) — stdlib only.
+* **PNG**: real encoder (RGB8, filter 0) + FOREIGN-CAPABLE decoder:
+  scanline filters 0-4, grayscale/gray+alpha/RGB/RGBA/palette, 8- and
+  16-bit depths, Adam7 interlacing — stdlib + numpy only.
 * **BMP**: real encoder + decoder (24-bit uncompressed).
 * **JPEG**: two paths — the fast zlib-payload stub container (used by the
   synthetic data generator; lossless round-trip), and a REAL baseline
