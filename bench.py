@@ -208,6 +208,14 @@ def main() -> None:
     # warm the pool-fork path once, then measure multi-core capacity twice
     calibrate_mp()
     mp_cals = [calibrate_mp(), calibrate_mp()]
+    # aggregate-capacity sweep: effective parallelism of 32 equal-work procs
+    # vs 2 (ideal = 32). Catches capacity-capped host windows where per-core
+    # probes read clean but total CPU is limited — see BENCH/BASELINE.md
+    # session U. Readings well under 32 mean local[32] numbers that window
+    # are not comparable across rounds.
+    w2 = min(calibrate_mp(2), calibrate_mp(2))
+    w32 = min(calibrate_mp(32), calibrate_mp(32))
+    effective_cores_32 = round(32 * w2 / w32, 1)
     cal_med = sorted(cals)[len(cals) // 2]
     # throttle factor: >1 means this window ran slower than the unthrottled
     # reference; normalized times estimate unthrottled-window equivalents
@@ -231,6 +239,7 @@ def main() -> None:
                 "calibration_mp_seconds": [round(c, 3) for c in mp_cals],
                 "calibration_mp_nominal": CAL_MP_NOMINAL,
                 "throttle_factor_mp": round(min(mp_cals) / CAL_MP_NOMINAL, 3),
+                "effective_cores_32": effective_cores_32,
                 "op_seconds": op_seconds,
                 "verify_seconds": verify_seconds,
                 "jpeg_decode_img_per_sec_1core": jpeg_decode_per_sec,

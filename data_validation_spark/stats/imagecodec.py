@@ -173,8 +173,12 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", body[:13]
                 )
-                if depth not in (8, 16) or ctype not in _PNG_CHANNELS:
+                if ctype not in _PNG_CHANNELS:
                     return None
+                if depth not in (8, 16) and not (
+                    depth in (1, 2, 4) and ctype in (0, 3)
+                ):
+                    return None  # sub-8-bit is only defined for gray/palette
                 if depth == 16 and ctype == 3:
                     return None  # palette is ≤8-bit by spec
             elif tag == b"PLTE":
@@ -187,8 +191,27 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
         if w is None or not idat:
             return None
         nch = _PNG_CHANNELS[ctype]
-        bpp = nch * (depth // 8)  # filters operate on BYTES
         raw = zlib.decompress(idat)
+        if depth < 8:
+            # sub-8-bit gray/palette: filters operate on the PACKED bytes
+            # (bpp=1); rows are ceil(w*depth/8) bytes, unpacked afterwards
+            if interlace:
+                return None  # rare combination; PIL seam
+            rb = (w * depth + 7) // 8
+            packed = _png_unfilter(raw, rb, h, 1)
+            if packed is None:
+                return None
+            bits = np.unpackbits(packed.reshape(h, rb), axis=1)
+            vals = bits.reshape(h, -1, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+            if ctype == 3:
+                if plte is None:
+                    return None
+                return plte[np.minimum(idx, len(plte) - 1)]
+            scale = 255 // ((1 << depth) - 1)  # gray: expand to full range
+            return np.repeat((idx * scale).astype(np.uint8)[:, :, None], 3, 2)
+        bpp = nch * (depth // 8)  # filters operate on BYTES
         if not interlace:
             flat = _png_unfilter(raw, w, h, bpp)
             if flat is None:

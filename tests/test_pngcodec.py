@@ -133,10 +133,44 @@ def test_decodes_foreign_libpng_files(path, hw):
     assert img.min() < img.max()
 
 
-def test_unsupported_depth_returns_none():
-    path = "/usr/share/gitweb/static/git-favicon.png"  # 2-bit palette
-    if os.path.exists(path):
-        assert decode_png(open(path, "rb").read()) is None
+def test_sub8bit_palette_external_file():
+    path = "/usr/share/gitweb/static/git-favicon.png"  # 2-bit palette, libpng
+    if not os.path.exists(path):
+        pytest.skip("favicon absent")
+    img = decode_png(open(path, "rb").read())
+    assert img is not None and img.shape == (16, 16, 3)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) <= 4  # 2-bit palette
+
+
+def _build_sub8_png(idx: np.ndarray, depth: int, ctype: int, plte=None) -> bytes:
+    """Hand-pack a sub-8-bit gray/palette PNG (filter 0 rows)."""
+    h, w = idx.shape
+    rb = (w * depth + 7) // 8
+    raw = bytearray()
+    for y in range(h):
+        bits = "".join(format(v, f"0{depth}b") for v in idx[y])
+        bits += "0" * (rb * 8 - len(bits))
+        raw += b"\x00" + int(bits, 2).to_bytes(rb, "big")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", bytes(plte.reshape(-1)))
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    return out
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub8bit_gray_and_palette_golden(depth):
+    rng = np.random.default_rng(depth)
+    idx = rng.integers(0, 1 << depth, (5, 11), dtype=np.uint8)
+    # grayscale: values expand to full 0-255 range
+    g = decode_png(_build_sub8_png(idx, depth, 0))
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(g, np.repeat((idx * scale)[:, :, None], 3, 2))
+    # palette
+    plte = rng.integers(0, 256, (1 << depth, 3), dtype=np.uint8)
+    p = decode_png(_build_sub8_png(idx, depth, 3, plte=plte))
+    assert np.array_equal(p, plte[idx])
 
 
 # -------------------------------------------------- Adam7 + 16-bit depth ---
