@@ -105,3 +105,36 @@ class StatsOptions:
     # alongside the built-in passes; their output merges into the artifact
     # per slice (see data_validation_spark.generators).
     generators: list = field(default_factory=list)
+
+    def __post_init__(self):
+        """Constructor-time validation with the reference's messages
+        (stats_options.py property setters; goldens in
+        stats_options_test.py INVALID_STATS_OPTIONS)."""
+        if self.sample_rate is not None and not (0 < self.sample_rate <= 1):
+            raise ValueError(f"Invalid sample_rate {self.sample_rate}")
+        if self.semantic_domain_sample_rate is not None and not (
+            0 < self.semantic_domain_sample_rate <= 1
+        ):
+            raise ValueError(
+                "Invalid semantic_domain_stats_sample_rate "
+                f"{self.semantic_domain_sample_rate}"
+            )
+        if self.num_values_histogram_buckets <= 1:
+            raise ValueError(
+                f"Invalid num_values_histogram_buckets {self.num_values_histogram_buckets}"
+            )
+        if self.num_histogram_buckets < 1:
+            raise ValueError(f"Invalid num_histogram_buckets {self.num_histogram_buckets}")
+        if self.num_quantiles_histogram_buckets < 1:
+            raise ValueError(
+                "Invalid num_quantiles_histogram_buckets "
+                f"{self.num_quantiles_histogram_buckets}"
+            )
+        if self.feature_allowlist is not None and not isinstance(
+            self.feature_allowlist, (list, tuple, set)
+        ):
+            raise TypeError("feature_allowlist must be a list, tuple, or set")
+        if self.slice_column and self.slice_specs:
+            raise ValueError(
+                "Specify only one of slice_column or slice_specs."
+            )

@@ -392,3 +392,36 @@ def test_feature_value_slicer_reference_goldens(spark):
     )
     by3 = {s.slice_key: s.num_examples for s in stats3.slices}
     assert by3 == {"All Examples": 5, "a_2": 2}
+
+
+def test_stats_options_validation_goldens():
+    """Constructor validation with the reference's messages
+    (stats_options_test.py INVALID_STATS_OPTIONS ports that map onto this
+    engine's fields)."""
+    import pytest as _pytest
+
+    from data_validation_spark.stats.options import StatsOptions
+
+    for kwargs, msg in [
+        ({"sample_rate": 0}, "Invalid sample_rate 0"),
+        ({"sample_rate": -1}, "Invalid sample_rate -1"),
+        ({"sample_rate": 2}, "Invalid sample_rate 2"),
+        ({"semantic_domain_sample_rate": 0}, "Invalid semantic_domain_stats_sample_rate 0"),
+        ({"semantic_domain_sample_rate": 2}, "Invalid semantic_domain_stats_sample_rate 2"),
+        ({"num_values_histogram_buckets": 1}, "Invalid num_values_histogram_buckets 1"),
+        ({"num_values_histogram_buckets": 0}, "Invalid num_values_histogram_buckets 0"),
+        ({"num_values_histogram_buckets": -1}, "Invalid num_values_histogram_buckets -1"),
+        ({"num_histogram_buckets": -1}, "Invalid num_histogram_buckets -1"),
+        ({"num_quantiles_histogram_buckets": -1}, "Invalid num_quantiles_histogram_buckets -1"),
+        (
+            {"slice_column": "a", "slice_specs": [object()]},
+            "Specify only one of",
+        ),
+    ]:
+        with _pytest.raises(ValueError, match=msg.replace("(", "\\(")):
+            StatsOptions(**kwargs)
+    with _pytest.raises(TypeError, match="feature_allowlist"):
+        StatsOptions(feature_allowlist=42)
+    # valid edges accepted
+    StatsOptions(sample_rate=1.0, semantic_domain_sample_rate=0.5,
+                 num_values_histogram_buckets=2, num_histogram_buckets=1)
