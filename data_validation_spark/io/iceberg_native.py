@@ -1267,3 +1267,67 @@ def delete_rows_equality(spark, table_path: str, keys_df, key_cols: list[str]) -
     meta["last-updated-ms"] = now
     _commit_metadata(mdir, meta)
     return snapshot_id
+
+
+def metadata_table(spark, table_path: str, kind: str):
+    """Metadata tables as DataFrames — the native analogue of the runtime
+    jar's ``SELECT * FROM tbl.snapshots|files|partitions|history``. All four
+    are driver-built from KB-scale manifest metadata (no data scan)."""
+    tm = load_table(table_path)
+    if kind == "snapshots":
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["timestamp-ms"],
+                (s.get("summary") or {}).get("operation", "append"),
+                s.get("sequence-number", 0),
+                tm.rebase(s["manifest-list"]),
+            )
+            for s in tm.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_at_ms long, "
+            "operation string, sequence_number long, manifest_list string",
+        )
+    if kind == "history":
+        cur = tm.meta.get("current-snapshot-id")
+        rows = [
+            (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] == cur)
+            for e in tm.meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, is_current boolean"
+        )
+    if kind == "files":
+        data, deletes = plan_scan(table_path)
+        rows = [
+            (0, e.path, e.file_format, partition_key(e.partition),
+             e.record_count, e.file_size_in_bytes, e.data_seq)
+            for e in data
+        ] + [
+            (d.content, d.path, "PARQUET", "", d.record_count, 0, d.seq)
+            for d in deletes
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "partition string, record_count long, file_size_in_bytes long, "
+            "sequence_number long",
+        )
+    if kind == "partitions":
+        data = plan_files(table_path)
+        agg: dict[str, list] = {}
+        for e in data:
+            a = agg.setdefault(partition_key(e.partition), [0, 0])
+            a[0] += e.record_count
+            a[1] += 1
+        rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
+        return spark.createDataFrame(
+            rows, "partition string, record_count long, file_count long"
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} "
+        "(snapshots | files | partitions | history)"
+    )

@@ -575,3 +575,20 @@ def test_orc_data_files_read(spark, tmp_path):
     back = ice.read_table(spark, root)
     assert back.count() == 50
     assert back.selectExpr("sum(v) s").first()["s"] == sum(float(i) for i in range(50))
+
+
+def test_metadata_tables(spark, ice_table):
+    snaps = ice.metadata_table(spark, ice_table, "snapshots").collect()
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent_id"] == 1
+    hist = ice.metadata_table(spark, ice_table, "history").collect()
+    assert [h["is_current"] for h in hist] == [False, True]
+    files = ice.metadata_table(spark, ice_table, "files")
+    assert files.selectExpr("sum(record_count) s").first()["s"] == 400
+    parts = {
+        r["partition"]: (r["record_count"], r["file_count"])
+        for r in ice.metadata_table(spark, ice_table, "partitions").collect()
+    }
+    assert len(parts) == 5 and sum(v[0] for v in parts.values()) == 400
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        ice.metadata_table(spark, ice_table, "nope")
