@@ -188,11 +188,12 @@ def run_iceberg_partitioned(
         if rec.get("lineage", {}).get("iceberg_table") == table_path
     }
     recorded.discard(None)
+    tm = _ice.load_table(table_path)  # one metadata read for snapshot+schema
     if snapshot_id is None:
         if len(recorded) == 1:
             snapshot_id = next(iter(recorded))  # resume the run's snapshot
         else:
-            snap = _ice.load_table(table_path).current_snapshot()
+            snap = tm.current_snapshot()
             snapshot_id = snap["snapshot-id"] if snap else None
     elif recorded and recorded != {snapshot_id}:
         raise ValueError(
@@ -202,7 +203,7 @@ def run_iceberg_partitioned(
         )
 
     entries, deletes = _ice.plan_scan(table_path, snapshot_id=snapshot_id)
-    table_schema = _ice.load_table(table_path).schema()
+    table_schema = tm.schema()
     groups: dict[str, list] = {}
     for e in entries:
         groups.setdefault(_ice.partition_key(e.partition), []).append(e)

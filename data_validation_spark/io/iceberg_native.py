@@ -430,7 +430,8 @@ def plan_files(
     through the partition spec's transform) and/or by partition field name
     (compared directly). Files whose transform can't evaluate the literal are
     conservatively kept. Positional-delete files (v2 merge-on-read) are
-    planned separately — use :func:`plan_scan` to get both.
+    planned separately — use :func:`plan_scan` to get both (positional AND
+    equality deletes are fully applied by ``read_files``/``read_table``).
     """
     return plan_scan(table_path, snapshot_id, as_of_timestamp, partition_filter)[0]
 
@@ -441,11 +442,11 @@ def plan_scan(
     as_of_timestamp: Optional[int] = None,
     partition_filter: Optional[dict[str, Any] | Callable[[dict], bool]] = None,
 ) -> tuple[list[DataFileEntry], list[DeleteFileEntry]]:
-    """(data files, positional-delete files) of a snapshot. Delete files are
-    NEVER partition-pruned (a global delete file must survive any filter; a
-    positional delete naming a pruned data file is a harmless no-op).
-    Equality deletes (content=2) raise — they need sequence-number-ordered
-    application the native reader does not implement."""
+    """(data files, delete files) of a snapshot. Delete files — positional
+    AND equality — are NEVER partition-pruned (a global delete file must
+    survive any filter; a delete naming pruned rows is a harmless no-op);
+    ``read_files`` applies both flavors, equality deletes under the spec's
+    sequence-number ordering."""
     tm = load_table(table_path)
     snap = _select_snapshot(tm, snapshot_id, as_of_timestamp)
     mlist_path = tm.rebase(snap["manifest-list"])
@@ -502,6 +503,11 @@ def plan_scan(
         for e in entries:
             if int(e.get("status", 0)) == 2:  # DELETED
                 continue
+            # v2 inheritance: an entry carries its own sequence number when
+            # set (EXISTING entries in rewritten/compacted manifests keep
+            # their ORIGINAL number); null inherits the manifest's
+            eseq = e.get("sequence_number")
+            entry_seq = int(eseq) if eseq is not None else mseq
             df = e["data_file"]
             content = int(df.get("content", 0) or 0)
             if content == 0 and int(mf.get("content", 0) or 0) == 1:
@@ -514,7 +520,7 @@ def plan_scan(
                         path=tm.rebase(df["file_path"]),
                         content=content,
                         record_count=int(df.get("record_count", 0)),
-                        seq=mseq,
+                        seq=entry_seq,
                         equality_ids=tuple(df.get("equality_ids") or ()),
                     )
                 )
@@ -532,7 +538,7 @@ def plan_scan(
                     file_size_in_bytes=int(df.get("file_size_in_bytes", 0)),
                     spec_id=int(mf.get("partition_spec_id", 0)),
                     stored_path=str(df["file_path"]),
-                    data_seq=mseq,
+                    data_seq=entry_seq,
                 )
             )
     return out, deletes
@@ -1045,52 +1051,32 @@ def append_table(spark, df, table_path: str) -> int:
     return _write_snapshot(spark, df, table_path, load_table(table_path), None)
 
 
-def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
-    """Merge-on-read DELETE: writes positional-delete files naming the
-    (file, pos) of rows matching ``predicate`` — no data-file rewrite — and
-    commits a v2 snapshot. Returns the new snapshot id, or None when no rows
-    matched (no commit). ``read_table`` applies the deletes via a
-    distributed anti-join on (file, row position).
-
-    The match job and the delete-file write are one distributed pass
-    (filter → project → parquet write); only per-file record counts touch
-    the driver."""
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
-    tm = load_table(table_path)
-    entries, _prior_deletes = plan_scan(table_path)
-    if not entries:
-        return None
-    schema = tm.schema()
-    matches = (
-        spark.read.schema(_schema_to_ddl(schema))
-        .parquet(*[e.path for e in entries])
-        .withColumn("__f", _normalize_path_col(F.col("_metadata.file_path")))
-        .withColumn("__p", F.col("_metadata.row_index"))
-        .filter(predicate)
-        .select(F.col("__f").alias("file_path"), F.col("__p").cast("long").alias("pos"))
-    )
-    ddir = os.path.join(table_path, "data")
-    out_dir = os.path.join(ddir, f"deletes-{uuidlib.uuid4()}")
-    matches.write.parquet(out_dir)
-    files = sorted(_list_parquet(out_dir))
-    counts = {fp: pq.ParquetFile(fp).metadata.num_rows for fp in files}
-    if sum(counts.values()) == 0:
-        return None
-
+def _commit_delete_snapshot(
+    tm: TableMetadata,
+    table_path: str,
+    counts: dict[str, int],
+    content: int,
+    summary_key: str,
+    equality_ids: Optional[list[int]] = None,
+) -> int:
+    """Shared tail of delete_rows / delete_rows_equality: delete manifest +
+    manifest list + v2 snapshot + metadata commit for the written delete
+    parquet files in ``counts`` (path → record count)."""
     meta = dict(tm.meta)
     mdir = os.path.join(table_path, "metadata")
-    snapshot_id = len(meta["snapshots"]) + 1
+    schema = tm.schema()
     spec = tm.partition_spec()
+    snapshot_id = len(meta["snapshots"]) + 1
     part_fields = _partition_avro_fields(spec, schema["fields"])
     entry_schema = _manifest_entry_schema(part_fields)
+    data_file_extra = {"equality_ids": equality_ids} if equality_ids else {}
     del_entries = [
         {
             "status": 1,
             "snapshot_id": snapshot_id,
             "data_file": {
-                "content": 1,  # position deletes
+                "content": content,
+                **data_file_extra,
                 "file_path": fp,
                 "file_format": "PARQUET",
                 "partition": {f["name"]: None for f in part_fields},
@@ -1115,7 +1101,6 @@ def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
             "content": "deletes",
         },
     )
-
     cur = tm.current_snapshot()
     _, _, prior = read_avro_file(tm.rebase(cur["manifest-list"]))
     prior = [dict(m) for m in prior]
@@ -1134,7 +1119,6 @@ def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
     }
     mlist_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{uuidlib.uuid4()}.avro")
     write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, prior + [mf_rec])
-
     now = int(time.time() * 1000)
     snap = {
         "snapshot-id": snapshot_id,
@@ -1144,13 +1128,12 @@ def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
         "summary": {
             "operation": "delete",
             "added-delete-files": str(len(del_entries)),
-            "added-position-deletes": str(sum(counts.values())),
+            summary_key: str(sum(counts.values())),
         },
         "manifest-list": mlist_path,
         "schema-id": 0,
     }
     meta["format-version"] = 2  # delete files require v2
-    meta["last-sequence-number"] = seq
     meta["last-sequence-number"] = seq
     meta["snapshots"] = meta["snapshots"] + [snap]
     meta["snapshot-log"] = meta.get("snapshot-log", []) + [
@@ -1160,6 +1143,57 @@ def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
     meta["last-updated-ms"] = now
     _commit_metadata(mdir, meta)
     return snapshot_id
+
+
+def delete_rows(spark, table_path: str, predicate: str) -> Optional[int]:
+    """Merge-on-read DELETE: writes positional-delete files naming the
+    (file, pos) of rows matching ``predicate`` — no data-file rewrite — and
+    commits a v2 snapshot. Returns the new snapshot id, or None when no rows
+    matched (no commit). ``read_table`` applies the deletes via a
+    distributed anti-join on (file, row position).
+
+    The match job and the delete-file write are one distributed pass
+    (filter → project → parquet write); only per-file record counts touch
+    the driver."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    tm = load_table(table_path)
+    entries, _prior_deletes = plan_scan(table_path)
+    if not entries:
+        return None
+    schema = tm.schema()
+    # Delete rows must name files by their MANIFEST (stored) paths — the
+    # spec's identity for a data file, and what read_files' stored→actual
+    # mapping keys on. Rebased actual paths would orphan the deletes after
+    # a table move (and break foreign readers).
+    import re as _re
+
+    def _norm(pth: str) -> str:
+        return _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", pth)
+
+    actual_to_stored = [(_norm(e.path), e.stored_path or e.path) for e in entries]
+    stored_map = spark.createDataFrame(actual_to_stored, "__f string, file_path string")
+    matches = (
+        spark.read.schema(_schema_to_ddl(schema))
+        .parquet(*[e.path for e in entries])
+        .withColumn("__f", _normalize_path_col(F.col("_metadata.file_path")))
+        .withColumn("__p", F.col("_metadata.row_index"))
+        .filter(predicate)
+        .join(F.broadcast(stored_map), "__f")
+        .select("file_path", F.col("__p").cast("long").alias("pos"))
+    )
+    ddir = os.path.join(table_path, "data")
+    out_dir = os.path.join(ddir, f"deletes-{uuidlib.uuid4()}")
+    matches.write.parquet(out_dir)
+    files = sorted(_list_parquet(out_dir))
+    counts = {fp: pq.ParquetFile(fp).metadata.num_rows for fp in files}
+    if sum(counts.values()) == 0:
+        return None
+
+    return _commit_delete_snapshot(
+        tm, table_path, counts, content=1, summary_key="added-position-deletes"
+    )
 
 
 def delete_rows_equality(spark, table_path: str, keys_df, key_cols: list[str]) -> Optional[int]:
@@ -1186,87 +1220,10 @@ def delete_rows_equality(spark, table_path: str, keys_df, key_cols: list[str]) -
     if sum(counts.values()) == 0:
         return None
 
-    meta = dict(tm.meta)
-    mdir = os.path.join(table_path, "metadata")
-    snapshot_id = len(meta["snapshots"]) + 1
-    spec = tm.partition_spec()
-    part_fields = _partition_avro_fields(spec, schema["fields"])
-    entry_schema = _manifest_entry_schema(part_fields)
-    del_entries = [
-        {
-            "status": 1,
-            "snapshot_id": snapshot_id,
-            "data_file": {
-                "content": 2,  # equality deletes
-                "equality_ids": equality_ids,
-                "file_path": fp,
-                "file_format": "PARQUET",
-                "partition": {f["name"]: None for f in part_fields},
-                "record_count": n,
-                "file_size_in_bytes": os.path.getsize(fp),
-                "block_size_in_bytes": 67108864,
-            },
-        }
-        for fp, n in counts.items()
-        if n > 0
-    ]
-    manifest_path = os.path.join(mdir, f"{uuidlib.uuid4()}-ed0.avro")
-    write_avro_file(
-        manifest_path,
-        entry_schema,
-        del_entries,
-        metadata={
-            "schema": json.dumps(schema),
-            "partition-spec": json.dumps(spec),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "deletes",
-        },
+    return _commit_delete_snapshot(
+        tm, table_path, counts, content=2,
+        summary_key="added-equality-deletes", equality_ids=equality_ids,
     )
-
-    cur = tm.current_snapshot()
-    _, _, prior = read_avro_file(tm.rebase(cur["manifest-list"]))
-    prior = [dict(m) for m in prior]
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-    mf_rec = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "content": 1,
-        "sequence_number": seq,
-        "partition_spec_id": 0,
-        "added_snapshot_id": snapshot_id,
-        "added_data_files_count": len(del_entries),
-        "existing_data_files_count": 0,
-        "deleted_data_files_count": 0,
-        "partitions": None,
-    }
-    mlist_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{uuidlib.uuid4()}.avro")
-    write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, prior + [mf_rec])
-
-    now = int(time.time() * 1000)
-    snap = {
-        "snapshot-id": snapshot_id,
-        "parent-snapshot-id": meta.get("current-snapshot-id"),
-        "timestamp-ms": now,
-        "sequence-number": seq,
-        "summary": {
-            "operation": "delete",
-            "added-delete-files": str(len(del_entries)),
-            "added-equality-deletes": str(sum(counts.values())),
-        },
-        "manifest-list": mlist_path,
-        "schema-id": 0,
-    }
-    meta["format-version"] = 2
-    meta["last-sequence-number"] = seq
-    meta["snapshots"] = meta["snapshots"] + [snap]
-    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-        {"timestamp-ms": now, "snapshot-id": snapshot_id}
-    ]
-    meta["current-snapshot-id"] = snapshot_id
-    meta["last-updated-ms"] = now
-    _commit_metadata(mdir, meta)
-    return snapshot_id
 
 
 def metadata_table(spark, table_path: str, kind: str):

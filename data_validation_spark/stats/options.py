@@ -52,7 +52,7 @@ class StatsOptions:
     # Multi-slicer / value-set slicing (slicing_util.py:48-300 parity): a list
     # of SliceSpec objects run simultaneously; rows explode into every slice
     # they belong to, plus the default slice. Mutually exclusive with
-    # slice_column (slice_specs wins when both are set).
+    # slice_column (setting both raises at construction).
     slice_specs: list = field(default_factory=list)
 
     # Binary columns whose magic-byte format histogram is fused into the wide

@@ -448,7 +448,6 @@ def test_delete_rows_merge_on_read(spark, tmp_path):
     assert ice.read_table(spark, root, snapshot_id=1).count() == 200
     # partition pruning composes with delete application
     pruned = ice.read_table(spark, root, partition_filter={"day_id": 3})
-    assert pruned.count() == 50 - pruned.filter("id % 10 = 3").count() + 0 or True
     assert pruned.filter("id % 10 = 3").count() == 0
     assert pruned.count() == sum(1 for i in range(200) if i % 4 == 3 and i % 10 != 3)
 
@@ -592,3 +591,72 @@ def test_metadata_tables(spark, ice_table):
     assert len(parts) == 5 and sum(v[0] for v in parts.values()) == 400
     with pytest.raises(ValueError, match="unknown metadata table"):
         ice.metadata_table(spark, ice_table, "nope")
+
+
+def test_delete_before_move_survives_move(spark, tmp_path):
+    """Positional deletes written BEFORE a table move must still apply after
+    it: delete files name data files by their manifest (stored) paths, and
+    the stored→actual mapping rebases both sides (regression: writing
+    rebased actual paths orphaned the deletes on move)."""
+    import shutil as _sh
+
+    root = str(tmp_path / "pre_move")
+    df = spark.range(0, 60).selectExpr("id", "cast(id as double) as v")
+    ice.write_table(spark, df, root)
+    ice.delete_rows(spark, root, "id % 6 = 1")
+    expect = ice.read_table(spark, root).count()
+    assert expect == 50
+    moved = str(tmp_path / "post_move")
+    _sh.copytree(root, moved)
+    got = ice.read_table(spark, moved)
+    assert got.count() == 50
+    assert got.filter("id % 6 = 1").count() == 0
+    # delete-file rows name stored paths == manifest paths (spec identity)
+    _, deletes = ice.plan_scan(moved)
+    stored = {e.stored_path for e in ice.plan_scan(moved)[0]}
+    del_paths = {
+        r["file_path"]
+        for d in deletes
+        for r in spark.read.parquet(d.path).collect()
+    }
+    assert del_paths <= stored
+
+
+def test_entry_level_sequence_number_inheritance(spark, tmp_path):
+    """Foreign compacted manifests carry per-entry sequence numbers for
+    EXISTING entries; plan_scan must prefer the entry value over the
+    manifest's (else equality deletes mis-order against rewritten files)."""
+    root = str(tmp_path / "seq_tbl")
+    df = spark.range(0, 10).selectExpr("id", "cast(id as double) as v")
+    ice.write_table(spark, df, root)  # manifest seq 1
+    tm = ice.load_table(root)
+    snap = tm.current_snapshot()
+    mpath = tm.rebase(
+        read_avro_file(tm.rebase(snap["manifest-list"]))[2][0]["manifest_path"]
+    )
+    _, schema, recs = read_avro_file(mpath)
+    # simulate a compaction rewrite: entries keep their ORIGINAL seq (1)
+    # while the (new) manifest claims seq 9
+    schema2 = json.loads(json.dumps(schema))
+    schema2["fields"].insert(
+        2, {"name": "sequence_number", "type": ["null", "long"], "field-id": 3}
+    )
+    recs2 = [dict(r, sequence_number=1) for r in recs]
+    write_avro_file(mpath, schema2, recs2)
+    mlist = tm.rebase(snap["manifest-list"])
+    _, mls, mfs = read_avro_file(mlist)
+    mfs = [dict(m, sequence_number=9) for m in mfs]
+    write_avro_file(mlist, ice._MANIFEST_FILE_SCHEMA, mfs)
+
+    entries, _ = ice.plan_scan(root)
+    assert all(e.data_seq == 1 for e in entries)  # entry wins over manifest
+
+    # consequence: an equality delete at seq 2 still removes these rows
+    keys = spark.createDataFrame([(3,)], "id long")
+    tm2 = ice.load_table(root)
+    meta = dict(tm2.meta)
+    meta["last-sequence-number"] = 1
+    ice._commit_metadata(str(tmp_path / "seq_tbl" / "metadata"), meta)
+    ice.delete_rows_equality(spark, root, keys, ["id"])
+    left = {r["id"] for r in ice.read_table(spark, root).collect()}
+    assert left == set(range(10)) - {3}
