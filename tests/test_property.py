@@ -465,3 +465,61 @@ def test_tdigest_heavy_discrete_exact_after_merge():
     for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
         k = min(int(np.ceil(q * arr.size)) - 1, arr.size - 1)
         assert merged.quantile(q) == s[max(k, 0)]
+
+
+# ------------------------------------------------------- codec properties --
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from(["444", "420"]),
+    st.integers(min_value=10, max_value=95),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_progressive_jpeg_always_equals_baseline(h, w, sub, q, seed):
+    """For ANY image/size/quality, the progressive and baseline entropy
+    codings must decode to identical pixels (same quantized coefficients)."""
+    from data_validation_spark.stats import jpegcodec as jc
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = jc.decode(jc.encode(img, q, sub))
+    prog = jc.decode(jc.encode_progressive(img, q, sub))
+    assert prog is not None and np.array_equal(base, prog)
+
+
+@given(
+    st.integers(min_value=1, max_value=6000),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from(["indep", "leftside", "midside"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_flac_roundtrip_always_lossless(n, channels, mode, seed):
+    from data_validation_spark.stats import flaccodec as fc
+
+    if mode != "indep" and channels != 2:
+        mode = "indep"
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32767, (n, channels), dtype=np.int16)
+    out = fc.decode(fc.encode(x, 16000, block_size=1024, stereo_mode=mode))
+    assert out is not None
+    y, rate = out
+    assert rate == 16000 and np.array_equal(y, x.astype(np.int32))
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=7),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_png_filters_always_roundtrip(h, w, ftypes, seed):
+    from tests.test_pngcodec import _build_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    from data_validation_spark.stats.imagecodec import decode_png
+
+    assert np.array_equal(decode_png(_build_png(px, 2, ftypes)), px)
