@@ -128,7 +128,11 @@ _ORDERS_COLS = [
 
 def q_presence_orders(spark, sf_dir):
     """Engine presence stats (non-missing / missing per column)."""
-    orders = _t(spark, sf_dir, "orders")
+    # Project to the reported columns (guide §1.2 / §2.3: don't compute what
+    # you throw away): round 5 profiled all 9 orders columns — including an
+    # exact top-k over ~150k distinct o_comment values — and discarded
+    # everything but these 6 columns' presence counters.
+    orders = _t(spark, sf_dir, "orders").select(*_ORDERS_COLS)
     stats = compute_statistics(orders, StatsOptions())
     ds = stats.default_slice()
     rows = [
@@ -154,15 +158,35 @@ _TOPK_FEATURES = [("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
                   ("orders", "o_orderstatus"), ("orders", "o_orderpriority")]
 
 
+def _stats_per_table(spark, sf_dir, options_fn):
+    """One engine call per table over BOTH its _TOPK_FEATURES columns, the two
+    tables submitted concurrently — 4 sequential single-column
+    compute_statistics calls (round 5) were 4 job waves where 2 suffice, and
+    each table was scanned once per column instead of once total."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tables: dict[str, list[str]] = {}
+    for table, colname in _TOPK_FEATURES:
+        tables.setdefault(table, []).append(colname)
+
+    def run(item):
+        table, colnames = item
+        df = _t(spark, sf_dir, table).select(*colnames)
+        return table, compute_statistics(df, options_fn())
+
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        return dict(pool.map(run, tables.items()))
+
+
 def q_topk_categorical(spark, sf_dir):
     """Engine exact top-k with (count desc, value desc) tie-break parity."""
+    stats_by_table = _stats_per_table(
+        spark, sf_dir, lambda: StatsOptions(num_top_values=5)
+    )
     out = []
     for table, colname in _TOPK_FEATURES:
-        df = _t(spark, sf_dir, table).select(F.col(colname).alias("v"))
-        stats = compute_statistics(df, StatsOptions(num_top_values=5))
-        for rank, (val, cnt) in enumerate(
-            stats.default_slice().feature("v").string.top_values, start=1
-        ):
+        feature = stats_by_table[table].default_slice().feature(colname)
+        for rank, (val, cnt) in enumerate(feature.string.top_values, start=1):
             out.append((colname, val, int(cnt), rank))
     return spark.createDataFrame(out, "feature string, value string, cnt bigint, rnk int")
 
@@ -181,11 +205,11 @@ def _topk_sql():
 
 def q_uniques_categorical(spark, sf_dir):
     """Engine exact unique counts (distinct values per categorical feature)."""
-    out = []
-    for table, colname in _TOPK_FEATURES:
-        df = _t(spark, sf_dir, table).select(F.col(colname).alias("v"))
-        stats = compute_statistics(df, StatsOptions())
-        out.append((colname, stats.default_slice().feature("v").string.unique))
+    stats_by_table = _stats_per_table(spark, sf_dir, StatsOptions)
+    out = [
+        (colname, stats_by_table[table].default_slice().feature(colname).string.unique)
+        for table, colname in _TOPK_FEATURES
+    ]
     return spark.createDataFrame(out, "feature string, unique_count bigint")
 
 
@@ -1063,10 +1087,22 @@ def q_simhash_docs(spark, sf_dir):
     (2) the bucketed pairs restricted to the %10∪planted subset must EQUAL
     brute-force bit_count(xor) ≤ radius pairs over the same subset's
     fingerprints (block-permutation guarantees recall 1 for ham ≤ blocks-1)."""
-    from data_validation_spark.dedup.simhash import simhash_fingerprints, simhash_near_dups
+    from data_validation_spark.dedup.simhash import (
+        simhash_fingerprints,
+        simhash_near_dups_from_fingerprints,
+    )
 
     aug = _docs_augmented_identical(spark, sf_dir)
-    pairs = simhash_near_dups(aug, "doc_id", "text", radius=3).cache()
+    # Fingerprint the corpus ONCE: both the bucketed near-dup pass and the
+    # subset brute-force check consume the same cached (id, fingerprint)
+    # frame — round 5 ran the Arrow fingerprint pass twice (full corpus +
+    # subset re-pass), an extra full scan wave at scale. Fingerprints are a
+    # pure function of the text, so the subset's fingerprints are exactly the
+    # cached rows filtered by id — bit-identical to re-fingerprinting.
+    fp_all = simhash_fingerprints(aug, "doc_id", "text").where(
+        F.col("fingerprint") != 0
+    ).cache()
+    pairs = simhash_near_dups_from_fingerprints(fp_all, radius=3).cache()
 
     planted_found = (
         pairs.where(F.col("id_b") - F.col("id_a") == _PLANT_DOC_OFFSET)
@@ -1074,10 +1110,9 @@ def q_simhash_docs(spark, sf_dir):
         .count()
     )
 
-    sub = aug.where(
-        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= _PLANT_DOC_OFFSET)
+    fp = fp_all.where(
+        (F.col("id") % 10 == 0) | (F.col("id") >= _PLANT_DOC_OFFSET)
     )
-    fp = simhash_fingerprints(sub, "doc_id", "text").where(F.col("fingerprint") != 0)
     fa = fp.select(F.col("id").alias("id_a"), F.col("fingerprint").alias("fa"))
     fb = fp.select(F.col("id").alias("id_b"), F.col("fingerprint").alias("fb"))
     exact_sub = {
@@ -1096,6 +1131,7 @@ def q_simhash_docs(spark, sf_dir):
     }
     bucketed_sub = {(min(p), max(p)) for p in bucketed_sub}
     pairs.unpersist()
+    fp_all.unpersist()
     # planted_pairs = the count the bucketed pass FOUND; the oracle emits the
     # count the generator PLANTED — hash-equality is the recall-1 assertion.
     return spark.createDataFrame(
@@ -1430,17 +1466,29 @@ def q_sketch_stats(spark, sf_dir):
     the t-digest median and HLL unique count are bounds-checked in-query
     against Spark-exact counterparts (|Δmedian| ≤ 1% of range, |Δuniques| ≤
     max(5%, 1)), emitted as booleans the oracle expects to be true."""
+    from concurrent.futures import ThreadPoolExecutor
+
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
-    stats = compute_statistics(li, StatsOptions(use_sketches=True))
+    # sketch pass and the exact-counterpart aggregate are independent job
+    # graphs — submit both so the exact agg backfills the sketch pass's
+    # single-reducer merge stage instead of running after it.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        stats_f = pool.submit(
+            lambda: compute_statistics(li, StatsOptions(use_sketches=True))
+        )
+        ex_f = pool.submit(
+            lambda: li.agg(
+                F.expr("percentile(l_quantity, 0.5)").alias("md"),
+                F.countDistinct("l_returnflag").alias("u"),
+                F.min("l_quantity").alias("mn"),
+                F.max("l_quantity").alias("mx"),
+            ).collect()[0]
+        )
+        stats = stats_f.result()
+        ex = ex_f.result()
     ds = stats.default_slice()
     n = ds.feature("l_quantity").numeric
     s = ds.feature("l_returnflag").string
-    ex = li.agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("md"),
-        F.countDistinct("l_returnflag").alias("u"),
-        F.min("l_quantity").alias("mn"),
-        F.max("l_quantity").alias("mx"),
-    ).collect()[0]
     median_ok = int(
         abs(n.median - float(ex["md"])) <= max(0.01 * (float(ex["mx"]) - float(ex["mn"])), 1e-9)
     )

@@ -226,8 +226,27 @@ def verify_jaccard(
     computes |A∩B| / |A∪B| with ``array_intersect``/``array_union`` over the
     distinct shingle-string sets, so the verify stage has no Python and no
     hash-collision error. Returns pairs with jaccard ≥ threshold.
+
+    The text side is pruned to ids that actually appear in a candidate pair
+    (broadcast semi-join on the distinct candidate ids) *before* the shingle
+    projection: shingling is the expensive part (interpreted higher-order
+    functions), and without the prune it runs over every row of ``df`` twice
+    — at corpus scale that is two full re-shingling passes to verify a tiny
+    candidate set. Candidate ids are bounded by the LSH bucket caps
+    (``max_bucket_size``), so the broadcast fits. ``candidates`` is persisted
+    (it is referenced by the id-prune build and both pair joins; without the
+    persist the whole LSH pipeline would re-run per reference).
     """
-    texts = df.select(
+    from pyspark import StorageLevel
+
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("jid")
+    ).dropDuplicates(["jid"])
+    pruned = df.join(
+        F.broadcast(ids), df[id_col] == ids["jid"], "left_semi"
+    )
+    texts = pruned.select(
         F.col(id_col).alias("jid"),
         F.array_distinct(shingle_array(F.col(text_col), shingle_k)).alias("sh"),
     )

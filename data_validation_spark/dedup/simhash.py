@@ -91,6 +91,24 @@ def simhash_near_dups(
     territory, not near-dup.
     """
     fp = simhash_fingerprints(df, id_col, text_col).where(F.col("fingerprint") != 0)
+    idt = df.schema[id_col].dataType.simpleString()
+    return simhash_near_dups_from_fingerprints(
+        fp, radius=radius, max_bucket_size=max_bucket_size, id_type=idt
+    )
+
+
+def simhash_near_dups_from_fingerprints(
+    fp: DataFrame, radius: int = 3, max_bucket_size: int = 1000,
+    id_type: str | None = None,
+) -> DataFrame:
+    """``simhash_near_dups`` over a precomputed ``(id, fingerprint)`` frame.
+
+    Lets a caller that needs both the pairs *and* the raw fingerprints (e.g.
+    a recall self-check against brute force) fingerprint the corpus once
+    instead of running the Arrow pass per consumer. ``fp`` must already have
+    degenerate fingerprints filtered if desired.
+    """
+    idt = id_type or fp.schema["id"].dataType.simpleString()
     blocks = radius + 1
     width = 64 // blocks
     exploded = fp.select(
@@ -148,7 +166,6 @@ def simhash_near_dups(
 
     # Preserve the caller's id type (string/binary/long doc ids all work),
     # exactly as simhash_fingerprints/minhash_signatures derive theirs.
-    idt = df.schema[id_col].dataType.simpleString()
     return (
         buckets.select("members")
         .mapInPandas(pairs, f"id_a {idt}, id_b {idt}, hamming int")

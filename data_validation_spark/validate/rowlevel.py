@@ -42,14 +42,16 @@ def _violations(df: DataFrame, key_col, feature: str, anomaly_type: str, detail)
 
 
 # ------------------------------------------------------------- uniqueness ---
-def check_uniqueness(
-    df: DataFrame, key_cols: list[str] | str, num_salts: int = 64
-) -> DataFrame:
-    """Exact duplicate detection via salted two-stage groupBy.
+def check_uniqueness(df: DataFrame, key_cols: list[str] | str) -> DataFrame:
+    """Exact duplicate detection via one count aggregation per key.
 
-    Stage 1 partially counts per (key, salt) — Spark's partial hash-agg plus an
-    explicit salt so a heavy-hitter key spreads over ``num_salts`` reducers;
-    stage 2 sums per key and keeps count > 1. Returns violation rows
+    One ``groupBy(keys).count()``: Spark's partial (map-side) hash aggregation
+    already neutralizes heavy-hitter keys for *counting* — a key with a
+    billion rows reaches its reducer as at most one partial count per map
+    task, never as a billion shuffled rows — so the explicit salted two-stage
+    variant round 4 used here bought nothing and cost a second full shuffle
+    of every distinct key (for a mostly-unique key column, 2× the shuffle
+    bytes of the whole pass). Returns violation rows
     ``(row_key=key, DUPLICATE_KEY, detail=count)``.
     """
     if isinstance(key_cols, str):
@@ -60,15 +62,10 @@ def check_uniqueness(
     # separator + explicit NULL sentinel, so it is unambiguous for reporting.
     kcols = [F.col(c).alias(f"__k{i}") for i, c in enumerate(key_cols)]
     knames = [f"__k{i}" for i in range(len(key_cols))]
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(17)), F.lit(num_salts))
-    partial = (
-        df.select(*kcols, salt.alias("s"))
-        .groupBy(*knames, "s")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     dups = (
-        partial.groupBy(*knames)
-        .agg(F.sum("c").alias("cnt"))
+        df.select(*kcols)
+        .groupBy(*knames)
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") > 1)
     )
     display_key = F.concat_ws(
