@@ -35,6 +35,24 @@ def _e6(col) -> "F.Column":
     return F.round(col * F.lit(1000000.0), 0).cast("long")
 
 
+def _local_df(spark, rows, ddl) -> DataFrame:
+    """Local-relation builder for KB-scale driver-assembled results.
+
+    ``createDataFrame(list, ddl)`` goes through the pickled-row parallelize
+    path (defaultParallelism slices + per-row verification) and measures
+    ~0.33 s per call even for 4 rows; the pandas/Arrow path is ~4× cheaper
+    (guide §6: Arrow for driver transfers). Same rows, same schema — only the
+    serialization route differs.
+    """
+    if not isinstance(ddl, str) or not rows:
+        return spark.createDataFrame(rows, ddl)
+    import pandas as pd
+
+    names = [part.strip().split()[0] for part in ddl.split(",")]
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+    return spark.createDataFrame(pdf, schema=ddl)
+
+
 # ----------------------------------------------------------------- flagship --
 def entry(spark: SparkSession) -> DataFrame:
     """Stats+validation over the synthesized input_hint images table (1k rows),
@@ -93,7 +111,7 @@ def q_colstats_lineitem(spark, sf_dir):
                 n.num_zeros,
             )
         )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows,
         "feature string, non_missing bigint, missing bigint, min_e6 bigint, "
         "max_e6 bigint, mean_e6 bigint, std_e4 bigint, zeros bigint",
@@ -133,14 +151,15 @@ def q_presence_orders(spark, sf_dir):
     # exact top-k over ~150k distinct o_comment values — and discarded
     # everything but these 6 columns' presence counters.
     orders = _t(spark, sf_dir, "orders").select(*_ORDERS_COLS)
-    stats = compute_statistics(orders, StatsOptions())
+    # counts are summation-order-independent -> safe to re-split the scan
+    stats = compute_statistics(orders, StatsOptions(allow_input_resplit=True))
     ds = stats.default_slice()
     rows = [
         (c, ds.num_examples, ds.feature(c).common.num_non_missing,
          ds.feature(c).common.num_missing)
         for c in _ORDERS_COLS
     ]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "feature string, num_examples bigint, non_missing bigint, missing bigint"
     )
 
@@ -181,14 +200,14 @@ def _stats_per_table(spark, sf_dir, options_fn):
 def q_topk_categorical(spark, sf_dir):
     """Engine exact top-k with (count desc, value desc) tie-break parity."""
     stats_by_table = _stats_per_table(
-        spark, sf_dir, lambda: StatsOptions(num_top_values=5)
+        spark, sf_dir, lambda: StatsOptions(num_top_values=5, allow_input_resplit=True)
     )
     out = []
     for table, colname in _TOPK_FEATURES:
         feature = stats_by_table[table].default_slice().feature(colname)
         for rank, (val, cnt) in enumerate(feature.string.top_values, start=1):
             out.append((colname, val, int(cnt), rank))
-    return spark.createDataFrame(out, "feature string, value string, cnt bigint, rnk int")
+    return _local_df(spark, out, "feature string, value string, cnt bigint, rnk int")
 
 
 def _topk_sql():
@@ -205,12 +224,14 @@ def _topk_sql():
 
 def q_uniques_categorical(spark, sf_dir):
     """Engine exact unique counts (distinct values per categorical feature)."""
-    stats_by_table = _stats_per_table(spark, sf_dir, StatsOptions)
+    stats_by_table = _stats_per_table(
+        spark, sf_dir, lambda: StatsOptions(allow_input_resplit=True)
+    )
     out = [
         (colname, stats_by_table[table].default_slice().feature(colname).string.unique)
         for table, colname in _TOPK_FEATURES
     ]
-    return spark.createDataFrame(out, "feature string, unique_count bigint")
+    return _local_df(spark, out, "feature string, unique_count bigint")
 
 
 def _uniques_sql():
@@ -287,7 +308,7 @@ def q_valency_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("embedding")
     stats = compute_statistics(emb, StatsOptions())
     c = stats.default_slice().feature("embedding").common
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(c.num_non_missing, c.min_num_values, c.max_num_values, c.tot_num_values,
           int(round(c.avg_num_values * 1e6)))],
         "non_missing bigint, min_vals bigint, max_vals bigint, tot_vals bigint, avg_vals_e6 bigint",
@@ -308,7 +329,7 @@ def q_array_element_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("embedding")
     stats = compute_statistics(emb, StatsOptions())
     n = stats.default_slice().feature("embedding").numeric
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(round(n.min * 1e6)), int(round(n.max * 1e6)), int(round(n.mean * 1e6)),
           n.num_zeros)],
         "min_e6 bigint, max_e6 bigint, mean_e6 bigint, zeros bigint",
@@ -609,7 +630,7 @@ def q_drift_linf(spark, sf_dir):
     c1 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h1"}
     c2 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h2"}
     _, linf = linfty_distance(c1, c2)
-    return spark.createDataFrame([(int(round(linf * 1e6)),)], "linf_e6 bigint")
+    return _local_df(spark, [(int(round(linf * 1e6)),)], "linf_e6 bigint")
 
 
 def _drift_linf_sql():
@@ -729,7 +750,7 @@ def q_skew_match_stats(spark, sf_dir):
     r = detect_feature_skew(base, test, ["event_id"], features_to_compare=["event_type", "value"])
     ms = r.match_stats
     v = r.feature_skew["value"]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 ms.base_with_id_count,
@@ -774,7 +795,7 @@ def q_time_format_detect(spark, sf_dir):
     )
     info = time_match_stats(events, "d")
     best = max(info["formats"].items(), key=lambda kv: kv[1]) if info["formats"] else ("", 0)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(info["considered"], best[0], best[1])],
         "considered bigint, best_format string, match_count bigint",
     )
@@ -809,7 +830,7 @@ def q_merged_stats_parity(spark, sf_dir):
                 int(round(n.mean * 1e6)),
             )
         )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "feature string, non_missing bigint, min_e6 bigint, max_e6 bigint, mean_e6 bigint"
     )
 
@@ -902,7 +923,7 @@ def q_mutual_information(spark, sf_dir):
         "event_type", (F.col("value") > 10).cast("int").cast("string").alias("hi")
     ).where(F.col("event_type").isNotNull() & F.col("hi").isNotNull())
     mi = discrete_mutual_information(events, "event_type", "hi")
-    return spark.createDataFrame([(int(round(mi * 1e6)),)], "mi_e6 bigint")
+    return _local_df(spark, [(int(round(mi * 1e6)),)], "mi_e6 bigint")
 
 
 def _mi_sql():
@@ -945,7 +966,7 @@ def q_vocab_coverage(spark, sf_dir):
         .select("token")
     )
     s = vocab_token_stats(docs, "text", vocab)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 s["total_tokens"],
@@ -1134,7 +1155,7 @@ def q_simhash_docs(spark, sf_dir):
     fp_all.unpersist()
     # planted_pairs = the count the bucketed pass FOUND; the oracle emits the
     # count the generator PLANTED — hash-equality is the recall-1 assertion.
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(planted_found, int(exact_sub == bucketed_sub))],
         "planted_pairs bigint, subset_exact_match bigint",
     )
@@ -1305,7 +1326,7 @@ def q_similarity_ivf(spark, sf_dir):
     recall = len(exact & approx) / len(exact) if exact else 0.0
     self_hits = sum(1 for (q, i) in approx if i == q)
     dup_hits = sum(1 for (q, i) in approx if i == q + _PLANT_VEC_OFFSET)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(len(qs), 10, self_hits, dup_hits, int(recall >= 0.65))],
         "n_queries bigint, k bigint, self_hits bigint, dup_hits bigint, recall_ok bigint",
     )
@@ -1357,7 +1378,7 @@ def q_images_profile(spark, sf_dir):
     for f in ("bmp", "gif", "jpeg", "png"):
         rows.append((f"fmt_declared_{f}", int(fmt_counts.get(f, 0))))
         rows.append((f"fmt_sniffed_{f}", int(sniff.get(f, 0))))
-    return spark.createDataFrame(rows, "stat string, value bigint").orderBy("stat")
+    return _local_df(spark, rows, "stat string, value bigint").orderBy("stat")
 
 
 def _images_profile_sql():
@@ -1395,7 +1416,7 @@ def q_images_verdict(spark, sf_dir):
         (a.feature, a.type.value, a.severity.value, a.slice_key)
         for a in result.anomalies.anomalies
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "feature string, type string, severity string, slice_key string"
     )
 
@@ -1474,7 +1495,11 @@ def q_sketch_stats(spark, sf_dir):
     # single-reducer merge stage instead of running after it.
     with ThreadPoolExecutor(max_workers=2) as pool:
         stats_f = pool.submit(
-            lambda: compute_statistics(li, StatsOptions(use_sketches=True))
+            # sketch estimates carry bounded in-query checks, not exact float
+            # parity -> safe to re-split the scan for parallel partials
+            lambda: compute_statistics(
+                li, StatsOptions(use_sketches=True, allow_input_resplit=True)
+            )
         )
         ex_f = pool.submit(
             lambda: li.agg(
@@ -1493,7 +1518,7 @@ def q_sketch_stats(spark, sf_dir):
         abs(n.median - float(ex["md"])) <= max(0.01 * (float(ex["mx"]) - float(ex["mn"])), 1e-9)
     )
     uniques_ok = int(abs(s.unique - ex["u"]) <= max(0.05 * ex["u"], 1.0))
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(n.min), int(n.max), s.top_values[0][0], median_ok, uniques_ok)],
         "min_v bigint, max_v bigint, top_value string, median_ok bigint, uniques_ok bigint",
     )
@@ -1543,7 +1568,7 @@ def q_knn_mi(spark, sf_dir):
         r_low["mi"]["median"], r_high["mi"]["median"], r_ind["mi"]["median"],
     )
     ami_low, ami_ind = r_low["ami"]["median"], r_ind["ami"]["median"]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 n_rows,
@@ -1581,7 +1606,8 @@ def q_weighted_sketch_stats(spark, sf_dir):
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("w")
     )
     stats = compute_statistics(
-        li, StatsOptions(weight_column="w", use_sketches=True)
+        li,
+        StatsOptions(weight_column="w", use_sketches=True, allow_input_resplit=True),
     )
     n = stats.default_slice().feature("x").numeric
 
@@ -1608,7 +1634,7 @@ def q_weighted_sketch_stats(spark, sf_dir):
     wmean_ok = int(abs(n.weighted_mean - float(ex["wm"])) <= 1e-6 * abs(float(ex["wm"])))
     std_hist = next(h for h in n.weighted_histograms if h.type == "STANDARD")
     whist_ok = int(abs(std_hist.total_count() - total_w) <= 0.01 * total_w)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(int(ex["mn"]), int(ex["mx"]), wmedian_ok, wmean_ok, whist_ok)],
         "min_v bigint, max_v bigint, wmedian_ok bigint, wmean_ok bigint, whist_ok bigint",
     )
@@ -1648,7 +1674,7 @@ def q_slice_multi(spark, sf_dir):
         )
         for s in stats.slices
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "slice_key string, num_examples bigint, mean_value_e6 bigint"
     )
 
@@ -1677,7 +1703,7 @@ def q_nl_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     nl = compute_nl_statistics(docs, "text", constrained_tokens=["the"])
     ts = nl["token_statistics"]["the"]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 ts["frequency"],
@@ -1730,7 +1756,7 @@ def q_booldomain_violations(spark, sf_dir):
     rows = sorted(
         (a.feature, a.type.value, int(a.measurement)) for a in r.anomalies
     )
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "feature string, anomaly_type string, measurement bigint"
     )
 
@@ -1768,7 +1794,7 @@ def q_floatdomain_nan(spark, sf_dir):
     )
     r = validate_statistics(stats, schema)
     types = {a.type.value for a in r.anomalies}
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 n.num_nan,
@@ -1815,7 +1841,7 @@ def q_dataset_constraints_check(spark, sf_dir):
     r_low = validate_statistics(stats, schema_low)
     r_high = validate_statistics(stats, schema_high)
     r_ok = validate_statistics(stats, schema_ok)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 n,
@@ -1848,7 +1874,7 @@ def q_drift_nad(spark, sf_dir):
     c1 = {r["event_type"]: float(r["count"]) for r in rows if r["h"] == 0}
     c2 = {r["event_type"]: float(r["count"]) for r in rows if r["h"] == 1}
     _, nad = normalized_absolute_difference(c1, c2)
-    return spark.createDataFrame([(int(round(nad * 1e6)),)], "nad_e6 bigint")
+    return _local_df(spark, [(int(round(nad * 1e6)),)], "nad_e6 bigint")
 
 
 def _drift_nad_sql():
@@ -1880,7 +1906,7 @@ def q_drift_jsd(spark, sf_dir):
     c1 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h1"}
     c2 = {r["event_type"]: float(r["count"]) for r in rows if r["half"] == "h2"}
     jsd = jensen_shannon_divergence_counts(c1, c2)
-    return spark.createDataFrame([(int(round(jsd * 1e6)),)], "jsd_e6 bigint")
+    return _local_df(spark, [(int(round(jsd * 1e6)),)], "jsd_e6 bigint")
 
 
 def _drift_jsd_sql():
@@ -1916,7 +1942,7 @@ def q_weighted_stats(spark, sf_dir):
     n = ds.feature("l_extendedprice").numeric
     s = ds.feature("l_returnflag").string
     top_label, top_wcount = s.weighted_top_values[0]
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 int(round(n.weighted_mean * 1e6)),
@@ -1956,7 +1982,7 @@ def q_empty_values(spark, sf_dir):
         ).otherwise(F.split(F.col("lang"), ",")).alias("arr2"),
     )
     c = empty_value_counts(docs)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(c["text2"], c["id2"], c["arr2"])],
         "empty_strings bigint, minus_one_ints bigint, empty_lists bigint",
     )
@@ -1985,7 +2011,7 @@ def q_sparse_stats(spark, sf_dir):
         "idx", F.filter(F.col("idx"), lambda x: x <= 3).alias("val")
     )
     s = sparse_feature_stats(sdf, "idx", "val")
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 s["missing_value"],
@@ -2026,7 +2052,7 @@ def q_sparse_multi_index(spark, sf_dir):
         F.filter(F.col("idx_full"), lambda x: x <= 3).alias("val"),
     )
     s = sparse_feature_stats(sdf, ["idx_full", "idx_5"], "val")
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 s["missing_value"],
@@ -2075,7 +2101,7 @@ def q_infer_schema_roundtrip(spark, sf_dir):
     st = schema.get_feature("o_orderstatus")
     tp = schema.get_feature("o_totalprice")
     self_clean = validate_statistics(stats, schema).passed
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [
             (
                 tp.type.value,

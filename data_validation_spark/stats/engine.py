@@ -77,6 +77,21 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         df = df.select(*(keep + extra))
     if options.sample_rate is not None and options.sample_rate < 1.0:
         df = df.sample(fraction=options.sample_rate, seed=42)
+    # Under-split inputs (e.g. a single-row-group parquet file) scan as ONE
+    # task, which serializes every scan-stage partial aggregate — the wide
+    # agg, the long pass's partial counts, and the sketch partials would all
+    # run on one core (guide §2.5: one huge unsplittable input → repartition
+    # right after the read). Opt-in (``options.allow_input_resplit``) because
+    # re-splitting reorders floating-point summation: consumers that require
+    # bit-stable float sums against a sequential single-threaded reference
+    # (the exact-e6 oracle parity of means/stds) must keep the input's
+    # native order; count/top-k/uniques and bounded sketch outputs are
+    # order-independent and safely opt in. No-op whenever the source already
+    # has enough splits, i.e. always at cluster scale.
+    if options.allow_input_resplit:
+        from data_validation_spark.util import ensure_min_partitions
+
+        df = ensure_min_partitions(df)
 
     if options.slice_specs:
         # Multi-slicer / value-set slicing: explode rows into every slice they
