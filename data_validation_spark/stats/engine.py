@@ -126,7 +126,7 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
     # single-reducer stage runs) and hides per-job fixed overhead.
     from concurrent.futures import ThreadPoolExecutor
 
-    agg_exprs, quant_exprs = E.build_agg_exprs(
+    agg_exprs, quant_exprs, bytes_exprs = E.build_agg_exprs(
         plans,
         weight_arg,
         _QUANTILE_CUTS,
@@ -140,15 +140,23 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         return df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
 
     def quant_job():
-        # percentile_approx grids can't share the wide agg: they'd force it
-        # into ObjectHashAggregate (no codegen). SKETCH mode runs them as
-        # their own column-pruned job (num-values histograms only — the
-        # quantile grids ride the sketch pass); EXACT mode folds them into
-        # the fused long union instead (see _run_long_pass), so exact mode
-        # submits exactly TWO jobs: wide agg + fused union.
-        if not quant_exprs or not options.use_sketches:
+        # percentile_approx grids and the bytes-unique HLLs can't share the
+        # wide agg: imperative aggregates would disable codegen for every
+        # expression in it. SKETCH mode runs them as their own column-pruned
+        # job (the quantile grids ride the sketch pass); EXACT mode folds
+        # them into the fused long union instead (see _run_long_pass), so
+        # exact mode submits exactly TWO jobs: wide agg + fused union.
+        if not options.use_sketches or not (quant_exprs or bytes_exprs):
             return []
-        return df.groupBy(slice_col.alias("slice_key")).agg(*quant_exprs).collect()
+        src = df
+        if bytes_exprs:
+            # content hashes projected below the agg → hashed in codegen
+            src = src.select("*", *[pe for _, pe, _ in bytes_exprs])
+        return (
+            src.groupBy(slice_col.alias("slice_key"))
+            .agg(*quant_exprs, *[ae for _, _, ae in bytes_exprs])
+            .collect()
+        )
 
     def long_job():
         if options.use_sketches:
@@ -156,10 +164,10 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
 
             return (*run_sketch_pass(df, plans, slice_col, options), {}, {})
         # Exact mode: top-k/uniques + array-element stats + percentile grids
-        # + (when a weight column is set) weighted t-digest quantiles, all
-        # in ONE action — see _run_long_pass.
+        # + bytes-unique HLLs + (when a weight column is set) weighted
+        # t-digest quantiles, all in ONE action — see _run_long_pass.
         return _run_long_pass(df, plans, slice_col, options, quant_exprs,
-                              weight_arg=weight_arg)
+                              weight_arg=weight_arg, bytes_exprs=bytes_exprs)
 
     def custom_gen_job():
         # User-defined generators (StatsOptions.generators) — their combiner
@@ -300,7 +308,7 @@ def _want_topk(p: E.ColumnPlan, options: StatsOptions) -> bool:
 
 
 def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None,
-                   weight_arg=None):
+                   weight_arg=None, bytes_exprs=None):
     """Exact top-k/uniques + array-element numeric stats + percentile grids
     + (when a weight column is configured) weighted t-digest quantiles —
     ONE Spark action.
@@ -440,8 +448,16 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
     if quant_exprs:
         # percentile-grid branch: per-slice wide agg exploded to long
         # (slice_key, feature=alias__stat, quants=grid) so it unions with
-        # the other result frames; scan pruned to the scalar numeric columns
-        qagg = df.groupBy(slice_col.alias("slice_key")).agg(*quant_exprs)
+        # the other result frames; scan pruned to the scalar numeric columns.
+        # This branch is always safe to re-split when the input is
+        # under-split (guide §2.5): percentile_approx is an approximation
+        # with no exact-parity consumer, and a single-row-group input would
+        # otherwise run the whole ObjectHashAggregate partial on one core.
+        from data_validation_spark.util import ensure_min_partitions
+
+        qagg = ensure_min_partitions(df).groupBy(
+            slice_col.alias("slice_key")
+        ).agg(*quant_exprs)
         qcols = [c for c in qagg.columns if c != "slice_key"]
         stacked = F.explode(
             F.array(
@@ -455,6 +471,34 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
             qagg.select(
                 F.lit("qgrid").alias("kind"), "slice_key", stacked.alias("p")
             ).select("kind", "slice_key", "p.feature", "p.quants")
+        )
+
+    if bytes_exprs:
+        # bytes-unique HLL branch (see exprs.build_agg_exprs docstring): the
+        # imperative approx_count_distinct would disable codegen in the wide
+        # agg, so it aggregates here over a codegen'd hash projection; the
+        # melted rows carry the wide-agg alias key ({alias}__unique) so
+        # assembly reads them exactly like wide-agg columns. HLL registers
+        # are order-independent → safe to re-split the scan.
+        from data_validation_spark.util import ensure_min_partitions
+
+        bsrc = ensure_min_partitions(df).select(
+            slice_col.alias("slice_key"), *[pe for _, pe, _ in bytes_exprs]
+        )
+        bagg = bsrc.groupBy("slice_key").agg(*[ae for _, _, ae in bytes_exprs])
+        bcols = [c for c in bagg.columns if c != "slice_key"]
+        bstacked = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("feature"), F.col(c).alias("unique"))
+                    for c in bcols
+                ]
+            )
+        )
+        finals.append(
+            bagg.select(
+                F.lit("bunique").alias("kind"), "slice_key", bstacked.alias("p")
+            ).select("kind", "slice_key", "p.feature", "p.unique")
         )
 
     if not finals:
@@ -483,6 +527,10 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
         elif r["kind"] == "qgrid":
             # feature holds the wide-agg alias (e.g. "c3__quants")
             quant_long.setdefault(r["slice_key"], {})[r["feature"]] = r["quants"]
+        elif r["kind"] == "bunique":
+            # feature holds the wide-agg alias ("c1__unique") — merged into
+            # the wide rows so assembly reads it like a wide-agg column
+            quant_long.setdefault(r["slice_key"], {})[r["feature"]] = r["unique"]
         else:  # wacc
             wq_data[key] = decode_weighted_digest(r["acc"])
 

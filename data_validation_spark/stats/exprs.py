@@ -126,14 +126,25 @@ def build_agg_exprs(
 ) -> tuple[list, list]:
     """Aggregate expressions for the wide pass, split into two lists:
 
-    ``(main, quantile)`` — ``quantile`` holds the ``percentile_approx``
-    expressions (numeric quantile grids + num-values histograms). They are
-    TypedImperativeAggregates: a single one in an aggregate forces the whole
-    plan into ``ObjectHashAggregateExec``, which has NO whole-stage codegen —
-    every other expression (including the binary-column image sniff) would be
-    evaluated interpreted. Running them as a separate concurrent job keeps the
-    heavy ``main`` agg inside WholeStageCodegen, and Catalyst column-prunes the
-    quantile job's scan to just the numeric columns it references.
+    ``(main, quantile, bytes_unique)`` — ``quantile`` holds the
+    ``percentile_approx`` expressions (numeric quantile grids + num-values
+    histograms). They are TypedImperativeAggregates: a single one in an
+    aggregate forces the whole plan into ``ObjectHashAggregateExec``, which
+    has NO whole-stage codegen — every other expression (including the
+    binary-column image sniff) would be evaluated interpreted. Running them
+    as a separate concurrent job keeps the heavy ``main`` agg inside
+    WholeStageCodegen, and Catalyst column-prunes the quantile job's scan to
+    just the numeric columns it references.
+
+    ``bytes_unique`` carries the binary-column distinct-count estimators for
+    the same reason: ``approx_count_distinct`` (HLL++) is an
+    ImperativeAggregate, and one in the main agg disables codegen for EVERY
+    expression in it — measured 2-3× on a table with a large binary column.
+    Each entry is ``(proj_alias, proj_expr, agg_expr)``: the caller projects
+    ``proj_expr`` (the content hash — codegen'd, so the multi-KB payload is
+    hashed exactly once in compiled code) and aggregates ``agg_expr`` over
+    the projection in a non-codegen job. Estimates are bit-identical to the
+    fused form (same hash values; HLL registers are order-independent).
 
     Returns aliased expressions; assembly decodes by alias convention
     ``{plan.alias}__{stat}``.
@@ -153,6 +164,7 @@ def build_agg_exprs(
 
     exprs = [F.count(F.lit(1)).alias("num_examples")]
     qexprs: list = []
+    bexprs: list = []
     if global_w:
         exprs.append(F.sum(F.col(global_w).cast("double")).alias("weighted_num_examples"))
 
@@ -311,13 +323,20 @@ def build_agg_exprs(
                 F.avg(blen).alias(f"{a}__avglen"),
                 F.min(blen).alias(f"{a}__minbytes"),
                 F.max(blen).alias(f"{a}__maxbytes"),
-                # HLL++ distinct estimate on a 64-bit content hash — one-pass,
-                # no expand; the reference estimates bytes uniques with a KMV
-                # sketch too. xxhash64(NULL) is non-null → gate on presence.
-                F.approx_count_distinct(
-                    F.when(F.col(p.name).isNotNull(), F.xxhash64(F.col(p.name))), 0.01
-                ).alias(f"{a}__unique"),
             ]
+            # HLL++ distinct estimate on a 64-bit content hash — one-pass,
+            # no expand; the reference estimates bytes uniques with a KMV
+            # sketch too. xxhash64(NULL) is non-null → gate on presence.
+            # Runs in the non-codegen side job (see docstring): the hash is
+            # projected (codegen) and only the 8-byte digest reaches HLL.
+            hcol = f"{a}__h64"
+            bexprs.append(
+                (
+                    hcol,
+                    F.when(F.col(p.name).isNotNull(), F.xxhash64(F.col(p.name))).alias(hcol),
+                    F.approx_count_distinct(F.col(hcol), 0.01).alias(f"{a}__unique"),
+                )
+            )
             if p.image_stats:
                 # fused magic-byte format counters (image_stats_generator
                 # parity) — same scan, no extra pass over the binary column
@@ -330,7 +349,7 @@ def build_agg_exprs(
                             f"{a}__imgfmt_{label}"
                         )
                     )
-    return exprs, qexprs
+    return exprs, qexprs, bexprs
 
 
 def long_format(df, plans: list[ColumnPlan], slice_col, weight_column: Optional[str],

@@ -22,7 +22,7 @@ def test_stats_engine_prunes_columns(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     sub = df.select("l_quantity", "l_discount")
     plans = E.classify_columns(sub.schema, set())
-    aggs, qaggs = E.build_agg_exprs(plans, None, 100, 1000, 10)
+    aggs, qaggs, _baggs = E.build_agg_exprs(plans, None, 100, 1000, 10)
     plan = plan_of(df.select("l_quantity", "l_discount").groupBy().agg(*aggs[1:]))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
@@ -89,6 +89,31 @@ def test_wide_agg_is_partial_final(spark, sf_dir):
     # (AQE's pre-execution formatted plan omits WholeStageCodegen markers)
     assert plan.count("HashAggregate") >= 2
     assert plan.count("+- Exchange") == 1  # exactly one shuffle in the tree
+
+
+def test_bytes_unique_stays_out_of_codegen_agg(spark):
+    """A binary column's approx_count_distinct (HLL++, an ImperativeAggregate)
+    must not ride the main wide agg — one imperative function disables
+    whole-stage codegen for EVERY expression in the aggregate (measured 2-3×
+    on a table with a large binary column). It runs in the non-codegen side
+    job over a projected content hash instead, with identical estimates
+    (same hash values; HLL registers are order-independent)."""
+    from data_validation_spark.stats import exprs as E
+    from data_validation_spark.stats.engine import compute_statistics
+    from data_validation_spark.stats.options import StatsOptions
+
+    df = spark.createDataFrame(
+        [(bytes([i]) * 10, i) for i in range(50)] + [(None, 99)],
+        "payload binary, k int",
+    )
+    plans = E.classify_columns(df.schema, set())
+    aggs, _qaggs, baggs = E.build_agg_exprs(plans, None, 100, 1000, 10)
+    main_plan = plan_of(df.groupBy().agg(*aggs))
+    assert "approx_count_distinct" not in main_plan
+    assert len(baggs) == 1
+    # the engine still reports the distinct estimate (50 distinct payloads)
+    stats = compute_statistics(df, StatsOptions())
+    assert stats.default_slice().feature("payload").bytes.unique == 50
 
 
 def test_embedding_topk_broadcasts_query(spark, sf_dir):
