@@ -140,23 +140,32 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         return df.groupBy(slice_col.alias("slice_key")).agg(*agg_exprs).collect()
 
     def quant_job():
-        # percentile_approx grids and the bytes-unique HLLs can't share the
-        # wide agg: imperative aggregates would disable codegen for every
-        # expression in it. SKETCH mode runs them as their own column-pruned
-        # job (the quantile grids ride the sketch pass); EXACT mode folds
-        # them into the fused long union instead (see _run_long_pass), so
-        # exact mode submits exactly TWO jobs: wide agg + fused union.
-        if not options.use_sketches or not (quant_exprs or bytes_exprs):
+        # percentile_approx grids can't share the wide agg: they'd force it
+        # into ObjectHashAggregate (no codegen). SKETCH mode runs them as
+        # their own column-pruned job (num-values histograms only — the
+        # quantile grids ride the sketch pass); EXACT mode folds them into
+        # the fused long union instead (see _run_long_pass).
+        if not quant_exprs or not options.use_sketches:
             return []
-        src = df
-        if bytes_exprs:
-            # content hashes projected below the agg → hashed in codegen
-            src = src.select("*", *[pe for _, pe, _ in bytes_exprs])
-        return (
-            src.groupBy(slice_col.alias("slice_key"))
-            .agg(*quant_exprs, *[ae for _, _, ae in bytes_exprs])
-            .collect()
-        )
+        return df.groupBy(slice_col.alias("slice_key")).agg(*quant_exprs).collect()
+
+    def bytes_job():
+        # ALL binary-column stats (presence, lengths, HLL unique, format
+        # sniff) run as their own concurrent job over a codegen'd projection
+        # of the payload (see exprs.build_agg_exprs docstring): the
+        # imperative HLL would disable codegen in the wide agg, and with the
+        # binary stats isolated the wide agg's scan skips the binary column
+        # entirely — each column is still read exactly once across the pass.
+        # Every aggregate here is order-independent, so an under-split input
+        # is re-split unconditionally.
+        if not bytes_exprs:
+            return []
+        from data_validation_spark.util import ensure_min_partitions
+
+        projs = [pe for proj, _ in bytes_exprs for pe in proj]
+        aggs = [ae for _, agg in bytes_exprs for ae in agg]
+        src = ensure_min_partitions(df).select(slice_col.alias("slice_key"), *projs)
+        return src.groupBy("slice_key").agg(*aggs).collect()
 
     def long_job():
         if options.use_sketches:
@@ -164,10 +173,10 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
 
             return (*run_sketch_pass(df, plans, slice_col, options), {}, {})
         # Exact mode: top-k/uniques + array-element stats + percentile grids
-        # + bytes-unique HLLs + (when a weight column is set) weighted
-        # t-digest quantiles, all in ONE action — see _run_long_pass.
+        # + (when a weight column is set) weighted t-digest quantiles, all
+        # in ONE action — see _run_long_pass.
         return _run_long_pass(df, plans, slice_col, options, quant_exprs,
-                              weight_arg=weight_arg, bytes_exprs=bytes_exprs)
+                              weight_arg=weight_arg)
 
     def custom_gen_job():
         # User-defined generators (StatsOptions.generators) — their combiner
@@ -241,14 +250,16 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
             y_boundaries=options.lift_y_boundaries,
         ).collect()
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         wide_f = pool.submit(wide_job)
         quant_f = pool.submit(quant_job)
+        bytes_f = pool.submit(bytes_job)
         long_f = pool.submit(long_job)
         gen_f = pool.submit(custom_gen_job)
         lift_f = pool.submit(lift_job)
         wide_rows = wide_f.result()
         quant_rows = quant_f.result()
+        bytes_rows = bytes_f.result()
         (topk_data, uniq_data, arr_data, wtopk_data, wq_data,
          quant_long) = long_f.result()
         custom_gen_out = gen_f.result()
@@ -259,6 +270,8 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         return DatasetStatsList([DatasetStats(options.default_slice_key, 0, features={})])
 
     quant_by_slice = {r["slice_key"]: r.asDict() for r in quant_rows}
+    for r in bytes_rows:  # binary-column stats, keyed by the same aliases
+        quant_by_slice.setdefault(r["slice_key"], {}).update(r.asDict())
     for sk, grids in quant_long.items():  # exact mode: grids from the union
         quant_by_slice.setdefault(sk, {}).update(grids)
 
@@ -308,7 +321,7 @@ def _want_topk(p: E.ColumnPlan, options: StatsOptions) -> bool:
 
 
 def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None,
-                   weight_arg=None, bytes_exprs=None):
+                   weight_arg=None):
     """Exact top-k/uniques + array-element numeric stats + percentile grids
     + (when a weight column is configured) weighted t-digest quantiles —
     ONE Spark action.
@@ -473,34 +486,6 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
             ).select("kind", "slice_key", "p.feature", "p.quants")
         )
 
-    if bytes_exprs:
-        # bytes-unique HLL branch (see exprs.build_agg_exprs docstring): the
-        # imperative approx_count_distinct would disable codegen in the wide
-        # agg, so it aggregates here over a codegen'd hash projection; the
-        # melted rows carry the wide-agg alias key ({alias}__unique) so
-        # assembly reads them exactly like wide-agg columns. HLL registers
-        # are order-independent → safe to re-split the scan.
-        from data_validation_spark.util import ensure_min_partitions
-
-        bsrc = ensure_min_partitions(df).select(
-            slice_col.alias("slice_key"), *[pe for _, pe, _ in bytes_exprs]
-        )
-        bagg = bsrc.groupBy("slice_key").agg(*[ae for _, _, ae in bytes_exprs])
-        bcols = [c for c in bagg.columns if c != "slice_key"]
-        bstacked = F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("feature"), F.col(c).alias("unique"))
-                    for c in bcols
-                ]
-            )
-        )
-        finals.append(
-            bagg.select(
-                F.lit("bunique").alias("kind"), "slice_key", bstacked.alias("p")
-            ).select("kind", "slice_key", "p.feature", "p.unique")
-        )
-
     if not finals:
         return topk_data, uniq_data, arr_data, wtopk_data, wq_data, quant_long
 
@@ -527,10 +512,6 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
         elif r["kind"] == "qgrid":
             # feature holds the wide-agg alias (e.g. "c3__quants")
             quant_long.setdefault(r["slice_key"], {})[r["feature"]] = r["quants"]
-        elif r["kind"] == "bunique":
-            # feature holds the wide-agg alias ("c1__unique") — merged into
-            # the wide rows so assembly reads it like a wide-agg column
-            quant_long.setdefault(r["slice_key"], {})[r["feature"]] = r["unique"]
         else:  # wacc
             wq_data[key] = decode_weighted_digest(r["acc"])
 

@@ -136,15 +136,22 @@ def build_agg_exprs(
     WholeStageCodegen, and Catalyst column-prunes the quantile job's scan to
     just the numeric columns it references.
 
-    ``bytes_unique`` carries the binary-column distinct-count estimators for
-    the same reason: ``approx_count_distinct`` (HLL++) is an
-    ImperativeAggregate, and one in the main agg disables codegen for EVERY
-    expression in it — measured 2-3× on a table with a large binary column.
-    Each entry is ``(proj_alias, proj_expr, agg_expr)``: the caller projects
-    ``proj_expr`` (the content hash — codegen'd, so the multi-KB payload is
-    hashed exactly once in compiled code) and aggregates ``agg_expr`` over
-    the projection in a non-codegen job. Estimates are bit-identical to the
-    fused form (same hash values; HLL registers are order-independent).
+    ``bytes_unique`` is ``(proj_exprs, agg_exprs)`` carrying ALL the
+    binary-column statistics (presence, byte-length stats, distinct-count
+    estimate, magic-byte format counters). They leave the main agg for two
+    reasons: (1) ``approx_count_distinct`` (HLL++) is an ImperativeAggregate,
+    and one in the main agg disables whole-stage codegen for EVERY expression
+    in it — measured 2-3× on a table with a large binary column; (2) with the
+    binary stats isolated, the main agg's scan no longer reads the binary
+    column at all. The caller projects ``proj_exprs`` (content hash, length,
+    sniffed format — codegen'd, so the multi-KB payload is touched exactly
+    once in compiled code) and aggregates ``agg_exprs`` over the projection
+    in its own job; the binary column is read exactly ONCE across the whole
+    stats pass, and only a cheap scalar-input aggregate runs interpreted.
+    All aggregates here are order-independent (counts, min/max, HLL
+    registers, and byte-length sums are integer-valued doubles « 2^53, i.e.
+    exact under any summation order), so the job may re-split an
+    under-split input.
 
     Returns aliased expressions; assembly decodes by alias convention
     ``{plan.alias}__{stat}``.
@@ -174,6 +181,50 @@ def build_agg_exprs(
         a = p.alias
         if p.stats_type in (STRUCT, UNKNOWN):
             exprs.append(F.count(F.col(p.name)).alias(f"{a}__nonmissing"))
+            continue
+
+        if p.stats_type == BYTES and p.nest_depth == 0:
+            # ALL binary-column stats go to the dedicated bytes job (see
+            # docstring): projections touch the payload once in codegen,
+            # the aggregates are cheap scalar-input ones.
+            c = F.col(p.name)
+            blen_col, h_col = f"{a}__blen", f"{a}__h64"
+            proj = [
+                F.octet_length(c).alias(blen_col),
+                F.when(c.isNotNull(), F.xxhash64(c)).alias(h_col),
+            ]
+            bagg = [
+                F.count(F.col(blen_col)).alias(f"{a}__nonmissing"),
+                F.avg(F.col(blen_col)).alias(f"{a}__avglen"),
+                F.min(F.col(blen_col)).alias(f"{a}__minbytes"),
+                F.max(F.col(blen_col)).alias(f"{a}__maxbytes"),
+                # HLL++ distinct estimate on a 64-bit content hash — one-pass,
+                # no expand; the reference estimates bytes uniques with a KMV
+                # sketch too. xxhash64(NULL) is non-null → gated on presence
+                # in the projection.
+                F.approx_count_distinct(F.col(h_col), 0.01).alias(f"{a}__unique"),
+            ]
+            pw = _w(p)
+            if pw:
+                w = F.col(pw).cast("double")
+                proj.append(F.when(c.isNotNull(), w).alias(f"{a}__wnn"))
+                bagg.append(F.sum(F.col(f"{a}__wnn")).alias(f"{a}__w_nonmissing"))
+                if pw != global_w:
+                    exprs.append(F.sum(w).alias(f"{a}__w_total"))
+            if p.image_stats:
+                # fused magic-byte format counters (image_stats_generator
+                # parity) — sniffed once in the same codegen projection
+                from data_validation_spark.stats.image import sniff_format_col
+
+                fmt_col = f"{a}__fmt"
+                proj.append(sniff_format_col(c).alias(fmt_col))
+                for label in ("png", "jpeg", "gif", "bmp", "UNKNOWN"):
+                    bagg.append(
+                        F.sum(F.when(F.col(fmt_col) == label, 1).otherwise(0)).alias(
+                            f"{a}__imgfmt_{label}"
+                        )
+                    )
+            bexprs.append((proj, bagg))
             continue
 
         if p.nest_depth == 0:
@@ -317,38 +368,6 @@ def build_agg_exprs(
                 ]
         elif p.stats_type == STRING:
             exprs.append(F.avg(F.length(F.col(p.name))).alias(f"{a}__avglen"))
-        elif p.stats_type == BYTES:
-            blen = F.octet_length(F.col(p.name))
-            exprs += [
-                F.avg(blen).alias(f"{a}__avglen"),
-                F.min(blen).alias(f"{a}__minbytes"),
-                F.max(blen).alias(f"{a}__maxbytes"),
-            ]
-            # HLL++ distinct estimate on a 64-bit content hash — one-pass,
-            # no expand; the reference estimates bytes uniques with a KMV
-            # sketch too. xxhash64(NULL) is non-null → gate on presence.
-            # Runs in the non-codegen side job (see docstring): the hash is
-            # projected (codegen) and only the 8-byte digest reaches HLL.
-            hcol = f"{a}__h64"
-            bexprs.append(
-                (
-                    hcol,
-                    F.when(F.col(p.name).isNotNull(), F.xxhash64(F.col(p.name))).alias(hcol),
-                    F.approx_count_distinct(F.col(hcol), 0.01).alias(f"{a}__unique"),
-                )
-            )
-            if p.image_stats:
-                # fused magic-byte format counters (image_stats_generator
-                # parity) — same scan, no extra pass over the binary column
-                from data_validation_spark.stats.image import sniff_format_col
-
-                fmt = sniff_format_col(F.col(p.name))
-                for label in ("png", "jpeg", "gif", "bmp", "UNKNOWN"):
-                    exprs.append(
-                        F.sum(F.when(fmt == label, 1).otherwise(0)).alias(
-                            f"{a}__imgfmt_{label}"
-                        )
-                    )
     return exprs, qexprs, bexprs
 
 

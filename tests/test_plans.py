@@ -91,29 +91,40 @@ def test_wide_agg_is_partial_final(spark, sf_dir):
     assert plan.count("+- Exchange") == 1  # exactly one shuffle in the tree
 
 
-def test_bytes_unique_stays_out_of_codegen_agg(spark):
-    """A binary column's approx_count_distinct (HLL++, an ImperativeAggregate)
-    must not ride the main wide agg — one imperative function disables
-    whole-stage codegen for EVERY expression in the aggregate (measured 2-3×
-    on a table with a large binary column). It runs in the non-codegen side
-    job over a projected content hash instead, with identical estimates
-    (same hash values; HLL registers are order-independent)."""
+def test_bytes_stats_stay_out_of_codegen_agg(spark, tmp_path):
+    """Binary-column stats must not ride the main wide agg: the HLL++
+    distinct estimator is an ImperativeAggregate and one imperative function
+    disables whole-stage codegen for EVERY expression in the aggregate
+    (measured 2-3× on a table with a large binary column). All bytes stats
+    run in a dedicated job over a codegen'd projection of the payload, so
+    the wide agg's scan does not read the binary column at all and the
+    payload is still read exactly once across the pass."""
     from data_validation_spark.stats import exprs as E
     from data_validation_spark.stats.engine import compute_statistics
     from data_validation_spark.stats.options import StatsOptions
 
-    df = spark.createDataFrame(
+    src = spark.createDataFrame(
         [(bytes([i]) * 10, i) for i in range(50)] + [(None, 99)],
         "payload binary, k int",
     )
+    path = str(tmp_path / "bytes_tbl")
+    src.write.parquet(path)
+    df = spark.read.parquet(path)
     plans = E.classify_columns(df.schema, set())
     aggs, _qaggs, baggs = E.build_agg_exprs(plans, None, 100, 1000, 10)
     main_plan = plan_of(df.groupBy().agg(*aggs))
     assert "approx_count_distinct" not in main_plan
+    # wide agg's parquet scan must not read the payload column at all
+    m = re.search(r"ReadSchema: struct<([^>]*)>", main_plan)
+    assert m and "payload" not in m.group(1), main_plan
     assert len(baggs) == 1
-    # the engine still reports the distinct estimate (50 distinct payloads)
+    # the engine still reports full bytes stats (50 distinct 10-byte payloads)
     stats = compute_statistics(df, StatsOptions())
-    assert stats.default_slice().feature("payload").bytes.unique == 50
+    bs = stats.default_slice().feature("payload").bytes
+    assert bs.unique == 50
+    assert bs.min_num_bytes == 10 and bs.max_num_bytes == 10
+    assert stats.default_slice().feature("payload").common.num_non_missing == 50
+    assert stats.default_slice().feature("payload").common.num_missing == 1
 
 
 def test_embedding_topk_broadcasts_query(spark, sf_dir):
