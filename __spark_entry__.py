@@ -151,8 +151,7 @@ def q_presence_orders(spark, sf_dir):
     # exact top-k over ~150k distinct o_comment values — and discarded
     # everything but these 6 columns' presence counters.
     orders = _t(spark, sf_dir, "orders").select(*_ORDERS_COLS)
-    # counts are summation-order-independent -> safe to re-split the scan
-    stats = compute_statistics(orders, StatsOptions(allow_input_resplit=True))
+    stats = compute_statistics(orders, StatsOptions())
     ds = stats.default_slice()
     rows = [
         (c, ds.num_examples, ds.feature(c).common.num_non_missing,
@@ -200,7 +199,7 @@ def _stats_per_table(spark, sf_dir, options_fn):
 def q_topk_categorical(spark, sf_dir):
     """Engine exact top-k with (count desc, value desc) tie-break parity."""
     stats_by_table = _stats_per_table(
-        spark, sf_dir, lambda: StatsOptions(num_top_values=5, allow_input_resplit=True)
+        spark, sf_dir, lambda: StatsOptions(num_top_values=5)
     )
     out = []
     for table, colname in _TOPK_FEATURES:
@@ -224,9 +223,7 @@ def _topk_sql():
 
 def q_uniques_categorical(spark, sf_dir):
     """Engine exact unique counts (distinct values per categorical feature)."""
-    stats_by_table = _stats_per_table(
-        spark, sf_dir, lambda: StatsOptions(allow_input_resplit=True)
-    )
+    stats_by_table = _stats_per_table(spark, sf_dir, StatsOptions)
     out = [
         (colname, stats_by_table[table].default_slice().feature(colname).string.unique)
         for table, colname in _TOPK_FEATURES
@@ -1495,11 +1492,7 @@ def q_sketch_stats(spark, sf_dir):
     # single-reducer merge stage instead of running after it.
     with ThreadPoolExecutor(max_workers=2) as pool:
         stats_f = pool.submit(
-            # sketch estimates carry bounded in-query checks, not exact float
-            # parity -> safe to re-split the scan for parallel partials
-            lambda: compute_statistics(
-                li, StatsOptions(use_sketches=True, allow_input_resplit=True)
-            )
+            lambda: compute_statistics(li, StatsOptions(use_sketches=True))
         )
         ex_f = pool.submit(
             lambda: li.agg(
@@ -1606,8 +1599,7 @@ def q_weighted_sketch_stats(spark, sf_dir):
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("w")
     )
     stats = compute_statistics(
-        li,
-        StatsOptions(weight_column="w", use_sketches=True, allow_input_resplit=True),
+        li, StatsOptions(weight_column="w", use_sketches=True)
     )
     n = stats.default_slice().feature("x").numeric
 

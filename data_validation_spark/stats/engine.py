@@ -77,21 +77,6 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         df = df.select(*(keep + extra))
     if options.sample_rate is not None and options.sample_rate < 1.0:
         df = df.sample(fraction=options.sample_rate, seed=42)
-    # Under-split inputs (e.g. a single-row-group parquet file) scan as ONE
-    # task, which serializes every scan-stage partial aggregate — the wide
-    # agg, the long pass's partial counts, and the sketch partials would all
-    # run on one core (guide §2.5: one huge unsplittable input → repartition
-    # right after the read). Opt-in (``options.allow_input_resplit``) because
-    # re-splitting reorders floating-point summation: consumers that require
-    # bit-stable float sums against a sequential single-threaded reference
-    # (the exact-e6 oracle parity of means/stds) must keep the input's
-    # native order; count/top-k/uniques and bounded sketch outputs are
-    # order-independent and safely opt in. No-op whenever the source already
-    # has enough splits, i.e. always at cluster scale.
-    if options.allow_input_resplit:
-        from data_validation_spark.util import ensure_min_partitions
-
-        df = ensure_min_partitions(df)
 
     if options.slice_specs:
         # Multi-slicer / value-set slicing: explode rows into every slice they
@@ -156,15 +141,11 @@ def compute_statistics(df: DataFrame, options: Optional[StatsOptions] = None) ->
         # imperative HLL would disable codegen in the wide agg, and with the
         # binary stats isolated the wide agg's scan skips the binary column
         # entirely — each column is still read exactly once across the pass.
-        # Every aggregate here is order-independent, so an under-split input
-        # is re-split unconditionally.
         if not bytes_exprs:
             return []
-        from data_validation_spark.util import ensure_min_partitions
-
         projs = [pe for proj, _ in bytes_exprs for pe in proj]
         aggs = [ae for _, agg in bytes_exprs for ae in agg]
-        src = ensure_min_partitions(df).select(slice_col.alias("slice_key"), *projs)
+        src = df.select(slice_col.alias("slice_key"), *projs)
         return src.groupBy("slice_key").agg(*aggs).collect()
 
     def long_job():
@@ -462,15 +443,7 @@ def _run_long_pass(df, plans, slice_col, options: StatsOptions, quant_exprs=None
         # percentile-grid branch: per-slice wide agg exploded to long
         # (slice_key, feature=alias__stat, quants=grid) so it unions with
         # the other result frames; scan pruned to the scalar numeric columns.
-        # This branch is always safe to re-split when the input is
-        # under-split (guide §2.5): percentile_approx is an approximation
-        # with no exact-parity consumer, and a single-row-group input would
-        # otherwise run the whole ObjectHashAggregate partial on one core.
-        from data_validation_spark.util import ensure_min_partitions
-
-        qagg = ensure_min_partitions(df).groupBy(
-            slice_col.alias("slice_key")
-        ).agg(*quant_exprs)
+        qagg = df.groupBy(slice_col.alias("slice_key")).agg(*quant_exprs)
         qcols = [c for c in qagg.columns if c != "slice_key"]
         stacked = F.explode(
             F.array(

@@ -33,14 +33,6 @@ class StatsOptions:
     # Strategy: exact top-k/uniques (shuffle groupBy) vs sketches (one pass).
     use_sketches: bool = False
 
-    # Allow the engine to re-split an under-split input (single-row-group
-    # file → one scan task) before aggregating. Re-splitting reorders
-    # floating-point summation, so it is opt-in: callers that only consume
-    # order-independent outputs (counts, exact top-k/uniques, bounded sketch
-    # estimates) set this; callers needing bit-stable float sums against a
-    # sequential reference leave it off. No-op on well-split inputs.
-    allow_input_resplit: bool = False
-
     # Which columns get string-stats (top-k/uniques) even though numeric.
     categorical_features: set[str] = field(default_factory=set)
 

@@ -60,10 +60,11 @@ def main():
 
     eng.CAPTURE_UNION_FRAME = True
     orders = spark.read.parquet(f"{SF}/orders.parquet")
+    if suffix != "before":
+        # the query now projects to its 6 reported columns before the engine
+        orders = orders.select(*entry._ORDERS_COLS)
     try:
-        eng.compute_statistics(entry._presence_input(orders)
-                               if hasattr(entry, "_presence_input") else orders,
-                               StatsOptions())
+        eng.compute_statistics(orders, StatsOptions())
         if eng._last_union_frame is not None:
             save("presence_orders_longpass", eng._last_union_frame)
     finally:
