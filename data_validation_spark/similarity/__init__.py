@@ -41,24 +41,50 @@ def cosine_topk_bruteforce(
 
 def train_centroids(
     df: DataFrame, vec_col: str, num_centroids: int = 64, sample: int = 10000,
-    iters: int = 8, seed: int = 42,
+    iters: int = 8, seed: int = 42, row_count_hint: int | None = None,
 ) -> np.ndarray:
     """Mini k-means on a driver-side sample (Lloyd iterations, numpy).
 
     Sampling is a real Bernoulli ``df.sample`` — ``limit(n)`` would take the
     first partitions only, a biased sample on sorted/partitioned data.
+
+    Sizing the Bernoulli fraction needs the row count, but a bare
+    ``df.count()`` is a full extra scan wave before training (at corpus
+    scale that doubles the sampling cost). So: with ``row_count_hint``
+    (e.g. from catalog/table statistics) the fraction is computed without
+    any counting; without a hint, a cheap ``limit(sample+1)`` probe (early
+    terminating — reads only enough partitions) detects the ≤``sample``
+    case and uses those rows directly — one action total, bit-identical
+    centroids to the counted path (both see all rows in frame order). Only
+    an unhinted input larger than ``sample`` falls back to count+sample.
     """
-    n_total = df.count()
-    if n_total == 0:
-        raise ValueError("cannot train centroids on an empty DataFrame")
-    frac = min(1.0, (sample * 1.2) / n_total)
-    rows = (
-        df.select(vec_col)
-        .sample(withReplacement=False, fraction=frac, seed=seed)
-        .limit(sample)
-        .toPandas()[vec_col]
-        .tolist()
-    )
+    if row_count_hint is None:
+        probe = df.select(vec_col).limit(sample + 1).toPandas()[vec_col].tolist()
+        if len(probe) == 0:
+            raise ValueError("cannot train centroids on an empty DataFrame")
+        if len(probe) <= sample:
+            rows = probe
+        else:
+            n_total = df.count()
+            frac = min(1.0, (sample * 1.2) / n_total)
+            rows = (
+                df.select(vec_col)
+                .sample(withReplacement=False, fraction=frac, seed=seed)
+                .limit(sample)
+                .toPandas()[vec_col]
+                .tolist()
+            )
+    else:
+        if row_count_hint == 0:
+            raise ValueError("cannot train centroids on an empty DataFrame")
+        frac = min(1.0, (sample * 1.2) / row_count_hint)
+        rows = (
+            df.select(vec_col)
+            .sample(withReplacement=False, fraction=frac, seed=seed)
+            .limit(sample)
+            .toPandas()[vec_col]
+            .tolist()
+        )
     if not rows:  # tiny inputs where the Bernoulli draw came up empty
         rows = df.select(vec_col).limit(sample).toPandas()[vec_col].tolist()
     x = np.array(rows, dtype=np.float32)
@@ -84,12 +110,17 @@ def cosine_topk_ivf(
     num_centroids: int = 64,
     nprobe: int = 8,
     centroids: np.ndarray | None = None,
+    row_count_hint: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: bucket rows by nearest centroid; probe top-``nprobe``
-    buckets per query. Returns (query_id, rnk, id, cosine) — approximate."""
+    buckets per query. Returns (query_id, rnk, id, cosine) — approximate.
+    ``row_count_hint`` forwards to :func:`train_centroids` so production
+    callers with catalog statistics avoid any pre-training scan."""
     spark = df.sparkSession
     if centroids is None:
-        centroids = train_centroids(df, vec_col, num_centroids)
+        centroids = train_centroids(
+            df, vec_col, num_centroids, row_count_hint=row_count_hint
+        )
     cent_b = spark.sparkContext.broadcast(centroids)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
