@@ -182,9 +182,30 @@ def run_iceberg_partitioned(
     from data_validation_spark.io import iceberg_native as _ice
 
     ledger = CheckpointLedger(ledger_dir)
+    completed = ledger.completed()
+    # Lineage guard: run_partitioned's resume skip is by partition NAME, so a
+    # ledger dir reused across tables would silently skip same-named
+    # partitions (e.g. '<unpartitioned>') of a DIFFERENT table without the
+    # snapshot-mismatch guard below ever firing. Refuse foreign rows —
+    # completed rows recorded for another table, or without Iceberg lineage
+    # at all (a plain run_partitioned ledger).
+    foreign = sorted(
+        {
+            str(rec.get("lineage", {}).get("iceberg_table"))
+            for rec in completed.values()
+            if rec.get("lineage", {}).get("iceberg_table") != table_path
+        }
+    )
+    if foreign:
+        raise ValueError(
+            f"ledger {ledger_dir} holds completed partitions for "
+            f"{foreign} but table {table_path!r} was requested — resuming "
+            "would skip same-named partitions of a different table; use a "
+            "fresh ledger dir per table"
+        )
     recorded = {
         rec["lineage"].get("iceberg_snapshot_id")
-        for rec in ledger.completed().values()
+        for rec in completed.values()
         if rec.get("lineage", {}).get("iceberg_table") == table_path
     }
     recorded.discard(None)

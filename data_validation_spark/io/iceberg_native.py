@@ -26,13 +26,15 @@ permanently capability-gated, this module speaks the format itself:
   for fixture/CI scale; a production cluster would use the runtime jar's
   committer (the read path is the part the validation engine needs).
 
-v2 merge-on-read, both delete flavors, fully distributed (``read_files``):
-POSITIONAL deletes anti-join on (file, row position) via parquet
-``_metadata``; EQUALITY deletes anti-join on the key columns with the
-spec's sequence-number ordering (a broadcast file→sequence map attaches
-each data row's sequence, and only deletes with a strictly greater
-sequence apply — rows appended after the delete survive). ``delete_rows``
-and ``delete_rows_equality`` commit them without rewriting data.
+v2 merge-on-read, both delete flavors, fully distributed (``read_files``),
+both with the spec's sequence-number ordering (a broadcast file→sequence
+map attaches each data row's sequence): POSITIONAL deletes anti-join on
+(file, row position) via parquet ``_metadata`` and apply only to data files
+with sequence ≤ the delete's (a file re-registered at a higher sequence
+keeps its rows); EQUALITY deletes anti-join on the key columns and only
+deletes with a strictly greater sequence apply — rows appended after the
+delete survive. ``delete_rows`` and ``delete_rows_equality`` commit them
+without rewriting data.
 
 Reference context: tensorflow/data-validation has no table-format layer
 (tfx-bsl handles IO); this module is the storage half of the north rule.
@@ -631,32 +633,56 @@ def read_files(spark, entries: list, deletes: list, schema: dict):
         "__dv_file", _normalize_path_col(F.col("_metadata.file_path"))
     ).withColumn("__dv_pos", F.col("_metadata.row_index"))
 
-    if pos_deletes:
-        mapping = [(norm(e.stored_path or e.path), norm(e.path)) for e in entries]
-        map_df = spark.createDataFrame(mapping, "__orig string, __dv_file string")
-        del_df = (
-            spark.read.parquet(*[d.path for d in pos_deletes])
-            .select(
-                _normalize_path_col(F.col("file_path")).alias("__orig"),
-                F.col("pos").cast("long").alias("__dv_pos"),
-            )
-            .join(F.broadcast(map_df), "__orig")
-            .select("__dv_file", "__dv_pos")
-        )
-        df = df.join(del_df, ["__dv_file", "__dv_pos"], "left_anti")
-
-    if eq_deletes:
-        # Spec ordering: an equality delete applies to rows of data files
-        # whose data sequence number is STRICTLY LESS than the delete's —
-        # rows appended after the delete survive. Data rows pick up their
-        # file's sequence number via a broadcast (file → seq) map; one
-        # anti-join per distinct equality-id set.
-        id_to_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    if pos_deletes or eq_deletes:
+        # Data rows pick up their file's data sequence number via a
+        # broadcast (file → seq) map; both delete flavors are
+        # sequence-conditioned per the spec.
         seq_map = spark.createDataFrame(
             [(norm(e.path), e.data_seq) for e in entries],
             "__dv_file string, __dv_seq long",
         )
         df = df.join(F.broadcast(seq_map), "__dv_file", "left")
+
+    if pos_deletes:
+        # Spec ordering: a position delete applies only to data files whose
+        # data sequence number is ≤ the delete's sequence number. A data
+        # file re-registered under a HIGHER sequence (add_files / rollback /
+        # rewrite flows) must keep its rows even if an old delete file names
+        # the same path+pos.
+        mapping = [(norm(e.stored_path or e.path), norm(e.path)) for e in entries]
+        map_df = spark.createDataFrame(mapping, "__orig string, __pd_file string")
+        parts = []
+        for d in pos_deletes:
+            parts.append(
+                spark.read.parquet(d.path)
+                .select(
+                    _normalize_path_col(F.col("file_path")).alias("__orig"),
+                    F.col("pos").cast("long").alias("__pd_pos"),
+                )
+                .withColumn("__pd_seq", F.lit(d.seq).cast("long"))
+            )
+        del_df = parts[0]
+        for extra in parts[1:]:
+            del_df = del_df.unionByName(extra)
+        del_df = del_df.join(F.broadcast(map_df), "__orig").select(
+            "__pd_file", "__pd_pos", "__pd_seq"
+        )
+        df = df.join(
+            del_df,
+            [
+                df["__dv_file"] == del_df["__pd_file"],
+                df["__dv_pos"] == del_df["__pd_pos"],
+                del_df["__pd_seq"] >= df["__dv_seq"],
+            ],
+            "left_anti",
+        )
+
+    if eq_deletes:
+        # Spec ordering: an equality delete applies to rows of data files
+        # whose data sequence number is STRICTLY LESS than the delete's —
+        # rows appended after the delete survive. One anti-join per distinct
+        # equality-id set.
+        id_to_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
         by_ids: dict[tuple, list] = {}
         for d in eq_deletes:
             by_ids.setdefault(d.equality_ids, []).append(d)
@@ -982,7 +1008,9 @@ def _write_snapshot(spark, df, table_path: str, tm: Optional[TableMetadata], par
             "added-records": str(sum(e["data_file"]["record_count"] for e in entries)),
         },
         "manifest-list": mlist_path,
-        "schema-id": 0,
+        # stamp the schema the snapshot was written under (post-evolution
+        # snapshots carry the evolved id; spec snapshot field)
+        "schema-id": int(meta.get("current-schema-id", 0)),
     }
     if meta.get("current-snapshot-id") is not None and meta["snapshots"]:
         snap["parent-snapshot-id"] = meta["current-snapshot-id"]
@@ -1032,9 +1060,20 @@ def add_column(table_path: str, name: str, iceberg_type: str, doc: str = "") -> 
     if doc:
         field["doc"] = doc
     schema["fields"].append(field)
+    # Commit the evolved schema as a NEW schema entry (schema-id = max+1)
+    # and point current-schema-id at it, preserving prior entries: mutating
+    # schema-id 0 in place would make pre-evolution snapshots resolve to the
+    # evolved schema, losing historical schema fidelity for time travel and
+    # foreign readers (spec schema-evolution semantics).
+    prior = [json.loads(json.dumps(s)) for s in meta.get("schemas", [])]
+    if not prior:
+        prior = [json.loads(json.dumps(tm.schema()))]
+    new_sid = max(int(s.get("schema-id", 0)) for s in prior) + 1
+    schema["schema-id"] = new_sid
     meta["last-column-id"] = new_id
-    meta["schema"] = schema
-    meta["schemas"] = [schema]
+    meta["schema"] = schema  # v1 compatibility field tracks the current schema
+    meta["schemas"] = prior + [schema]
+    meta["current-schema-id"] = new_sid
     meta["last-updated-ms"] = int(time.time() * 1000)
     return _commit_metadata(os.path.join(table_path, "metadata"), meta)
 
@@ -1131,7 +1170,9 @@ def _commit_delete_snapshot(
             summary_key: str(sum(counts.values())),
         },
         "manifest-list": mlist_path,
-        "schema-id": 0,
+        # stamp the schema the snapshot was written under (post-evolution
+        # snapshots carry the evolved id; spec snapshot field)
+        "schema-id": int(meta.get("current-schema-id", 0)),
     }
     meta["format-version"] = 2  # delete files require v2
     meta["last-sequence-number"] = seq

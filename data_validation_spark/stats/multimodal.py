@@ -162,11 +162,15 @@ except ImportError:
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode audio payload → (int16 samples, rate). WAV and FLAC are real
-    (``flaccodec.py``: RFC 9639 natively — Rice residuals, fixed/LPC
-    predictors, all channel decorrelations, CRC-verified); perceptual codecs
-    (mp3/ogg) use soundfile/libsndfile when the deploy image carries it
-    (try-imported above), else raise at this clearly-marked seam."""
+    """Decode audio payload → (int16 samples ``[frames, channels]``, rate).
+    The shape contract is format-independent: every path returns a 2-D
+    ``(frames, channels)`` array (mono → ``(n, 1)``), so callers indexing
+    ``arr[:, 0]`` behave identically for WAV, FLAC, and the soundfile seam.
+    WAV and FLAC are real (``flaccodec.py``: RFC 9639 natively — Rice
+    residuals, fixed/LPC predictors, all channel decorrelations,
+    CRC-verified); perceptual codecs (mp3/ogg) use soundfile/libsndfile when
+    the deploy image carries it (try-imported above), else raise at this
+    clearly-marked seam."""
     fmt = sniff_media(data)
     if fmt == "wav":
         out = decode_wav(data)
@@ -179,8 +183,8 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         out = flaccodec.decode_full(data)
         if out is not None:
             samples, rate, bps = out
-            if samples.ndim > 1:
-                samples = samples[:, 0]
+            if samples.ndim == 1:
+                samples = samples[:, None]
             # normalize any stream depth onto the int16 full-scale contract
             if bps > 16:
                 samples = samples >> (bps - 16)
@@ -191,9 +195,9 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("corrupt flac payload")
     if _HAVE_SOUNDFILE:  # pragma: no cover - exercised only where installed
         try:
-            samples, rate = _soundfile.read(_io.BytesIO(data), dtype="int16")
-            if samples.ndim > 1:
-                samples = samples[:, 0]
+            samples, rate = _soundfile.read(
+                _io.BytesIO(data), dtype="int16", always_2d=True
+            )
             return samples.astype(np.int16), int(rate)
         except Exception as exc:
             raise ValueError(f"undecodable {fmt} payload: {exc}") from exc

@@ -206,7 +206,9 @@ def test_decode_audio_seam_flac():
     samples, rate = decode_audio(d)
     assert rate == 32000
     assert samples.dtype == np.int16
-    assert np.array_equal(samples, x)
+    # format-independent (frames, channels) contract: mono -> (n, 1)
+    assert samples.shape == (len(x), 1)
+    assert np.array_equal(samples[:, 0], x)
     with pytest.raises(ValueError):
         decode_audio(d[:40])  # sniffs flac, fails decode → corrupt
 
@@ -277,7 +279,8 @@ def test_decode_audio_normalizes_non16bit_flac():
     y, rate, bps = decode_full(data)
     assert (bps, y[0, 0]) == (12, val)
     samples, _ = decode_audio(data)
-    assert samples[0] == val << 4  # int16 full-scale contract
+    assert samples.shape[1] == 1  # (frames, channels) contract
+    assert samples[0, 0] == val << 4  # int16 full-scale contract
 
 
 def test_audio_features_scale_by_native_depth(spark):

@@ -398,6 +398,104 @@ def test_iceberg_partitioned_validation_with_resume(spark, tmp_path):
     )
 
 
+def test_add_column_preserves_schema_history(spark, tmp_path):
+    """Schema evolution must COMMIT a new schema entry (schema-id = max+1,
+    current-schema-id updated) and leave prior entries untouched, so
+    pre-evolution snapshots' schema ids still resolve to the historical
+    schema (regression: schema-id 0 was rewritten in place)."""
+    root = str(tmp_path / "hist_tbl")
+    df = spark.range(0, 10).selectExpr("id", "concat('c', id) as caption")
+    ice.write_table(spark, df, root)
+    old_schema = ice.load_table(root).schema()
+    old_sid = old_schema.get("schema-id", 0)
+    ice.add_column(root, "score", "double")
+    tm = ice.load_table(root)
+    sids = {s.get("schema-id", 0): s for s in tm.meta["schemas"]}
+    assert set(sids) == {old_sid, old_sid + 1}
+    assert tm.meta["current-schema-id"] == old_sid + 1
+    # historical entry unchanged: no 'score' field in schema-id 0
+    assert [f["name"] for f in sids[old_sid]["fields"]] == ["id", "caption"]
+    assert "score" in [f["name"] for f in sids[old_sid + 1]["fields"]]
+    assert tm.schema() is not None and "score" in [
+        f["name"] for f in tm.schema()["fields"]
+    ]
+    # post-evolution snapshots stamp the evolved schema id
+    ice.append_table(
+        spark,
+        spark.range(10, 12).selectExpr(
+            "id", "concat('c', id) as caption", "cast(id as double) as score"
+        ),
+        root,
+    )
+    assert ice.load_table(root).current_snapshot()["schema-id"] == old_sid + 1
+
+
+def test_positional_delete_sequence_condition(spark, tmp_path):
+    """A position delete applies only to data files with data_seq ≤ the
+    delete's sequence number (spec): a data file (re-)registered at a HIGHER
+    sequence keeps its rows even when an old delete file names the same
+    path+pos (regression: deletes were previously applied unconditionally)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_path = str(tmp_path / "data_a.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([10, 11, 12], pa.int64())}), data_path
+    )
+    del_path = str(tmp_path / "del_a.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([data_path], pa.string()),
+                "pos": pa.array([0], pa.int64()),
+            }
+        ),
+        del_path,
+    )
+    schema = {"fields": [{"id": 1, "name": "id", "type": "long"}]}
+    entry = ice.DataFileEntry(
+        path=data_path, file_format="PARQUET", partition={},
+        record_count=3, file_size_in_bytes=1, data_seq=5,
+    )
+
+    def rows(delete_seq):
+        deletes = [
+            ice.DeleteFileEntry(path=del_path, content=1, record_count=1,
+                                seq=delete_seq)
+        ]
+        out = ice.read_files(spark, [entry], deletes, schema)
+        return sorted(r["id"] for r in out.collect())
+
+    assert rows(delete_seq=5) == [11, 12]   # del_seq ≥ data_seq → applies
+    assert rows(delete_seq=7) == [11, 12]
+    assert rows(delete_seq=3) == [10, 11, 12]  # older delete → file immune
+
+
+def test_iceberg_ledger_refuses_foreign_table(spark, tmp_path):
+    """A ledger dir reused across DIFFERENT tables must refuse to resume:
+    run_partitioned's skip is by partition NAME, so same-named partitions
+    (e.g. identical fmt= values) of another table would silently be skipped
+    without this guard (regression for the cross-table lineage hole)."""
+    from data_validation_spark.datagen import images_df
+    from data_validation_spark.io.checkpoint import run_iceberg_partitioned
+    from data_validation_spark.pipeline import default_image_schema
+
+    root_a = str(tmp_path / "tbl_a")
+    root_b = str(tmp_path / "tbl_b")
+    ice.write_table(spark, images_df(spark, 120, "clean", partitions=2),
+                    root_a, partition_by=["fmt"])
+    ice.write_table(spark, images_df(spark, 120, "clean", partitions=2),
+                    root_b, partition_by=["fmt"])
+    ledger_dir = str(tmp_path / "shared_ledger")
+    schema = default_image_schema()
+    r1 = run_iceberg_partitioned(spark, root_a, schema, ledger_dir)
+    assert r1  # table A fully validated into the ledger
+    with pytest.raises(ValueError, match="different table"):
+        run_iceberg_partitioned(spark, root_b, schema, ledger_dir)
+    # same table still resumes cleanly
+    assert run_iceberg_partitioned(spark, root_a, schema, ledger_dir) == {}
+
+
 def test_add_column_schema_evolution(spark, tmp_path):
     """Spec add-column semantics: after evolving the schema, files written
     BEFORE the evolution surface the new column as NULL (the reader uses
