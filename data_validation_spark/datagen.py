@@ -226,6 +226,35 @@ def warm_session(spark) -> None:
         spark.range(0, 4 * cores, 1, 2 * cores).mapInPandas(
             _touch, "id long"
         ).write.format("noop").mode("overwrite").save()
+
+        # Dedup-operator shapes on SYNTHETIC text (pure range-derived rows —
+        # no input table is read, nothing reusable is computed): compiles the
+        # LSH/fingerprint pipelines' generated code (explode-of-structs,
+        # collect_list ObjectHashAggregate, struct-consuming mapInPandas,
+        # dropDuplicates, persist, broadcast semi-join), which measured
+        # ~3.5 s of one-time first-call cost that otherwise lands on the
+        # first dedup query of a fresh JVM.
+        from data_validation_spark.dedup.minhash import (
+            minhash_lsh_candidates,
+            verify_jaccard,
+        )
+        from data_validation_spark.dedup.simhash import simhash_near_dups
+
+        fake = spark.range(0, 400, 1, 8).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(24)),
+                    lambda i: F.concat(
+                        F.lit("w"), F.pmod(F.col("id") * 7 + i * 13, F.lit(97))
+                    ),
+                ),
+            ).alias("text"),
+        )
+        cand = minhash_lsh_candidates(fake, "doc_id", "text", num_hashes=64, bands=16)
+        verify_jaccard(cand, fake, "doc_id", "text", threshold=0.5).count()
+        simhash_near_dups(fake, "doc_id", "text", radius=3).count()
     except Exception:
         # warm-up is best-effort; never fail the caller's setup over it
         pass
